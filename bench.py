@@ -1,0 +1,129 @@
+"""Headline benchmark: GPT-2 small greedy decode tokens/sec on one TPU chip.
+
+Protocol follows the reference's measurement harness
+(/root/reference/src/benchmarking/benchmarker.py:643-832): greedy decode,
+64 new tokens, full_cache method, single prompt stream, device-synchronized
+timing. The reference publishes no numbers (BASELINE.md), so the baseline is
+*established* in-process by running the reference's own decode protocol with
+torch on CPU (the only backend the reference supports in this environment)
+on an identical random-init GPT-2 small.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+MAX_NEW = 64
+PROMPT_TOKENS = 256
+N_TIMED_REPS = 3
+
+
+def _make_prompt_ids(n: int, vocab: int) -> list[int]:
+    rng = np.random.default_rng(0)
+    return rng.integers(1, min(vocab, 255), size=n).tolist()
+
+
+def measure_ours() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from efficient_llm_inference_tpu.core.config import Config
+    from efficient_llm_inference_tpu.core.utils import (
+        DeviceTimer,
+        enable_compilation_cache,
+    )
+    from efficient_llm_inference_tpu.engine.engine import InferenceEngine
+
+    enable_compilation_cache()
+    cfg = Config(model_name="gpt2")
+    eng = InferenceEngine.from_model_name("gpt2", config=cfg)
+    prompt_ids = _make_prompt_ids(PROMPT_TOKENS, eng.model.vocab_size)
+    prompt = bytes(prompt_ids).decode("latin-1")
+    # ByteTokenizer encodes latin-1 chars >=128 as 2 UTF-8 bytes; use a
+    # plain ASCII prompt so token count is exact.
+    prompt = "".join(chr(max(1, t % 127)) for t in prompt_ids)
+
+    results = {}
+    for method in ("full_cache", "quant_int8", "quant_int4"):
+        # warmup (compile)
+        eng.benchmark_method([prompt], method=method, max_new_tokens=MAX_NEW,
+                             warmup=True)
+        timer = DeviceTimer().start()
+        total = 0
+        for _ in range(N_TIMED_REPS):
+            r = eng.benchmark_method(
+                [prompt], method=method, max_new_tokens=MAX_NEW, warmup=False
+            )
+            total += r["total_new_tokens"]
+        elapsed = timer.stop()
+        results[method] = total / elapsed
+    return results
+
+
+def measure_reference_cpu(time_budget_s: float = 120.0) -> float | None:
+    """Reference protocol: HF GPT-2 small + DynamicCache greedy loop, torch CPU."""
+    try:
+        import torch
+        from transformers import GPT2Config as HFConfig
+        from transformers import GPT2LMHeadModel
+
+        torch.manual_seed(0)
+        hf = GPT2LMHeadModel(HFConfig()).eval()
+        ids = _make_prompt_ids(PROMPT_TOKENS, 50257)
+
+        def run(n_new: int) -> float:
+            t0 = time.perf_counter()
+            with torch.no_grad():
+                out = hf(input_ids=torch.tensor([ids]), use_cache=True)
+                past, logits = out.past_key_values, out.logits[:, -1, :]
+                for _ in range(n_new):
+                    nxt = torch.argmax(logits, dim=-1, keepdim=True)
+                    out = hf(input_ids=nxt, use_cache=True, past_key_values=past)
+                    past, logits = out.past_key_values, out.logits[:, -1, :]
+            return time.perf_counter() - t0
+
+        run(4)  # warmup
+        t0 = time.perf_counter()
+        total_tokens = 0
+        elapsed = 0.0
+        while elapsed < 10.0 and (time.perf_counter() - t0) < time_budget_s:
+            elapsed += run(MAX_NEW)
+            total_tokens += MAX_NEW
+        return total_tokens / elapsed
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] reference baseline failed: {e}", file=sys.stderr)
+        return None
+
+
+def main():
+    ours = measure_ours()
+    ref_tps = measure_reference_cpu()
+    value = ours["full_cache"]
+    vs_baseline = (value / ref_tps) if ref_tps else None
+    print(
+        f"[bench] ours: "
+        + ", ".join(f"{k}={v:.1f} tok/s" for k, v in ours.items())
+        + (f" | reference torch-cpu: {ref_tps:.1f} tok/s" if ref_tps else ""),
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "gpt2_decode_tokens_per_sec_full_cache_1chip",
+                "value": round(value, 2),
+                "unit": "tok/s",
+                "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,530 @@
+"""Inference engine + KV-cache benchmarker (the reference's user-facing API).
+
+`InferenceEngine` owns a natively-implemented JAX model (the reference
+injects an external HF model instead, /root/reference/src/benchmarking/
+benchmarker.py:44-59) and exposes the same 10 generation strategies and the
+same `benchmark_method` registry/metric schema (benchmarker.py:643-832) —
+but every strategy runs as a single jitted prefill + scanned decode loop on
+device, with static-shape caches and in-graph eviction.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cache import eviction
+from ..cache.kvcache import DenseKV, NoCacheKV, PagedKV, QuantizedKV
+from ..core.config import Config
+from ..core.utils import (
+    DeviceTimer,
+    get_cpu_mem_mb,
+    get_device_peak_mb,
+    mb,
+    reset_device_peak,
+)
+from ..data.tokenizer import ByteTokenizer, load_tokenizer
+from ..models import gpt2 as gpt2_mod
+from ..models.registry import ModelSpec, spec_by_name
+from .generate import bucket_for, make_decode, make_no_cache_loop, make_prefill
+
+VALID_METHODS = [
+    "no_cache",
+    "full_cache",
+    "sliding_window",
+    "quant_int8",
+    "quant_int4",
+    "quant_mixed",
+    "paged_attention",
+    "chunked_cache",
+    "prefix_window",
+    "strided_cache",
+    "block_cache",
+    "budget_cache",
+]
+
+# Paths where the reference truncates prompts at 1024
+# (/root/reference/src/benchmarking/benchmarker.py:76-78 vs :172,438,510,592).
+_TRUNCATING_METHODS = {
+    "no_cache",
+    "full_cache",
+    "prefix_window",
+    "strided_cache",
+    "block_cache",
+    "budget_cache",
+}
+
+
+class InferenceEngine:
+    """TPU-native generation engine over a functional JAX model."""
+
+    def __init__(
+        self,
+        model: ModelSpec,
+        params,
+        tokenizer=None,
+        config: Optional[Config] = None,
+    ):
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer if tokenizer is not None else ByteTokenizer()
+        self.config = config or Config()
+        self._fns: Dict = {}
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_model_name(
+        cls,
+        name: str = "gpt2",
+        tokenizer=None,
+        config: Optional[Config] = None,
+        params=None,
+    ) -> "InferenceEngine":
+        config = config or Config(model_name=name)
+        spec = spec_by_name(name)
+        if params is None:
+            if name.startswith("gpt2"):
+                params = gpt2_mod.init_gpt2_params(
+                    config.prng_key(), spec.config, config.dtype
+                )
+            else:
+                from ..models import llama as llama_mod
+
+                params = llama_mod.init_llama_params(
+                    config.prng_key(), spec.config, config.dtype
+                )
+        if tokenizer is None:
+            tokenizer = load_tokenizer(name)
+        return cls(spec, params, tokenizer, config)
+
+    # ------------------------------------------------------------------
+    def _dense_kw(self, capacity: int) -> dict:
+        m = self.model
+        return dict(
+            n_layer=m.n_layer,
+            n_head=m.n_kv_head,
+            head_dim=m.head_dim,
+            capacity=capacity,
+            batch=self.config.batch_size,
+            dtype=self.config.dtype,
+        )
+
+    def _build(self, method: str, bucket: int, max_new: int, kw: dict):
+        """Build (and cache) the compiled functions for one configuration."""
+        key = (method, bucket, max_new, tuple(sorted(kw.items())))
+        if key in self._fns:
+            return self._fns[key]
+
+        m = self.model
+        trim_fn = None
+        if method == "no_cache":
+            strategy = NoCacheKV(
+                n_layer=m.n_layer,
+                n_head=m.n_kv_head,
+                head_dim=m.head_dim,
+                batch=self.config.batch_size,
+                dtype=self.config.dtype,
+            )
+            total_cap = min(bucket + max_new, m.n_positions)
+            fn = make_no_cache_loop(
+                m,
+                strategy,
+                max_new,
+                total_cap,
+                eos_id=getattr(self.tokenizer, "eos_token_id", None),
+            )
+            built = ("no_cache", fn, strategy, total_cap)
+        else:
+            if method == "full_cache":
+                cap = bucket + max_new
+                strategy = DenseKV(**self._dense_kw(cap))
+            elif method.startswith("quant_"):
+                cap = bucket + max_new
+                strategy = QuantizedKV(
+                    **self._dense_kw(cap),
+                    mode=method.replace("quant_", ""),
+                    granularity=kw.get("granularity", "per_token"),
+                )
+            elif method == "paged_attention":
+                bs = kw["block_size"]
+                strategy = PagedKV(
+                    n_layer=m.n_layer,
+                    n_head=m.n_kv_head,
+                    head_dim=m.head_dim,
+                    block_size=bs,
+                    max_blocks=-(-(bucket + max_new) // bs),
+                    batch=self.config.batch_size,
+                    dtype=self.config.dtype,
+                )
+            else:  # trim family
+                cap = eviction.capacity_bound(method, bucket, max_new, kw)
+                strategy = DenseKV(**self._dense_kw(cap))
+                trim = eviction.TRIM_FNS[method]
+                trim_fn = lambda c: trim(c, kw)  # noqa: E731
+            if method == "chunked_cache":
+                trim = eviction.TRIM_FNS[method]
+                trim_fn = lambda c: trim(c, kw)  # noqa: E731
+
+            prefill = make_prefill(m, strategy, trim_fn)
+            decode = make_decode(m, strategy, trim_fn, max_new)
+            built = ("cached", (prefill, decode), strategy, None)
+
+        self._fns[key] = built
+        return built
+
+    # ------------------------------------------------------------------
+    def _encode(self, prompt: str, method: str) -> List[int]:
+        ids = self.tokenizer.encode(prompt)
+        cap = (
+            min(self.config.prompt_cap, self.model.n_positions)
+            if method in _TRUNCATING_METHODS
+            else self.model.n_positions
+        )
+        # Leave at least one position for generation.
+        cap = min(cap, self.model.n_positions)
+        return list(ids[:cap])
+
+    def _run(
+        self, prompt: str, method: str, max_new_tokens: int, **kw
+    ) -> Tuple[str, int, object, int]:
+        """Core driver: returns (text, n_new, strategy, final_length)."""
+        ids = self._encode(prompt, method)
+        true_len = len(ids)
+        assert true_len > 0, "empty prompt"
+        bucket = min(bucket_for(true_len), self.model.n_positions)
+
+        kind, fns, strategy, total_cap = self._build(method, bucket, max_new_tokens, kw)
+
+        if kind == "no_cache":
+            buf = np.zeros((self.config.batch_size, total_cap), np.int32)
+            buf[0, :true_len] = ids
+            gen, n_new = fns(self.params, jnp.asarray(buf), jnp.int32(true_len))
+            n_new = int(n_new)
+            out_ids = np.asarray(gen)[0, : true_len + n_new].tolist()
+            self.last_generation_ids = out_ids
+            return (
+                self.tokenizer.decode(out_ids, skip_special_tokens=True),
+                n_new,
+                strategy,
+                true_len + n_new,
+            )
+
+        prefill, decode = fns
+        buf = np.zeros((self.config.batch_size, bucket), np.int32)
+        buf[0, :true_len] = ids
+        cache, last = prefill(self.params, jnp.asarray(buf), jnp.int32(true_len))
+        toks, cache = decode(self.params, cache, last)
+        n_new = max_new_tokens
+        out_ids = ids + np.asarray(toks)[0].tolist()
+        final_len = int(jax.device_get(cache["length"]))
+        self.last_generation_ids = out_ids  # raw token ids of prompt+generation
+        return (
+            self.tokenizer.decode(out_ids, skip_special_tokens=True),
+            n_new,
+            strategy,
+            final_len,
+        )
+
+    def generate_ids(
+        self, prompt: str, method: str = "full_cache", max_new_tokens: int = 32, **kw
+    ) -> List[int]:
+        """Raw token ids (prompt + generation) — what quality metrics like
+        token_agreement_rate consume; avoids lossy decode/encode round-trips."""
+        self._run(prompt, method, max_new_tokens, **kw)
+        return list(self.last_generation_ids)
+
+    # ------------------------------------------------------------------
+    # Generation API (names/signatures/returns mirror benchmarker.py:63-639)
+    # ------------------------------------------------------------------
+    def generate_no_cache(self, prompt: str, max_new_tokens: int = 32):
+        text, n_new, _, _ = self._run(prompt, "no_cache", max_new_tokens)
+        return text, n_new
+
+    def generate_with_cache(self, prompt: str, max_new_tokens: int = 32):
+        text, n_new, _, _ = self._run(prompt, "full_cache", max_new_tokens)
+        return text, n_new
+
+    def generate_with_sliding_window(
+        self, prompt: str, max_new_tokens: int = 32, window_size: int = 256
+    ):
+        text, n_new, _, _ = self._run(
+            prompt, "sliding_window", max_new_tokens, window_size=window_size
+        )
+        return text, n_new
+
+    def generate_with_prefix_window(
+        self,
+        prompt: str,
+        max_new_tokens: int = 32,
+        window_size: int = 256,
+        prefix_len: int = 32,
+    ):
+        text, n_new, _, _ = self._run(
+            prompt,
+            "prefix_window",
+            max_new_tokens,
+            window_size=window_size,
+            prefix_len=prefix_len,
+        )
+        return text, n_new
+
+    def generate_with_strided_cache(
+        self,
+        prompt: str,
+        max_new_tokens: int = 32,
+        window_size: int = 256,
+        stride: int = 4,
+        prefix_len: int = 0,
+    ):
+        text, n_new, _, _ = self._run(
+            prompt,
+            "strided_cache",
+            max_new_tokens,
+            window_size=window_size,
+            stride=stride,
+            prefix_len=prefix_len,
+        )
+        return text, n_new
+
+    def generate_with_block_cache(
+        self,
+        prompt: str,
+        max_new_tokens: int = 32,
+        window_size: int = 256,
+        block_size: int = 64,
+        keep_per_block: int = 8,
+        prefix_len: int = 0,
+    ):
+        text, n_new, _, _ = self._run(
+            prompt,
+            "block_cache",
+            max_new_tokens,
+            window_size=window_size,
+            block_size=block_size,
+            keep_per_block=keep_per_block,
+            prefix_len=prefix_len,
+        )
+        return text, n_new
+
+    def generate_with_budget_cache(
+        self,
+        prompt: str,
+        max_new_tokens: int = 32,
+        window_size: int = 256,
+        old_budget: int = 64,
+        prefix_len: int = 0,
+    ):
+        text, n_new, _, _ = self._run(
+            prompt,
+            "budget_cache",
+            max_new_tokens,
+            window_size=window_size,
+            old_budget=old_budget,
+            prefix_len=prefix_len,
+        )
+        return text, n_new
+
+    def generate_with_quantized_kv(
+        self, prompt: str, max_new_tokens: int = 32, mode: str = "int8"
+    ):
+        text, n_new, strategy, final_len = self._run(
+            prompt, f"quant_{mode}", max_new_tokens
+        )
+        return text, n_new, mb(strategy.est_bytes(final_len))
+
+    def generate_with_paged_attention(
+        self, prompt: str, max_new_tokens: int = 32, block_size: int = 64
+    ):
+        text, n_new, strategy, final_len = self._run(
+            prompt, "paged_attention", max_new_tokens, block_size=block_size
+        )
+        return (
+            text,
+            n_new,
+            mb(strategy.allocated_bytes(final_len)),
+            mb(strategy.used_bytes(final_len)),
+            strategy.num_blocks(final_len) * self.model.n_layer,
+        )
+
+    def generate_with_chunked_cache(
+        self,
+        prompt: str,
+        max_new_tokens: int = 32,
+        chunk_size: int = 64,
+        keep_last: int = 256,
+    ):
+        text, n_new, strategy, final_len = self._run(
+            prompt,
+            "chunked_cache",
+            max_new_tokens,
+            chunk_size=chunk_size,
+            keep_last=keep_last,
+        )
+        return text, n_new, mb(strategy.est_bytes(final_len))
+
+    # ------------------------------------------------------------------
+    def benchmark_method(
+        self,
+        prompts: List[str],
+        method: str = "no_cache",
+        max_new_tokens: int = 32,
+        window_size: int = 256,
+        block_size: int = 64,
+        chunk_size: int = 64,
+        keep_last: int = 256,
+        mode: str = "int8",
+        prefix_len: int = 32,
+        stride: int = 4,
+        keep_per_block: int = 8,
+        old_budget: int = 64,
+        warmup: bool = True,
+    ) -> dict:
+        """Run one method over a list of prompts; same metric-dict schema as
+        /root/reference/src/benchmarking/benchmarker.py:643-832.
+
+        `warmup=True` runs each prompt-bucket once before timing so XLA
+        compilation (a one-time cost the eager reference doesn't have) is
+        excluded from throughput numbers.
+        """
+        assert method in VALID_METHODS, f"Invalid method: {method}"
+
+        def run_one(prompt):
+            if method == "no_cache":
+                _, n_new = self.generate_no_cache(prompt, max_new_tokens)
+                return n_new, 0.0
+            if method == "full_cache":
+                _, n_new = self.generate_with_cache(prompt, max_new_tokens)
+                return n_new, float("nan")
+            if method == "sliding_window":
+                _, n_new = self.generate_with_sliding_window(
+                    prompt, max_new_tokens, window_size=window_size
+                )
+                return n_new, float("nan")
+            if method.startswith("quant_"):
+                _, n_new, est = self.generate_with_quantized_kv(
+                    prompt, max_new_tokens, mode=method.replace("quant_", "")
+                )
+                return n_new, est
+            if method == "paged_attention":
+                _, n_new, alloc_mb, _, _ = self.generate_with_paged_attention(
+                    prompt, max_new_tokens, block_size=block_size
+                )
+                return n_new, alloc_mb
+            if method == "chunked_cache":
+                _, n_new, est = self.generate_with_chunked_cache(
+                    prompt, max_new_tokens, chunk_size=chunk_size, keep_last=keep_last
+                )
+                return n_new, est
+            if method == "prefix_window":
+                _, n_new = self.generate_with_prefix_window(
+                    prompt,
+                    max_new_tokens=max_new_tokens,
+                    window_size=window_size,
+                    prefix_len=prefix_len,
+                )
+                return n_new, float("nan")
+            if method == "strided_cache":
+                _, n_new = self.generate_with_strided_cache(
+                    prompt,
+                    max_new_tokens=max_new_tokens,
+                    window_size=window_size,
+                    stride=stride,
+                    prefix_len=prefix_len,
+                )
+                return n_new, float("nan")
+            if method == "block_cache":
+                _, n_new = self.generate_with_block_cache(
+                    prompt,
+                    max_new_tokens=max_new_tokens,
+                    window_size=window_size,
+                    block_size=block_size,
+                    keep_per_block=keep_per_block,
+                    prefix_len=prefix_len,
+                )
+                return n_new, float("nan")
+            if method == "budget_cache":
+                _, n_new = self.generate_with_budget_cache(
+                    prompt,
+                    max_new_tokens=max_new_tokens,
+                    window_size=window_size,
+                    old_budget=old_budget,
+                    prefix_len=prefix_len,
+                )
+                return n_new, float("nan")
+            raise ValueError(method)
+
+        if warmup and prompts:
+            seen = set()
+            for p in prompts:
+                b = bucket_for(len(self._encode(p, method)))
+                if b not in seen:
+                    seen.add(b)
+                    run_one(p)
+
+        reset_device_peak(self.config.device)
+        start_cpu = get_cpu_mem_mb()
+        timer = DeviceTimer().start()
+
+        total_new_tokens = 0
+        est_cache_mbs = []
+        for prompt in prompts:
+            n_new, est = run_one(prompt)
+            total_new_tokens += n_new
+            est_cache_mbs.append(est)
+
+        elapsed = timer.stop()
+        cpu_used = get_cpu_mem_mb() - start_cpu
+        dev_peak = get_device_peak_mb(self.config.device)
+        tps = total_new_tokens / elapsed if elapsed > 0 else float("inf")
+
+        finite = [x for x in est_cache_mbs if isinstance(x, float) and not math.isnan(x)]
+        est_cache_mb_avg = sum(finite) / len(finite) if finite else float("nan")
+
+        trim_methods = [
+            "sliding_window",
+            "prefix_window",
+            "strided_cache",
+            "block_cache",
+            "budget_cache",
+        ]
+        return {
+            "method": method,
+            "elapsed_sec": elapsed,
+            "total_new_tokens": total_new_tokens,
+            "tokens_per_sec": tps,
+            "cpu_mem_used_mb": cpu_used,
+            "gpu_peak_mb": dev_peak,  # device peak; key kept for schema parity
+            "window_size": window_size if method in trim_methods else None,
+            "block_size": block_size if method == "paged_attention" else None,
+            "chunk_size": chunk_size if method == "chunked_cache" else None,
+            "est_kv_cache_mb_avg": est_cache_mb_avg,
+            "prefix_len": prefix_len
+            if method in ["prefix_window", "strided_cache", "block_cache", "budget_cache"]
+            else None,
+            "stride": stride if method == "strided_cache" else None,
+            "keep_per_block": keep_per_block if method == "block_cache" else None,
+            "old_budget": old_budget if method == "budget_cache" else None,
+        }
+
+
+class KVCacheBenchmarker(InferenceEngine):
+    """Reference-compatible alias (/root/reference/src/benchmarking/
+    benchmarker.py:23). Constructed either like the reference —
+    `KVCacheBenchmarker(model_spec, params, tokenizer)` — or via
+    `KVCacheBenchmarker.from_model_name("gpt2")`.
+    """
+
+    def __init__(self, model, params=None, tokenizer=None, device: str = None, **kw):
+        if isinstance(model, str):
+            eng = InferenceEngine.from_model_name(model, tokenizer=tokenizer)
+            super().__init__(eng.model, eng.params, eng.tokenizer, eng.config)
+        else:
+            cfg = kw.pop("config", None)
+            super().__init__(model, params, tokenizer, cfg)
+        if device is not None:
+            self.config.device = device

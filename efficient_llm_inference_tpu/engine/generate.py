@@ -1,0 +1,142 @@
+"""Jitted prefill / decode-loop builders.
+
+TPU-native replacement for the reference's per-step Python decode loops
+(/root/reference/src/benchmarking/benchmarker.py:63-639). The whole
+generation runs device-side:
+
+* prefill: one forward over the bucket-padded prompt, cache written in place;
+* decode: `jax.lax.scan` over max_new_tokens with a donated cache — one
+  compiled step, zero host round-trips, eviction applied in-graph each step;
+* no_cache baseline: `lax.while_loop` re-feeding the whole sequence with EOS
+  early-exit (the only path with an EOS check, mirroring benchmarker.py:94-96).
+
+Positional quirk preserved for parity: the new token's position index equals
+the *current (post-trim) cache length* — exactly what HF computes from
+`past_key_values.get_seq_length()` when the reference shrinks the cache
+between steps.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.registry import ModelSpec
+
+
+def make_prefill(model: ModelSpec, strategy, trim_fn: Optional[Callable] = None):
+    """Build jitted prefill: (params, tokens [B,Tpad], true_len) -> (cache, last_logits)."""
+
+    def prefill(params, tokens, true_len):
+        B, Tpad = tokens.shape
+        cache = strategy.init()
+        pos = jnp.minimum(
+            jax.lax.broadcasted_iota(jnp.int32, (B, Tpad), 1), model.n_positions - 1
+        )
+        seq_mask = jax.lax.broadcasted_iota(jnp.int32, (B, Tpad), 1) < true_len
+        logits, cache = model.forward(params, tokens, pos, cache, strategy, seq_mask)
+        cache = strategy.set_length(cache, true_len)
+        if trim_fn is not None:
+            cache = trim_fn(cache)
+        idx = jnp.broadcast_to((true_len - 1)[None, None, None], (B, 1, 1))
+        last = jnp.take_along_axis(logits, idx, axis=1)[:, 0]
+        return cache, last
+
+    return jax.jit(prefill)
+
+
+def make_decode(
+    model: ModelSpec,
+    strategy,
+    trim_fn: Optional[Callable],
+    max_new_tokens: int,
+):
+    """Build jitted decode loop: (params, cache, last_logits) -> (tokens [B,N], cache).
+
+    Greedy argmax with vocab clamp every step (benchmarker.py:136-139); no EOS
+    check (matching every cached path of the reference).
+    """
+
+    def decode(params, cache, last_logits):
+        B = last_logits.shape[0]
+
+        def step(carry, _):
+            cache, logits = carry
+            tok = jnp.clip(
+                jnp.argmax(logits, axis=-1).astype(jnp.int32), 0, model.vocab_size - 1
+            )  # [B]
+            pos = jnp.minimum(cache["length"], model.n_positions - 1)
+            pos = jnp.broadcast_to(pos[None, None], (B, 1)).astype(jnp.int32)
+            logits2, cache = model.forward(
+                params, tok[:, None], pos, cache, strategy, None
+            )
+            cache = strategy.set_length(cache, cache["length"] + 1)
+            if trim_fn is not None:
+                cache = trim_fn(cache)
+            return (cache, logits2[:, 0]), tok
+
+        (cache, _), toks = jax.lax.scan(
+            step, (cache, last_logits), None, length=max_new_tokens
+        )
+        return toks.T, cache  # [B, max_new_tokens]
+
+    return jax.jit(decode, donate_argnums=(1,))
+
+
+def make_no_cache_loop(
+    model: ModelSpec,
+    strategy,
+    max_new_tokens: int,
+    total_cap: int,
+    eos_id: Optional[int] = None,
+):
+    """Build the no-cache baseline loop (benchmarker.py:63-100).
+
+    Re-feeds the entire growing sequence each step; stops early after
+    generating EOS (EOS is counted in n_new, as in the reference where the
+    break comes after the append).
+    """
+
+    def run(params, tokens, true_len):  # tokens: [B, total_cap] right-padded
+        B = tokens.shape[0]
+        pos = jnp.minimum(
+            jax.lax.broadcasted_iota(jnp.int32, (B, total_cap), 1),
+            model.n_positions - 1,
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, total_cap), 1)
+
+        def cond(state):
+            _, _, n_new, done = state
+            return jnp.logical_and(~done, n_new < max_new_tokens)
+
+        def body(state):
+            gen, length, n_new, done = state
+            seq_mask = col < length
+            logits, _ = model.forward(
+                params, gen, pos, strategy.init(), strategy, seq_mask
+            )
+            idx = jnp.broadcast_to((length - 1)[None, None, None], (B, 1, 1))
+            last = jnp.take_along_axis(logits, idx, axis=1)[:, 0]
+            tok = jnp.clip(
+                jnp.argmax(last, axis=-1).astype(jnp.int32), 0, model.vocab_size - 1
+            )
+            gen = jax.lax.dynamic_update_slice(gen, tok[:, None], (0, length))
+            if eos_id is not None:
+                done = tok[0] == eos_id
+            return gen, length + 1, n_new + 1, done
+
+        init = (tokens, true_len, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+        gen, length, n_new, _ = jax.lax.while_loop(cond, body, init)
+        return gen, n_new
+
+    return jax.jit(run)
+
+
+def bucket_for(length: int, buckets=(16, 32, 64, 128, 256, 512, 1024)) -> int:
+    """Smallest bucket >= length (bounds XLA recompiles across prompt sizes)."""
+    for b in buckets:
+        if length <= b:
+            return b
+    return buckets[-1]

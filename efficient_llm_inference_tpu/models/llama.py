@@ -1,0 +1,248 @@
+"""Llama model family implemented natively in JAX (RoPE, RMSNorm, GQA, SwiGLU).
+
+The reference never implements a model (it injects HF AutoModelForCausalLM,
+/root/reference/src/benchmarking/benchmarker.py:44-59); Llama support is the
+BASELINE.json north-star extension ("Llama-3-8B paged INT4 KV-cache...").
+Same stacked-layer + lax.scan layout and cache-strategy interface as
+models/gpt2.py; numerics match HF LlamaForCausalLM (rotate-half RoPE, fp32
+RMSNorm, 1/sqrt(d) attention scale).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 128256
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    n_layer: int = 32
+    n_head: int = 32
+    n_kv_head: int = 8
+    n_positions: int = 8192  # max_position_embeddings
+    rope_theta: float = 500000.0
+    rms_eps: float = 1e-5
+    tie_embeddings: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.n_head
+
+    @staticmethod
+    def llama3_8b() -> "LlamaConfig":
+        return LlamaConfig()
+
+    @staticmethod
+    def llama3_1b() -> "LlamaConfig":
+        # Llama-3.2-1B geometry
+        return LlamaConfig(
+            hidden_size=2048,
+            intermediate_size=8192,
+            n_layer=16,
+            n_head=32,
+            n_kv_head=8,
+            tie_embeddings=True,
+        )
+
+    @staticmethod
+    def tiny(vocab_size: int = 256) -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=vocab_size,
+            hidden_size=64,
+            intermediate_size=128,
+            n_layer=2,
+            n_head=4,
+            n_kv_head=2,
+            n_positions=512,
+            rope_theta=10000.0,
+        )
+
+    @staticmethod
+    def by_name(name: str) -> "LlamaConfig":
+        table = {
+            "llama-3-8b": LlamaConfig.llama3_8b,
+            "llama3-8b": LlamaConfig.llama3_8b,
+            "llama-3-1b": LlamaConfig.llama3_1b,
+            "llama-tiny": LlamaConfig.tiny,
+        }
+        if name not in table:
+            raise ValueError(f"Unknown llama variant: {name}")
+        return table[name]()
+
+
+def init_llama_params(key: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> dict:
+    E, L = cfg.hidden_size, cfg.n_layer
+    D, Hq, Hkv, I = cfg.head_dim, cfg.n_head, cfg.n_kv_head, cfg.intermediate_size
+    keys = jax.random.split(key, 10)
+    std = 0.02
+
+    def nrm(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * std).astype(dtype)
+
+    params = {
+        "embed": nrm(keys[0], (cfg.vocab_size, E)),
+        "blocks": {
+            "ln1": jnp.ones((L, E), dtype),
+            "wq": nrm(keys[1], (L, E, Hq * D)),
+            "wk": nrm(keys[2], (L, E, Hkv * D)),
+            "wv": nrm(keys[3], (L, E, Hkv * D)),
+            "wo": nrm(keys[4], (L, Hq * D, E)) / math.sqrt(2 * L),
+            "ln2": jnp.ones((L, E), dtype),
+            "w_gate": nrm(keys[5], (L, E, I)),
+            "w_up": nrm(keys[6], (L, E, I)),
+            "w_down": nrm(keys[7], (L, I, E)) / math.sqrt(2 * L),
+        },
+        "ln_f": jnp.ones((E,), dtype),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = nrm(keys[8], (E, cfg.vocab_size))
+    return params
+
+
+def _rms_norm(x: jax.Array, g: jax.Array, eps: float) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    y = x32 * jax.lax.rsqrt(var + eps)
+    # HF casts the normalized value back to the weight dtype before scaling.
+    return (y.astype(x.dtype) * g).astype(x.dtype)
+
+
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float):
+    """cos/sin tables for HF rotate-half RoPE; positions [B, T] -> [B, T, D]."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )  # [D/2]
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [B, T, D/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)  # [B, T, D]
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x):
+    d = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., d:], x[..., :d]], axis=-1)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [B, H, T, D]; cos/sin: [B, T, D]."""
+    c = cos[:, None].astype(jnp.float32)
+    s = sin[:, None].astype(jnp.float32)
+    x32 = x.astype(jnp.float32)
+    return ((x32 * c) + (_rotate_half(x32) * s)).astype(x.dtype)
+
+
+def llama_forward(
+    params: dict,
+    cfg: LlamaConfig,
+    tokens: jax.Array,  # [B, T]
+    positions: jax.Array,  # [B, T]
+    cache,
+    strategy,
+    seq_mask: Optional[jax.Array] = None,
+):
+    B, T = tokens.shape
+    E, Hq, Hkv, D = cfg.hidden_size, cfg.n_head, cfg.n_kv_head, cfg.head_dim
+
+    x = params["embed"][tokens]
+    if seq_mask is not None:
+        x = jnp.where(seq_mask[..., None], x, jnp.zeros_like(x))
+
+    cos, sin = rope_cos_sin(positions, D, cfg.rope_theta)
+
+    blocks = params["blocks"]
+    layer_caches = strategy.cache_layer_slices(cache)
+
+    def layer_body(x, layer_in):
+        bp, layer_cache = layer_in
+        h = _rms_norm(x, bp["ln1"], cfg.rms_eps)
+        q = (h @ bp["wq"]).reshape(B, T, Hq, D).transpose(0, 2, 1, 3)
+        k = (h @ bp["wk"]).reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
+        v = (h @ bp["wv"]).reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        attn_out, layer_cache = strategy.layer_attend(
+            layer_cache, cache, q, k, v, seq_mask
+        )
+        a = attn_out.transpose(0, 2, 1, 3).reshape(B, T, Hq * D).astype(x.dtype)
+        x = x + a @ bp["wo"]
+
+        h2 = _rms_norm(x, bp["ln2"], cfg.rms_eps)
+        gate = jax.nn.silu((h2 @ bp["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+        up = h2 @ bp["w_up"]
+        x = x + (gate * up) @ bp["w_down"]
+        return x, layer_cache
+
+    x, new_layer_caches = jax.lax.scan(layer_body, x, (blocks, layer_caches))
+    cache = strategy.cache_with_layer_slices(cache, new_layer_caches, T)
+
+    x = _rms_norm(x, params["ln_f"], cfg.rms_eps)
+    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    logits = x.astype(jnp.float32) @ head.astype(jnp.float32)
+    return logits, cache
+
+
+def llama_spec(cfg: LlamaConfig):
+    from .registry import ModelSpec
+
+    return ModelSpec(
+        name="llama",
+        config=cfg,
+        forward=partial(_fwd, cfg),
+        vocab_size=cfg.vocab_size,
+        n_positions=cfg.n_positions,
+        n_layer=cfg.n_layer,
+        n_head=cfg.n_head,
+        head_dim=cfg.head_dim,
+        n_kv_head=cfg.n_kv_head,
+    )
+
+
+def _fwd(cfg, params, tokens, positions, cache, strategy, seq_mask=None):
+    return llama_forward(params, cfg, tokens, positions, cache, strategy, seq_mask)
+
+
+def params_from_hf_state_dict(state_dict, cfg: LlamaConfig, dtype=jnp.float32) -> dict:
+    """Convert HF LlamaForCausalLM weights (offline from-config works too).
+
+    HF nn.Linear stores [out, in]; transposed here to our [in, out] layout.
+    """
+
+    def g(name, transpose=False):
+        t = state_dict[name]
+        a = np.asarray(t.detach().cpu().numpy())
+        if transpose:
+            a = a.T
+        return jnp.asarray(a, dtype)
+
+    def stack(fmt, transpose=False):
+        return jnp.stack(
+            [g(fmt.format(i), transpose) for i in range(cfg.n_layer)]
+        )
+
+    params = {
+        "embed": g("model.embed_tokens.weight"),
+        "blocks": {
+            "ln1": stack("model.layers.{}.input_layernorm.weight"),
+            "wq": stack("model.layers.{}.self_attn.q_proj.weight", True),
+            "wk": stack("model.layers.{}.self_attn.k_proj.weight", True),
+            "wv": stack("model.layers.{}.self_attn.v_proj.weight", True),
+            "wo": stack("model.layers.{}.self_attn.o_proj.weight", True),
+            "ln2": stack("model.layers.{}.post_attention_layernorm.weight"),
+            "w_gate": stack("model.layers.{}.mlp.gate_proj.weight", True),
+            "w_up": stack("model.layers.{}.mlp.up_proj.weight", True),
+            "w_down": stack("model.layers.{}.mlp.down_proj.weight", True),
+        },
+        "ln_f": g("model.norm.weight"),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = g("lm_head.weight", True)
+    return params
