@@ -20,6 +20,10 @@ from .engine.engine import InferenceEngine, KVCacheBenchmarker  # noqa: F401
 
 def __getattr__(name):
     # Lazy imports keep `import efficient_llm_inference_tpu` light.
+    if name in ("ContinuousBatchingEngine", "PoolConfig", "Request"):
+        from .engine import batching
+
+        return getattr(batching, name)
     if name in ("SummarizationBenchmark", "MMLUBenchmark"):
         from .benchmarking import MMLUBenchmark, SummarizationBenchmark
 

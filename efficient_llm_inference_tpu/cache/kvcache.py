@@ -170,10 +170,24 @@ class QuantizedKV:
     mode: str = "int8"  # "int8" | "int4" | "mixed"
     granularity: str = "per_token"  # "per_token" | "per_head"
     eps: float = 1e-8
+    # Fused Pallas dequant+attention for decode steps (T==1, batch 1): reads
+    # the quantized cache directly instead of materializing a dequantized
+    # copy. None = auto (on when the default backend is a TPU).
+    fused: Any = None
 
     def __post_init__(self):
         assert self.mode in ("int8", "int4", "mixed"), self.mode
         assert self.head_dim % 2 == 0, "int4 packing requires even head_dim"
+        from ..core.config import default_device_kind
+
+        on_tpu = default_device_kind() == "tpu"
+        if self.fused is None:
+            object.__setattr__(self, "fused", on_tpu)
+        # off-TPU the fused kernel runs in Pallas interpret mode (tests)
+        object.__setattr__(self, "_interpret", not on_tpu)
+
+    def _bits(self, kind: str) -> int:
+        return 8 if kind == "int8" else 4
 
     def _store_shape(self, kind: str):
         L, B, H, C, D = (
@@ -263,9 +277,36 @@ class QuantizedKV:
             ks_l = jax.lax.dynamic_update_slice(ks_l, k_scale, (0, length))
             vs_l = jax.lax.dynamic_update_slice(vs_l, v_scale, (0, length))
 
-        # Dequantize the whole buffer, then overlay the current block in fp
-        # (reference keeps the in-flight token full-precision,
-        # benchmarker.py:473-477).
+        # Fused decode path: one Pallas kernel reads the quantized buffers
+        # directly (no dequantized materialization) and merges the fp
+        # current token into the same online softmax.
+        T = q.shape[2]
+        if self.fused and T == 1 and self.batch == 1:
+            from ..ops.pallas.attention import fused_quant_attention_decode
+
+            if self.granularity == "per_token":
+                ks2 = jnp.broadcast_to(ks_l[None, :], (self.n_head, self.capacity))
+                vs2 = jnp.broadcast_to(vs_l[None, :], (self.n_head, self.capacity))
+            else:
+                ks2, vs2 = ks_l, vs_l
+            out = fused_quant_attention_decode(
+                q[0, :, 0],  # [Hq, D]
+                k_l[0],
+                ks2,
+                v_l[0],
+                vs2,
+                k_new[0, :, 0],
+                v_new[0, :, 0],
+                length,
+                k_bits=self._bits(self._k_kind()),
+                v_bits=self._bits(self._v_kind()),
+                interpret=self._interpret,
+            )
+            return out[None, :, None, :], (k_l, v_l, ks_l, vs_l)
+
+        # Reference-numerics path: dequantize the whole buffer, then overlay
+        # the current block in fp (reference keeps the in-flight token
+        # full-precision, benchmarker.py:473-477).
         k_fp = self._dequant_buf(k_l, ks_l, self._k_kind())
         v_fp = self._dequant_buf(v_l, vs_l, self._v_kind())
         k_fp = jax.lax.dynamic_update_slice(

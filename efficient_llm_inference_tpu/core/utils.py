@@ -135,14 +135,24 @@ class DeviceTimer:
         self._t0 = None
         self.elapsed = 0.0
 
+    @staticmethod
+    def sync(*arrays) -> None:
+        """Force completion by reading one element back to the host.
+
+        On the axon-tunneled TPU backend, block_until_ready can return
+        before execution finishes; a device_get is the reliable barrier.
+        """
+        for a in arrays:
+            for leaf in jax.tree.leaves(a):
+                if hasattr(leaf, "shape"):
+                    jax.device_get(jnp.ravel(leaf)[:1] if leaf.ndim else leaf)
+
     def start(self, *sync_arrays) -> "DeviceTimer":
-        for a in sync_arrays:
-            jax.block_until_ready(a)
+        self.sync(*sync_arrays)
         self._t0 = time.perf_counter()
         return self
 
     def stop(self, *sync_arrays) -> float:
-        for a in sync_arrays:
-            jax.block_until_ready(a)
+        self.sync(*sync_arrays)
         self.elapsed = time.perf_counter() - self._t0
         return self.elapsed

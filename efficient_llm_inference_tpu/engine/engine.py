@@ -31,7 +31,7 @@ from ..core.utils import (
 from ..data.tokenizer import ByteTokenizer, load_tokenizer
 from ..models import gpt2 as gpt2_mod
 from ..models.registry import ModelSpec, spec_by_name
-from .generate import bucket_for, make_decode, make_no_cache_loop, make_prefill
+from .generate import bucket_for, make_generate, make_no_cache_loop
 
 VALID_METHODS = [
     "no_cache",
@@ -170,9 +170,8 @@ class InferenceEngine:
                 trim = eviction.TRIM_FNS[method]
                 trim_fn = lambda c: trim(c, kw)  # noqa: E731
 
-            prefill = make_prefill(m, strategy, trim_fn)
-            decode = make_decode(m, strategy, trim_fn, max_new)
-            built = ("cached", (prefill, decode), strategy, None)
+            generate = make_generate(m, strategy, trim_fn, max_new)
+            built = ("cached", generate, strategy, None)
 
         self._fns[key] = built
         return built
@@ -214,14 +213,13 @@ class InferenceEngine:
                 true_len + n_new,
             )
 
-        prefill, decode = fns
+        generate = fns
         buf = np.zeros((self.config.batch_size, bucket), np.int32)
         buf[0, :true_len] = ids
-        cache, last = prefill(self.params, jnp.asarray(buf), jnp.int32(true_len))
-        toks, cache = decode(self.params, cache, last)
+        toks, final_len = generate(self.params, jnp.asarray(buf), jnp.int32(true_len))
         n_new = max_new_tokens
         out_ids = ids + np.asarray(toks)[0].tolist()
-        final_len = int(jax.device_get(cache["length"]))
+        final_len = int(jax.device_get(final_len))
         self.last_generation_ids = out_ids  # raw token ids of prompt+generation
         return (
             self.tokenizer.decode(out_ids, skip_special_tokens=True),

@@ -134,6 +134,75 @@ def make_no_cache_loop(
     return jax.jit(run)
 
 
+def make_generate(
+    model: ModelSpec,
+    strategy,
+    trim_fn: Optional[Callable],
+    max_new_tokens: int,
+):
+    """Single-dispatch generation: prefill + decode scan in ONE jit call.
+
+    Device dispatch through the remote runtime has a fixed per-call cost
+    (~tens of ms via the axon relay); one call per generation instead of two
+    (prefill, decode) halves it. Returns (tokens [B, N], final_cache_length).
+    """
+    prefill = _prefill_body(model, strategy, trim_fn)
+    decode_body = _decode_body(model, strategy, trim_fn, max_new_tokens)
+
+    def generate(params, tokens, true_len):
+        cache, last = prefill(params, tokens, true_len)
+        toks, cache = decode_body(params, cache, last)
+        return toks, cache["length"]
+
+    return jax.jit(generate)
+
+
+def _prefill_body(model, strategy, trim_fn):
+    def prefill(params, tokens, true_len):
+        B, Tpad = tokens.shape
+        cache = strategy.init()
+        pos = jnp.minimum(
+            jax.lax.broadcasted_iota(jnp.int32, (B, Tpad), 1), model.n_positions - 1
+        )
+        seq_mask = jax.lax.broadcasted_iota(jnp.int32, (B, Tpad), 1) < true_len
+        logits, cache = model.forward(params, tokens, pos, cache, strategy, seq_mask)
+        cache = strategy.set_length(cache, true_len)
+        if trim_fn is not None:
+            cache = trim_fn(cache)
+        idx = jnp.broadcast_to((true_len - 1)[None, None, None], (B, 1, 1))
+        last = jnp.take_along_axis(logits, idx, axis=1)[:, 0]
+        return cache, last
+
+    return prefill
+
+
+def _decode_body(model, strategy, trim_fn, max_new_tokens):
+    def decode(params, cache, last_logits):
+        B = last_logits.shape[0]
+
+        def step(carry, _):
+            cache, logits = carry
+            tok = jnp.clip(
+                jnp.argmax(logits, axis=-1).astype(jnp.int32), 0, model.vocab_size - 1
+            )
+            pos = jnp.minimum(cache["length"], model.n_positions - 1)
+            pos = jnp.broadcast_to(pos[None, None], (B, 1)).astype(jnp.int32)
+            logits2, cache = model.forward(
+                params, tok[:, None], pos, cache, strategy, None
+            )
+            cache = strategy.set_length(cache, cache["length"] + 1)
+            if trim_fn is not None:
+                cache = trim_fn(cache)
+            return (cache, logits2[:, 0]), tok
+
+        (cache, _), toks = jax.lax.scan(
+            step, (cache, last_logits), None, length=max_new_tokens
+        )
+        return toks.T, cache
+
+    return decode
+
+
 def bucket_for(length: int, buckets=(16, 32, 64, 128, 256, 512, 1024)) -> int:
     """Smallest bucket >= length (bounds XLA recompiles across prompt sizes)."""
     for b in buckets:

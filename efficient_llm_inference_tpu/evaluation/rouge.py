@@ -196,9 +196,33 @@ def _prf(overlap: int, n_pred: int, n_ref: int) -> Dict[str, float]:
     return {"precision": p, "recall": r, "fmeasure": f}
 
 
+def _intern_pair(a: List[str], b: List[str]):
+    """Map the union vocabulary of two token lists to int32 ids."""
+    vocab: Dict[str, int] = {}
+    def ids(toks):
+        out = []
+        for t in toks:
+            if t not in vocab:
+                vocab[t] = len(vocab)
+            out.append(vocab[t])
+        return out
+    return ids(a), ids(b)
+
+
 def _lcs_len(a: List[str], b: List[str]) -> int:
     if not a or not b:
         return 0
+    # Native C++ DP when the runtime library is available (the O(n*m) LCS is
+    # the host-side hot spot of summarization evaluation).
+    try:
+        from ..runtime.build import native_lcs_len
+
+        a_ids, b_ids = _intern_pair(a, b)
+        n = native_lcs_len(a_ids, b_ids)
+        if n is not None:
+            return n
+    except Exception:
+        pass
     prev = [0] * (len(b) + 1)
     for x in a:
         cur = [0] * (len(b) + 1)

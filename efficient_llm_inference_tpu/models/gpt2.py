@@ -174,7 +174,11 @@ def gpt2_forward(
     cache = strategy.cache_with_layer_slices(cache, new_layer_caches, T)
 
     x = _layer_norm(x, params["lnf_g"], params["lnf_b"], cfg.layer_norm_epsilon)
-    logits = (x.astype(jnp.float32)) @ (wte.T.astype(jnp.float32))  # [B, T, V]
+    # Keep operands in the weight dtype (bf16 on TPU: MXU-native, half the
+    # HBM traffic of an fp32 upcast) and accumulate in fp32.
+    logits = jnp.einsum(
+        "bte,ve->btv", x, wte, preferred_element_type=jnp.float32
+    )  # [B, T, V]
     return logits, cache
 
 

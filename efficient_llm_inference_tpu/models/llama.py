@@ -185,8 +185,15 @@ def llama_forward(
     cache = strategy.cache_with_layer_slices(cache, new_layer_caches, T)
 
     x = _rms_norm(x, params["ln_f"], cfg.rms_eps)
-    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-    logits = x.astype(jnp.float32) @ head.astype(jnp.float32)
+    # bf16 operands + fp32 accumulation (MXU-native, half the HBM traffic).
+    if cfg.tie_embeddings:
+        logits = jnp.einsum(
+            "bte,ve->btv", x, params["embed"], preferred_element_type=jnp.float32
+        )
+    else:
+        logits = jnp.einsum(
+            "bte,ev->btv", x, params["lm_head"], preferred_element_type=jnp.float32
+        )
     return logits, cache
 
 

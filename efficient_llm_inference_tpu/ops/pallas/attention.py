@@ -1,0 +1,174 @@
+"""Fused dequant + attention decode kernel (the performance-critical path).
+
+The reference dequantizes its ENTIRE quantized KV cache to fp16 and
+re-materializes it every decode step (O(T) dequant work per token,
+/root/reference/src/quantization/ops.py:212-269) — its CUDA kernels only
+accelerate that materialization. The TPU-native design removes it: this
+kernel reads the int8 / packed-int4 KV straight from the cache buffer and
+fuses nibble-unpack + scale + QK^T + online softmax + PV into one pass, so
+quantized KV traffic stays at its compressed size.
+
+Decode shape (one new token, batch 1): grid over KV heads, each program
+handles the full [C, D] stripe of one head plus that head's query group
+(GQA: G = Hq/Hkv query heads share the stripe). The in-flight token's K/V
+stays full-precision (reference semantics, benchmarker.py:473-477) and is
+merged into the same softmax.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _unpack_int4_deinterleaved(p):
+    """Unpack nibbles into DEINTERLEAVED order: [evens..., odds...].
+
+    Mosaic cannot interleave sub-32-bit vectors (minor-dim insertion), but
+    attention score sums are invariant to a permutation of D applied to both
+    operands — so the kernel works in deinterleaved-D space and the caller
+    permutes q / current-token K/V (tiny [H, D] tensors) outside the kernel.
+    """
+    p32 = p.astype(jnp.int32)  # Mosaic can't shift sub-32-bit vectors
+    hi = (p32 >> 4) & 0x0F
+    lo = p32 & 0x0F
+    return jnp.concatenate([hi, lo], axis=-1) - 8
+
+
+def _deinterleave(x):
+    """[..., D] -> [..., D] with evens first, odds second."""
+    return jnp.concatenate([x[..., 0::2], x[..., 1::2]], axis=-1)
+
+
+def _interleave(x):
+    """Inverse of _deinterleave."""
+    d = x.shape[-1] // 2
+    return jnp.stack([x[..., :d], x[..., d:]], axis=-1).reshape(
+        *x.shape[:-1], -1
+    )
+
+
+def _make_kernel(kv_bits_k: int, kv_bits_v: int, D: int, C: int, G: int):
+    scale = 1.0 / (D**0.5)
+
+    def kernel(
+        len_ref,  # SMEM (1,1) int32: number of past tokens
+        q_ref,  # [G, D] queries of this KV head's group
+        kq_ref,  # [C, D] int8  or [C, D//2] uint8
+        ks_ref,  # [C, 1] f32 per-token K scales for this head
+        vq_ref,
+        vs_ref,
+        kc_ref,  # [G_pad?, D] -> [1, D] current-token K (fp)
+        vc_ref,  # [1, D] current-token V (fp)
+        o_ref,  # [G, D] out
+    ):
+        length = len_ref[0, 0]
+
+        # Dequantize this head's K stripe in registers/VMEM.
+        # (refs carry a leading block dim of 1 for the head axis)
+        if kv_bits_k == 8:
+            k = kq_ref[0].astype(jnp.float32) * ks_ref[0]
+        else:
+            k = _unpack_int4_deinterleaved(kq_ref[0]).astype(jnp.float32) * ks_ref[0]
+        if kv_bits_v == 8:
+            v = vq_ref[0].astype(jnp.float32) * vs_ref[0]
+        else:
+            v = _unpack_int4_deinterleaved(vq_ref[0]).astype(jnp.float32) * vs_ref[0]
+
+        q = q_ref[0].astype(jnp.float32)  # [G, D]
+        # scores over past tokens: [G, C]
+        s_past = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        token_idx = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+        s_past = jnp.where(token_idx < length, s_past, NEG_INF)
+
+        # current (fp) token score: [G, 1]
+        kc = kc_ref[0].astype(jnp.float32)  # [1, D]
+        s_cur = jax.lax.dot_general(
+            q, kc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+
+        m = jnp.maximum(jnp.max(s_past, axis=-1, keepdims=True), s_cur)  # [G,1]
+        p_past = jnp.exp(s_past - m)  # [G, C]
+        p_cur = jnp.exp(s_cur - m)  # [G, 1]
+        denom = jnp.sum(p_past, axis=-1, keepdims=True) + p_cur
+
+        out = jax.lax.dot_general(
+            p_past, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [G, D]
+        out = out + p_cur * vc_ref[0].astype(jnp.float32)
+        o_ref[0] = (out / denom).astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k_bits", "v_bits", "interpret")
+)
+def fused_quant_attention_decode(
+    q,  # [Hq, D] fp queries for the new token
+    k_q,  # [Hkv, C, D] int8 or [Hkv, C, D//2] uint8
+    k_scale,  # [Hkv, C] f32 (per_token scales broadcast over heads upstream)
+    v_q,
+    v_scale,
+    k_cur,  # [Hkv, D] fp current-token K
+    v_cur,  # [Hkv, D] fp current-token V
+    length,  # int32 scalar: number of valid past tokens in the buffer
+    k_bits: int = 8,
+    v_bits: int = 8,
+    interpret: bool = False,
+):
+    """Returns [Hq, D] attention output (same dtype as q)."""
+    Hq, D = q.shape
+    Hkv = k_q.shape[0]
+    C = k_q.shape[1]
+    G = Hq // Hkv
+
+    # int4 stripes dequantize into deinterleaved-D order inside the kernel;
+    # permute the small fp tensors to match (see _unpack_int4_deinterleaved).
+    if k_bits == 4:
+        q = _deinterleave(q)
+        k_cur = _deinterleave(k_cur)
+    if v_bits == 4:
+        v_cur = _deinterleave(v_cur)
+
+    qg = q.reshape(Hkv, G, D)
+    len_arr = jnp.asarray(length, jnp.int32).reshape(1, 1)
+    ks = k_scale.astype(jnp.float32)[..., None]  # [Hkv, C, 1]
+    vs = v_scale.astype(jnp.float32)[..., None]
+
+    kernel = _make_kernel(k_bits, v_bits, D, C, G)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Hkv,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # length
+            pl.BlockSpec((1, G, D), lambda h: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, C, k_q.shape[2]), lambda h: (h, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, C, 1), lambda h: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, C, v_q.shape[2]), lambda h: (h, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, C, 1), lambda h: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda h: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda h: (h, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, G, D), lambda h: (h, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Hkv, G, D), q.dtype),
+        interpret=interpret,
+    )(len_arr, qg, k_q, ks, v_q, vs, k_cur[:, None, :], v_cur[:, None, :])
+    out = out.reshape(Hq, D)
+    if v_bits == 4:
+        out = _interleave(out)  # back to natural D order (fp32-safe)
+    return out
