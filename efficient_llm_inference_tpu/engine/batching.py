@@ -3,7 +3,7 @@
 Entirely new relative to the reference (strictly batch-1 single-stream,
 SURVEY.md §2.3); this is the BASELINE.json north-star serving path:
 
-* a shared HBM block pool `[L, n_blocks, block_size, H, D]` with a
+* a shared HBM block pool `[L, H, n_blocks, block_size, D]` with a
   host-side free-list allocator and per-slot block tables — real paged
   attention (the reference only simulates the layout in Python lists,
   /root/reference/src/cache/implementations.py:10-121);
@@ -79,6 +79,7 @@ class ContinuousBatchingEngine:
         pool: PoolConfig = PoolConfig(),
         dtype=jnp.bfloat16,
         eos_id: Optional[int] = None,
+        use_paged_kernel: Optional[bool] = None,
     ):
         self.model = model
         self.params = params
@@ -89,8 +90,14 @@ class ContinuousBatchingEngine:
 
         L, H, D = model.n_layer, model.n_kv_head, model.head_dim
         P = pool
-        self.k_pool = jnp.zeros((L, P.n_blocks, P.block_size, H, D), dtype)
-        self.v_pool = jnp.zeros((L, P.n_blocks, P.block_size, H, D), dtype)
+        # (head, block)-major so a pool block is a contiguous [bs, D] tile —
+        # the layout ops/pallas/paged.py walks via the block table
+        self.k_pool = jnp.zeros((L, H, P.n_blocks, P.block_size, D), dtype)
+        self.v_pool = jnp.zeros((L, H, P.n_blocks, P.block_size, D), dtype)
+        from ..core.config import default_device_kind
+
+        self._on_tpu = default_device_kind() == "tpu"
+        self.use_paged_kernel = use_paged_kernel if use_paged_kernel is not None else self._on_tpu
         # per-slot state (host mirrors + device arrays)
         self.tables = np.zeros((P.n_slots, P.max_blocks_per_seq), np.int32)
         self.lengths = np.zeros((P.n_slots,), np.int32)
@@ -130,6 +137,8 @@ class ContinuousBatchingEngine:
         H, D, Hq = model.n_kv_head, model.head_dim, model.n_head
         G = Hq // H
         Tcap = P.max_blocks_per_seq * P.block_size
+        use_kernel = self.use_paged_kernel
+        interpret = not self._on_tpu
 
         def step(params, k_pool, v_pool, tables, lengths, active, tokens):
             """One batched decode step for all slots.
@@ -157,27 +166,38 @@ class ContinuousBatchingEngine:
                     return cache
 
                 def layer_attend(self_s, layer_cache, cache, q, k_new, v_new, seq_mask):
-                    k_pool_l, v_pool_l = layer_cache  # [n_blocks, bs, H, D]
+                    k_pool_l, v_pool_l = layer_cache  # [H, n_blocks, bs, D]
                     # scatter each slot's new token into its current block;
                     # inactive slots write to the drop sentinel so a retired
                     # slot's stale table can never corrupt recycled blocks
                     blk = tables[jnp.arange(B), lengths // P.block_size]
                     blk = jnp.where(active, blk, P.n_blocks)
                     off = lengths % P.block_size
-                    kn = k_new[:, :, 0, :]  # [B, H, D]
-                    vn = v_new[:, :, 0, :]
-                    k_pool_l = k_pool_l.at[blk, off].set(
+                    kn = k_new[:, :, 0, :].transpose(1, 0, 2)  # [H, B, D]
+                    vn = v_new[:, :, 0, :].transpose(1, 0, 2)
+                    k_pool_l = k_pool_l.at[:, blk, off].set(
                         kn.astype(k_pool_l.dtype), mode="drop"
                     )
-                    v_pool_l = v_pool_l.at[blk, off].set(
+                    v_pool_l = v_pool_l.at[:, blk, off].set(
                         vn.astype(v_pool_l.dtype), mode="drop"
                     )
-                    # gather logical KV and attend
-                    k_log = k_pool_l[tables].reshape(B, Tcap, H, D)
-                    v_log = v_pool_l[tables].reshape(B, Tcap, H, D)
-                    # [B, H, Tcap, D]
-                    k_log = k_log.transpose(0, 2, 1, 3)
-                    v_log = v_log.transpose(0, 2, 1, 3)
+                    if use_kernel:
+                        from ..ops.pallas.paged import paged_attention_decode
+
+                        out = paged_attention_decode(
+                            q[:, :, 0, :],
+                            k_pool_l,
+                            v_pool_l,
+                            tables,
+                            lengths,
+                            interpret=interpret,
+                        )
+                        return out[:, :, None, :], (k_pool_l, v_pool_l)
+                    # jnp fallback: gather logical KV and attend
+                    k_log = k_pool_l[:, tables].reshape(H, B, Tcap, D)
+                    v_log = v_pool_l[:, tables].reshape(H, B, Tcap, D)
+                    k_log = k_log.transpose(1, 0, 2, 3)  # [B, H, Tcap, D]
+                    v_log = v_log.transpose(1, 0, 2, 3)
                     scale = 1.0 / jnp.sqrt(jnp.float32(D))
                     qg = q.reshape(B, H, G, 1, D)
                     s = jnp.einsum(
@@ -273,12 +293,12 @@ class ContinuousBatchingEngine:
                     off = t % P.block_size
                     # mask pad positions to a dropped index
                     blk = jnp.where(t < true_len, blk, P.n_blocks)
-                    kn = k_new[0].transpose(1, 0, 2)  # [Tpad, H, D]
-                    vn = v_new[0].transpose(1, 0, 2)
-                    k_pool_l = k_pool_l.at[blk, off].set(
+                    kn = k_new[0]  # [H, Tpad, D]
+                    vn = v_new[0]
+                    k_pool_l = k_pool_l.at[:, blk, off].set(
                         kn.astype(k_pool_l.dtype), mode="drop"
                     )
-                    v_pool_l = v_pool_l.at[blk, off].set(
+                    v_pool_l = v_pool_l.at[:, blk, off].set(
                         vn.astype(v_pool_l.dtype), mode="drop"
                     )
                     return out, (k_pool_l, v_pool_l)

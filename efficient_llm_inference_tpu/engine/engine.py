@@ -490,7 +490,7 @@ class InferenceEngine:
             "block_cache",
             "budget_cache",
         ]
-        return {
+        result = {
             "method": method,
             "elapsed_sec": elapsed,
             "total_new_tokens": total_new_tokens,
@@ -508,6 +508,10 @@ class InferenceEngine:
             "keep_per_block": keep_per_block if method == "block_cache" else None,
             "old_budget": old_budget if method == "budget_cache" else None,
         }
+        from ..utils.logging import get_metrics_logger
+
+        get_metrics_logger().log({"event": "benchmark_method", **result})
+        return result
 
 
 class KVCacheBenchmarker(InferenceEngine):
