@@ -35,6 +35,9 @@ class GPT2Config:
     n_layer: int = 12
     n_head: int = 12
     layer_norm_epsilon: float = 1e-5
+    # lax.scan unroll factor for the layer loop: on runtimes with high
+    # per-iteration overhead, unrolling trades compile time for step latency
+    scan_unroll: int = 1
 
     @property
     def head_dim(self) -> int:
@@ -170,7 +173,9 @@ def gpt2_forward(
         x = x + m
         return x, layer_cache
 
-    x, new_layer_caches = jax.lax.scan(layer_body, x, (blocks, layer_caches))
+    x, new_layer_caches = jax.lax.scan(
+        layer_body, x, (blocks, layer_caches), unroll=cfg.scan_unroll
+    )
     cache = strategy.cache_with_layer_slices(cache, new_layer_caches, T)
 
     x = _layer_norm(x, params["lnf_g"], params["lnf_b"], cfg.layer_norm_epsilon)

@@ -32,6 +32,7 @@ class LlamaConfig:
     rope_theta: float = 500000.0
     rms_eps: float = 1e-5
     tie_embeddings: bool = False
+    scan_unroll: int = 1  # see gpt2.GPT2Config.scan_unroll
 
     @property
     def head_dim(self) -> int:
@@ -181,7 +182,9 @@ def llama_forward(
         x = x + (gate * up) @ bp["w_down"]
         return x, layer_cache
 
-    x, new_layer_caches = jax.lax.scan(layer_body, x, (blocks, layer_caches))
+    x, new_layer_caches = jax.lax.scan(
+        layer_body, x, (blocks, layer_caches), unroll=cfg.scan_unroll
+    )
     cache = strategy.cache_with_layer_slices(cache, new_layer_caches, T)
 
     x = _rms_norm(x, params["ln_f"], cfg.rms_eps)
