@@ -6,3 +6,4 @@ from .generate import (  # noqa: F401
     make_no_cache_loop,
     make_prefill,
 )
+from .generate import SamplingParams, sample_token  # noqa: F401

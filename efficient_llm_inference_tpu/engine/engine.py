@@ -31,7 +31,7 @@ from ..core.utils import (
 from ..data.tokenizer import ByteTokenizer, load_tokenizer
 from ..models import gpt2 as gpt2_mod
 from ..models.registry import ModelSpec, spec_by_name
-from .generate import bucket_for, make_generate, make_no_cache_loop
+from .generate import SamplingParams, bucket_for, make_generate, make_no_cache_loop
 
 VALID_METHODS = [
     "no_cache",
@@ -114,9 +114,10 @@ class InferenceEngine:
             dtype=self.config.dtype,
         )
 
-    def _build(self, method: str, bucket: int, max_new: int, kw: dict):
+    def _build(self, method: str, bucket: int, max_new: int, kw: dict,
+               sampling: Optional[SamplingParams] = None):
         """Build (and cache) the compiled functions for one configuration."""
-        key = (method, bucket, max_new, tuple(sorted(kw.items())))
+        key = (method, bucket, max_new, tuple(sorted(kw.items())), sampling)
         if key in self._fns:
             return self._fns[key]
 
@@ -170,7 +171,7 @@ class InferenceEngine:
                 trim = eviction.TRIM_FNS[method]
                 trim_fn = lambda c: trim(c, kw)  # noqa: E731
 
-            generate = make_generate(m, strategy, trim_fn, max_new)
+            generate = make_generate(m, strategy, trim_fn, max_new, sampling)
             built = ("cached", generate, strategy, None)
 
         self._fns[key] = built
@@ -189,7 +190,8 @@ class InferenceEngine:
         return list(ids[:cap])
 
     def _run(
-        self, prompt: str, method: str, max_new_tokens: int, **kw
+        self, prompt: str, method: str, max_new_tokens: int,
+        sampling: Optional[SamplingParams] = None, **kw
     ) -> Tuple[str, int, object, int]:
         """Core driver: returns (text, n_new, strategy, final_length)."""
         ids = self._encode(prompt, method)
@@ -197,7 +199,9 @@ class InferenceEngine:
         assert true_len > 0, "empty prompt"
         bucket = min(bucket_for(true_len), self.model.n_positions)
 
-        kind, fns, strategy, total_cap = self._build(method, bucket, max_new_tokens, kw)
+        kind, fns, strategy, total_cap = self._build(
+            method, bucket, max_new_tokens, kw, sampling
+        )
 
         if kind == "no_cache":
             buf = np.zeros((self.config.batch_size, total_cap), np.int32)
@@ -227,6 +231,22 @@ class InferenceEngine:
             strategy,
             final_len,
         )
+
+    def generate(
+        self,
+        prompt: str,
+        method: str = "full_cache",
+        max_new_tokens: int = 32,
+        sampling: Optional[SamplingParams] = None,
+        **kw,
+    ) -> str:
+        """Generate text with any cache method and optional sampling
+        (temperature / top-k / top-p — greedy when sampling is None,
+        matching the reference's argmax-everywhere behavior)."""
+        text, _, _, _ = self._run(
+            prompt, method, max_new_tokens, sampling=sampling, **kw
+        )
+        return text
 
     def generate_ids(
         self, prompt: str, method: str = "full_cache", max_new_tokens: int = 32, **kw

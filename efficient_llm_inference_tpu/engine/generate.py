@@ -18,12 +18,50 @@ between steps.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..models.registry import ModelSpec
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    """Decode-time sampling (beyond the reference, which is greedy-only).
+
+    temperature == 0 selects greedy argmax (exact reference behavior);
+    top_k == 0 disables top-k; top_p == 1.0 disables nucleus filtering.
+    """
+
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    seed: int = 0
+
+    @property
+    def greedy(self) -> bool:
+        return self.temperature <= 0.0
+
+
+def sample_token(logits: jax.Array, key: jax.Array, sp: SamplingParams) -> jax.Array:
+    """Sample next token ids from [B, V] logits under SamplingParams."""
+    if sp.greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    x = logits.astype(jnp.float32) / sp.temperature
+    if sp.top_k and sp.top_k > 0:
+        kth = jnp.sort(x, axis=-1)[:, -sp.top_k][:, None]
+        x = jnp.where(x >= kth, x, -jnp.inf)
+    if sp.top_p < 1.0:
+        sorted_x = jnp.sort(x, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_x, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens until cumulative prob exceeds top_p (always >= 1 token)
+        cutoff_idx = jnp.sum((cum < sp.top_p).astype(jnp.int32), axis=-1)
+        cutoff = jnp.take_along_axis(sorted_x, cutoff_idx[:, None], axis=-1)
+        x = jnp.where(x >= cutoff, x, -jnp.inf)
+    return jax.random.categorical(key, x, axis=-1).astype(jnp.int32)
 
 
 def make_prefill(model: ModelSpec, strategy, trim_fn: Optional[Callable] = None):
@@ -139,6 +177,7 @@ def make_generate(
     strategy,
     trim_fn: Optional[Callable],
     max_new_tokens: int,
+    sampling: Optional[SamplingParams] = None,
 ):
     """Single-dispatch generation: prefill + decode scan in ONE jit call.
 
@@ -147,7 +186,7 @@ def make_generate(
     (prefill, decode) halves it. Returns (tokens [B, N], final_cache_length).
     """
     prefill = _prefill_body(model, strategy, trim_fn)
-    decode_body = _decode_body(model, strategy, trim_fn, max_new_tokens)
+    decode_body = _decode_body(model, strategy, trim_fn, max_new_tokens, sampling)
 
     def generate(params, tokens, true_len):
         cache, last = prefill(params, tokens, true_len)
@@ -176,15 +215,17 @@ def _prefill_body(model, strategy, trim_fn):
     return prefill
 
 
-def _decode_body(model, strategy, trim_fn, max_new_tokens):
+def _decode_body(model, strategy, trim_fn, max_new_tokens, sampling=None):
+    sp = sampling or SamplingParams()
+
     def decode(params, cache, last_logits):
         B = last_logits.shape[0]
+        key0 = jax.random.PRNGKey(sp.seed)
 
         def step(carry, _):
-            cache, logits = carry
-            tok = jnp.clip(
-                jnp.argmax(logits, axis=-1).astype(jnp.int32), 0, model.vocab_size - 1
-            )
+            cache, logits, key = carry
+            key, sub = jax.random.split(key)
+            tok = jnp.clip(sample_token(logits, sub, sp), 0, model.vocab_size - 1)
             pos = jnp.minimum(cache["length"], model.n_positions - 1)
             pos = jnp.broadcast_to(pos[None, None], (B, 1)).astype(jnp.int32)
             logits2, cache = model.forward(
@@ -193,10 +234,10 @@ def _decode_body(model, strategy, trim_fn, max_new_tokens):
             cache = strategy.set_length(cache, cache["length"] + 1)
             if trim_fn is not None:
                 cache = trim_fn(cache)
-            return (cache, logits2[:, 0]), tok
+            return (cache, logits2[:, 0], key), tok
 
-        (cache, _), toks = jax.lax.scan(
-            step, (cache, last_logits), None, length=max_new_tokens
+        (cache, _, _), toks = jax.lax.scan(
+            step, (cache, last_logits, key0), None, length=max_new_tokens
         )
         return toks.T, cache
 
