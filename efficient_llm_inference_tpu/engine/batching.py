@@ -97,7 +97,10 @@ class ContinuousBatchingEngine:
         from ..core.config import default_device_kind
 
         self._on_tpu = default_device_kind() == "tpu"
-        self.use_paged_kernel = use_paged_kernel if use_paged_kernel is not None else self._on_tpu
+        # default to the XLA gather path: the paged Pallas kernel's
+        # (B, Hkv, blocks) grid is currently DMA-overhead bound (measured
+        # 11.5 vs 8.5 ms/step at 8 slots); enable explicitly to use it
+        self.use_paged_kernel = bool(use_paged_kernel)
         # per-slot state (host mirrors + device arrays)
         self.tables = np.zeros((P.n_slots, P.max_blocks_per_seq), np.int32)
         self.lengths = np.zeros((P.n_slots,), np.int32)
@@ -257,19 +260,26 @@ class ContinuousBatchingEngine:
         return chunk
 
     def _make_prefill(self):
-        """Prefill one request into its allocated blocks; returns last logits."""
+        """Batched admission prefill: ALL slots in one dispatch.
+
+        Admitting one request per dispatch costs ~tens of ms each through
+        the remote runtime; this program prefills every newly-admitted slot
+        at once (an admit mask drops writes for the others), so an
+        admission wave is one dispatch regardless of its size.
+        """
         model = self.model
         P = self.pool_cfg
         H, D = model.n_kv_head, model.head_dim
 
-        def prefill(params, k_pool, v_pool, table, tokens, true_len):
-            # tokens: [1, bucket]; table: [max_blocks_per_seq]
+        def prefill(params, k_pool, v_pool, tables, tokens, true_lens, admit):
+            # tokens: [n_slots, bucket]; tables: [n_slots, max_blocks]
             B, Tpad = tokens.shape
             pos = jnp.minimum(
                 jax.lax.broadcasted_iota(jnp.int32, (B, Tpad), 1),
                 model.n_positions - 1,
             )
-            seq_mask = jax.lax.broadcasted_iota(jnp.int32, (B, Tpad), 1) < true_len
+            col = jax.lax.broadcasted_iota(jnp.int32, (B, Tpad), 1)
+            seq_mask = col < true_lens[:, None]
 
             class _PrefillStrategy:
                 def cache_layer_slices(self_s, cache):
@@ -282,23 +292,29 @@ class ContinuousBatchingEngine:
                     return cache
 
                 def layer_attend(self_s, layer_cache, cache, q, k_new, v_new, sm):
-                    k_pool_l, v_pool_l = layer_cache
-                    # dense causal attention within the prompt
+                    k_pool_l, v_pool_l = layer_cache  # [H, n_blocks, bs, D]
                     from ..cache.kvcache import _attend
 
                     out = _attend(q, k_new, v_new, jnp.zeros((), jnp.int32))
-                    # scatter prompt KV into the slot's blocks
-                    t = jnp.arange(Tpad)
-                    blk = table[t // P.block_size]
-                    off = t % P.block_size
-                    # mask pad positions to a dropped index
-                    blk = jnp.where(t < true_len, blk, P.n_blocks)
-                    kn = k_new[0]  # [H, Tpad, D]
-                    vn = v_new[0]
-                    k_pool_l = k_pool_l.at[:, blk, off].set(
+                    # scatter each admitted slot's prompt KV into its blocks
+                    t = jnp.arange(Tpad)[None, :]  # [1, Tpad]
+                    blk = jnp.take_along_axis(
+                        tables,
+                        jnp.broadcast_to(t // P.block_size, (B, Tpad)),
+                        axis=1,
+                    )  # [B, Tpad]
+                    off = jnp.broadcast_to(t % P.block_size, blk.shape)
+                    valid = (t < true_lens[:, None]) & admit[:, None]
+                    blk = jnp.where(valid, blk, P.n_blocks)  # drop sentinel
+                    blk_f = blk.reshape(-1)
+                    off_f = off.reshape(-1)
+                    # k_new: [B, H, Tpad, D] -> [H, B*Tpad, D]
+                    kn = k_new.transpose(1, 0, 2, 3).reshape(H, -1, D)
+                    vn = v_new.transpose(1, 0, 2, 3).reshape(H, -1, D)
+                    k_pool_l = k_pool_l.at[:, blk_f, off_f].set(
                         kn.astype(k_pool_l.dtype), mode="drop"
                     )
-                    v_pool_l = v_pool_l.at[:, blk, off].set(
+                    v_pool_l = v_pool_l.at[:, blk_f, off_f].set(
                         vn.astype(v_pool_l.dtype), mode="drop"
                     )
                     return out, (k_pool_l, v_pool_l)
@@ -308,59 +324,82 @@ class ContinuousBatchingEngine:
             logits, cache = model.forward(
                 params, tokens, pos, cache, strategy, seq_mask
             )
-            idx = jnp.broadcast_to((true_len - 1)[None, None, None], (B, 1, 1))
-            last = jnp.take_along_axis(logits, idx, axis=1)[:, 0]
+            idx = jnp.broadcast_to(
+                (true_lens - 1)[:, None, None], (B, 1, logits.shape[-1])
+            )
+            last = jnp.take_along_axis(logits, jnp.clip(idx, 0, None), axis=1)[:, 0]
             nxt = jnp.clip(
                 jnp.argmax(last, axis=-1).astype(jnp.int32), 0, model.vocab_size - 1
             )
-            return nxt[0], cache["k_pool"], cache["v_pool"]
+            return nxt, cache["k_pool"], cache["v_pool"]
 
         return prefill
 
     # ------------------------------------------------------------------
     # host-side scheduler
     # ------------------------------------------------------------------
-    def _admit(self, req: Request) -> bool:
+    def _admit_wave(self, queue: List[Request]) -> int:
+        """Admit as many queued requests as slots/blocks allow, with ONE
+        batched prefill dispatch for the whole wave. Returns #admitted."""
         P = self.pool_cfg
-        try:
-            slot = next(i for i in range(P.n_slots) if not self.active[i])
-        except StopIteration:
-            return False
-        slot_cap = P.max_blocks_per_seq * P.block_size
-        max_prompt = min(P.prompt_bucket, slot_cap - req.max_new_tokens)
-        if max_prompt <= 0:
-            raise ValueError(
-                f"max_new_tokens={req.max_new_tokens} exceeds slot capacity "
-                f"{slot_cap} (max_blocks_per_seq * block_size)"
-            )
-        ids = req.prompt_ids[:max_prompt]
-        total = len(ids) + req.max_new_tokens
-        n_blocks = -(-total // P.block_size)
-        blocks = self.allocator.alloc(n_blocks)
-        if blocks is None:
-            return False
+        wave = []  # (slot, req, ids, blocks)
+        for req in list(queue):
+            try:
+                slot = next(
+                    i for i in range(P.n_slots)
+                    if not self.active[i] and all(i != w[0] for w in wave)
+                )
+            except StopIteration:
+                break
+            slot_cap = P.max_blocks_per_seq * P.block_size
+            max_prompt = min(P.prompt_bucket, slot_cap - req.max_new_tokens)
+            if max_prompt <= 0:
+                raise ValueError(
+                    f"max_new_tokens={req.max_new_tokens} exceeds slot capacity "
+                    f"{slot_cap} (max_blocks_per_seq * block_size)"
+                )
+            ids = req.prompt_ids[:max_prompt]
+            n_blocks = -(-(len(ids) + req.max_new_tokens) // P.block_size)
+            blocks = self.allocator.alloc(n_blocks)
+            if blocks is None:
+                break
+            wave.append((slot, req, ids, blocks))
 
-        table = np.full((P.max_blocks_per_seq,), P.n_blocks, np.int32)
-        table[: len(blocks)] = blocks
-        buf = np.zeros((1, P.prompt_bucket), np.int32)
-        buf[0, : len(ids)] = ids
+        if not wave:
+            return 0
+
+        tokens = np.zeros((P.n_slots, P.prompt_bucket), np.int32)
+        true_lens = np.ones((P.n_slots,), np.int32)
+        admit = np.zeros((P.n_slots,), bool)
+        tables = self.tables.copy()
+        for slot, req, ids, blocks in wave:
+            table = np.full((P.max_blocks_per_seq,), P.n_blocks, np.int32)
+            table[: len(blocks)] = blocks
+            tables[slot] = table
+            tokens[slot, : len(ids)] = ids
+            true_lens[slot] = len(ids)
+            admit[slot] = True
 
         nxt, self.k_pool, self.v_pool = self._prefill(
             self.params,
             self.k_pool,
             self.v_pool,
-            jnp.asarray(table),
-            jnp.asarray(buf),
-            jnp.int32(len(ids)),
+            jnp.asarray(tables),
+            jnp.asarray(tokens),
+            jnp.asarray(true_lens),
+            jnp.asarray(admit),
         )
-        self.tables[slot] = table
-        self.lengths[slot] = len(ids)
-        self.active[slot] = True
-        self.last_token[slot] = int(nxt)
-        self.slot_req[slot] = req
-        self.slot_blocks[slot] = blocks
-        req.out_ids.append(int(nxt))
-        return True
+        nxt = np.asarray(nxt)
+        for slot, req, ids, blocks in wave:
+            self.tables[slot] = tables[slot]
+            self.lengths[slot] = len(ids)
+            self.active[slot] = True
+            self.last_token[slot] = int(nxt[slot])
+            self.slot_req[slot] = req
+            self.slot_blocks[slot] = blocks
+            req.out_ids.append(int(nxt[slot]))
+            queue.remove(req)
+        return len(wave)
 
     def _retire(self, slot: int) -> None:
         req = self.slot_req[slot]
@@ -375,9 +414,9 @@ class ContinuousBatchingEngine:
         queue = list(requests)
         total_steps = 0
         while queue or self.active.any():
-            # admit as many as fit
-            while queue and self._admit(queue[0]):
-                queue.pop(0)
+            # admit a whole wave in one dispatch
+            if queue:
+                self._admit_wave(queue)
 
             if not self.active.any():
                 if queue:  # could not admit anything -> pool exhausted
@@ -386,29 +425,21 @@ class ContinuousBatchingEngine:
                     )
                 break
 
-            # chunked batched decode: as many steps per dispatch as every
-            # active slot can absorb (power-of-two sizes bound recompiles)
-            remaining = min(
-                self.slot_req[s_].max_new_tokens - len(self.slot_req[s_].out_ids)
-                for s_ in range(self.pool_cfg.n_slots)
-                if self.active[s_]
-            )
-            # a slot whose budget is exhausted retires without stepping
-            if remaining <= 0:
-                for slot in range(self.pool_cfg.n_slots):
-                    if self.active[slot] and (
-                        self.slot_req[slot].max_new_tokens
-                        <= len(self.slot_req[slot].out_ids)
-                    ):
-                        self._retire(slot)
+            # retire any budget-exhausted slots before stepping (frees
+            # slots/blocks for the next admission wave)
+            for slot in range(self.pool_cfg.n_slots):
+                if self.active[slot] and (
+                    self.slot_req[slot].max_new_tokens
+                    <= len(self.slot_req[slot].out_ids)
+                ):
+                    self._retire(slot)
+            if not self.active.any():
                 continue
-            # only two chunk programs compile ({1, max_chunk}): remote
-            # compiles cost ~a minute each, so variety is expensive
-            chunk = (
-                self.pool_cfg.max_chunk
-                if remaining >= self.pool_cfg.max_chunk
-                else 1
-            )
+            # always run a full chunk (ONE compiled program): slots that
+            # exhaust their budget mid-chunk overshoot harmlessly — their
+            # writes land beyond their table (drop sentinel / clamped) and
+            # the host discards the extra tokens before retiring them
+            chunk = self.pool_cfg.max_chunk
 
             toks, self.k_pool, self.v_pool = self._decode_chunk(chunk)(
                 self.params,
@@ -429,6 +460,8 @@ class ContinuousBatchingEngine:
                 self.lengths[slot] += chunk
                 hit_eos = False
                 for i in range(chunk):
+                    if len(req.out_ids) >= req.max_new_tokens:
+                        break
                     tok = int(toks[i, slot])
                     req.out_ids.append(tok)
                     self.last_token[slot] = tok
