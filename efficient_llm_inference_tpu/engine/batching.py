@@ -234,26 +234,135 @@ class ContinuousBatchingEngine:
         return step
 
     def _make_decode_chunk(self, n_steps: int):
-        """Scan `n_steps` batched decode steps in ONE dispatch.
+        """Staged chunk decode: `n_steps` batched steps in ONE dispatch with
+        pool traffic amortized across the chunk.
 
-        Per-dispatch overhead through the remote runtime is ~tens of ms;
-        chunking amortizes it across steps. `active` is constant within a
-        chunk (the scheduler sizes chunks so no slot overruns its budget).
+        The pool is FROZEN for the duration of a chunk: the past KV is
+        gathered once (not per step), new tokens accumulate in a small
+        staging buffer [L, B, H, n_steps, D] that each step's attention
+        reads alongside the frozen past, and the whole staging buffer is
+        scattered into the pool once at chunk end. This removes the
+        per-step pool gather AND the per-step scatter (TPU scatters are
+        slow), which dominated the unstaged step cost.
         """
-        step = self._make_decode_step()
+        model = self.model
+        P = self.pool_cfg
+        H, D, Hq, L = model.n_kv_head, model.head_dim, model.n_head, model.n_layer
+        G = Hq // H
+        Tcap = P.max_blocks_per_seq * P.block_size
+        NEG = float(jnp.finfo(jnp.float32).min)
 
         def chunk(params, k_pool, v_pool, tables, lengths, active, tokens):
-            def body(carry, _):
-                k_pool, v_pool, lengths, tokens = carry
-                nxt, k_pool, v_pool = step(
-                    params, k_pool, v_pool, tables, lengths, active, tokens
-                )
-                lengths = lengths + active.astype(jnp.int32)
-                tokens = jnp.where(active, nxt, tokens)
-                return (k_pool, v_pool, lengths, tokens), nxt
+            B = tokens.shape[0]
+            lengths0 = lengths
 
-            (k_pool, v_pool, lengths, tokens), toks = jax.lax.scan(
-                body, (k_pool, v_pool, lengths, tokens), None, length=n_steps
+            # 1. gather the frozen past ONCE per chunk:
+            # pool [L, H, n_blocks, bs, D] -> past [L, B, H, Tcap, D]
+            def gather(pool):
+                g = pool[:, :, tables]  # [L, H, B, mb, bs, D]
+                g = g.reshape(L, H, B, Tcap, D)
+                return g.transpose(0, 2, 1, 3, 4)
+
+            k_past = gather(k_pool)
+            v_past = gather(v_pool)
+            st_shape = (L, B, H, n_steps, D)
+            staging_k = jnp.zeros(st_shape, k_pool.dtype)
+            staging_v = jnp.zeros(st_shape, v_pool.dtype)
+
+            class _StagedStrategy:
+                def cache_layer_slices(self_s, cache):
+                    return (
+                        cache["k_past"],
+                        cache["v_past"],
+                        cache["st_k"],
+                        cache["st_v"],
+                    )
+
+                def cache_with_layer_slices(self_s, cache, new_slices, T):
+                    st_k, st_v = new_slices
+                    return {**cache, "st_k": st_k, "st_v": st_v}
+
+                def set_length(self_s, cache, n):
+                    return cache
+
+                def layer_attend(self_s, layer_cache, cache, q, k_new, v_new, sm):
+                    kp, vp, sk, sv = layer_cache  # past [B,H,Tcap,D], staging
+                    i = cache["i"]
+                    sk = jax.lax.dynamic_update_slice(
+                        sk, k_new.astype(sk.dtype), (0, 0, i, 0)
+                    )
+                    sv = jax.lax.dynamic_update_slice(
+                        sv, v_new.astype(sv.dtype), (0, 0, i, 0)
+                    )
+                    k_all = jnp.concatenate([kp, sk], axis=2)  # [B,H,Tcap+n,D]
+                    v_all = jnp.concatenate([vp, sv], axis=2)
+                    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+                    qg = q.reshape(B, H, G, 1, D)
+                    sc = jnp.einsum(
+                        "bhgtd,bhcd->bhgtc", qg, k_all,
+                        preferred_element_type=jnp.float32,
+                    ) * scale
+                    t_idx = jax.lax.broadcasted_iota(
+                        jnp.int32, (B, 1, 1, 1, Tcap + n_steps), 4
+                    )
+                    past_ok = t_idx < lengths0[:, None, None, None, None]
+                    stage_ok = (t_idx >= Tcap) & ((t_idx - Tcap) <= i)
+                    mask = jnp.where(t_idx < Tcap, past_ok, stage_ok)
+                    sc = jnp.where(mask, sc, NEG)
+                    pr = jax.nn.softmax(sc, axis=-1)
+                    out = jnp.einsum(
+                        "bhgtc,bhcd->bhgtd", pr, v_all,
+                        preferred_element_type=jnp.float32,
+                    )
+                    return out.reshape(B, Hq, 1, D), (sk, sv)
+
+            strategy = _StagedStrategy()
+
+            def body(carry, i):
+                st_k, st_v, toks_in = carry
+                pos = jnp.minimum(lengths0 + i, model.n_positions - 1)
+                cache = {
+                    "k_past": k_past,
+                    "v_past": v_past,
+                    "st_k": st_k,
+                    "st_v": st_v,
+                    "i": i,
+                }
+                logits, cache = model.forward(
+                    params, toks_in[:, None], pos[:, None], cache, strategy, None
+                )
+                nxt = jnp.clip(
+                    jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32),
+                    0,
+                    model.vocab_size - 1,
+                )
+                nxt = jnp.where(active, nxt, toks_in)
+                return (cache["st_k"], cache["st_v"], nxt), nxt
+
+            (staging_k, staging_v, _), toks = jax.lax.scan(
+                body,
+                (staging_k, staging_v, tokens),
+                jnp.arange(n_steps, dtype=jnp.int32),
+            )
+
+            # 3. scatter the whole staging buffer into the pool once
+            j = jnp.arange(n_steps, dtype=jnp.int32)[None, :]  # [1, n]
+            pos_t = lengths0[:, None] + j  # [B, n]
+            blk_idx = jnp.minimum(pos_t // P.block_size, P.max_blocks_per_seq - 1)
+            blk = jnp.take_along_axis(tables, blk_idx, axis=1)  # [B, n]
+            valid = active[:, None] & (pos_t < Tcap)
+            blk = jnp.where(valid, blk, P.n_blocks)  # drop sentinel
+            off = pos_t % P.block_size
+            blk_f = blk.reshape(-1)
+            off_f = off.reshape(-1)
+            # staging [L, B, H, n, D] -> [L, H, B*n, D]
+            st_k_f = staging_k.transpose(0, 2, 1, 3, 4).reshape(L, H, -1, D)
+            st_v_f = staging_v.transpose(0, 2, 1, 3, 4).reshape(L, H, -1, D)
+            k_pool = k_pool.at[:, :, blk_f, off_f].set(
+                st_k_f.astype(k_pool.dtype), mode="drop"
+            )
+            v_pool = v_pool.at[:, :, blk_f, off_f].set(
+                st_v_f.astype(v_pool.dtype), mode="drop"
             )
             return toks, k_pool, v_pool
 
