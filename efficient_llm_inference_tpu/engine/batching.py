@@ -45,9 +45,11 @@ class PoolConfig:
     n_blocks: int = 256  # shared pool capacity (tokens = n_blocks*block_size)
     max_blocks_per_seq: int = 32
     prompt_bucket: int = 256
-    # max decode steps fused into one dispatch (amortizes dispatch overhead);
-    # capped at 4 while requests are queued so slots free up sooner
+    # max decode steps fused into one dispatch (amortizes dispatch overhead)
     max_chunk: int = 16
+    # KV pool storage: "none" (engine dtype), "int8", or "int4" (packed) —
+    # per-token symmetric scales, numerics matching ops/quantization.py
+    quant: str = "none"
 
 
 class BlockAllocator:
@@ -90,10 +92,21 @@ class ContinuousBatchingEngine:
 
         L, H, D = model.n_layer, model.n_kv_head, model.head_dim
         P = pool
+        assert P.quant in ("none", "int8", "int4"), P.quant
         # (head, block)-major so a pool block is a contiguous [bs, D] tile —
         # the layout ops/pallas/paged.py walks via the block table
-        self.k_pool = jnp.zeros((L, H, P.n_blocks, P.block_size, D), dtype)
-        self.v_pool = jnp.zeros((L, H, P.n_blocks, P.block_size, D), dtype)
+        if P.quant == "none":
+            store_dt, Dstore = dtype, D
+        elif P.quant == "int8":
+            store_dt, Dstore = jnp.int8, D
+        else:  # int4 packed along D (even head_dim)
+            assert D % 2 == 0
+            store_dt, Dstore = jnp.uint8, D // 2
+        self.k_pool = jnp.zeros((L, H, P.n_blocks, P.block_size, Dstore), store_dt)
+        self.v_pool = jnp.zeros((L, H, P.n_blocks, P.block_size, Dstore), store_dt)
+        # per-token scales (shared across heads/D, reference granularity)
+        self.k_scale = jnp.ones((L, P.n_blocks, P.block_size), jnp.float32)
+        self.v_scale = jnp.ones((L, P.n_blocks, P.block_size), jnp.float32)
         from ..core.config import default_device_kind
 
         self._on_tpu = default_device_kind() == "tpu"
@@ -133,6 +146,39 @@ class ContinuousBatchingEngine:
             k.reshape(B, Tcap, *k.shape[3:]),
             v.reshape(B, Tcap, *v.shape[3:]),
         )
+
+    # -- quantized-pool helpers ------------------------------------------
+    def _dequant_gathered(self, g, scale_g):
+        """g: [L,B,H,Tcap,Dstore] raw storage; scale_g: [L,B,Tcap]."""
+        P = self.pool_cfg
+        if P.quant == "none":
+            return g
+        sc = scale_g[:, :, None, :, None]
+        if P.quant == "int8":
+            return (g.astype(jnp.float32) * sc).astype(self.dtype)
+        # int4: unpack nibbles (even index in high nibble, reference order)
+        p32 = g.astype(jnp.int32)
+        hi = (p32 >> 4) & 0x0F
+        lo = p32 & 0x0F
+        q = jnp.stack([hi, lo], axis=-1).reshape(*g.shape[:-1], -1) - 8
+        return (q.astype(jnp.float32) * sc).astype(self.dtype)
+
+    def _quantize_rows(self, x):
+        """x: [..., H, n, D] fp -> (storage values, scale [..., n]) with one
+        scale per token over (H, D) — reference per-tensor-per-token math."""
+        P = self.pool_cfg
+        x32 = x.astype(jnp.float32)
+        qmax = 127.0 if P.quant == "int8" else 7.0
+        max_abs = jnp.max(jnp.abs(x32), axis=(-3, -1), keepdims=True)
+        scale = jnp.maximum(max_abs / qmax, 1e-8)
+        if P.quant == "int8":
+            vals = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+        else:
+            q = jnp.clip(jnp.round(x32 / scale), -8, 7).astype(jnp.int32) + 8
+            hi = q[..., 0::2]
+            lo = q[..., 1::2]
+            vals = ((hi << 4) | lo).astype(jnp.uint8)
+        return vals, jnp.squeeze(scale, axis=(-3, -1))
 
     def _make_decode_step(self):
         model = self.model
@@ -252,19 +298,26 @@ class ContinuousBatchingEngine:
         Tcap = P.max_blocks_per_seq * P.block_size
         NEG = float(jnp.finfo(jnp.float32).min)
 
-        def chunk(params, k_pool, v_pool, tables, lengths, active, tokens):
+        quant = P.quant
+
+        def chunk(params, k_pool, v_pool, k_scale, v_scale, tables, lengths,
+                  active, tokens):
             B = tokens.shape[0]
             lengths0 = lengths
 
-            # 1. gather the frozen past ONCE per chunk:
-            # pool [L, H, n_blocks, bs, D] -> past [L, B, H, Tcap, D]
+            # 1. gather the frozen past ONCE per chunk (dequantizing if the
+            # pool is int8/int4): pool -> past [L, B, H, Tcap, D]
             def gather(pool):
-                g = pool[:, :, tables]  # [L, H, B, mb, bs, D]
-                g = g.reshape(L, H, B, Tcap, D)
+                g = pool[:, :, tables]  # [L, H, B, mb, bs, Ds]
+                g = g.reshape(L, H, B, Tcap, g.shape[-1])
                 return g.transpose(0, 2, 1, 3, 4)
 
-            k_past = gather(k_pool)
-            v_past = gather(v_pool)
+            def gather_scale(sc):
+                g = sc[:, tables]  # [L, B, mb, bs]
+                return g.reshape(L, B, Tcap)
+
+            k_past = self._dequant_gathered(gather(k_pool), gather_scale(k_scale))
+            v_past = self._dequant_gathered(gather(v_pool), gather_scale(v_scale))
             st_shape = (L, B, H, n_steps, D)
             staging_k = jnp.zeros(st_shape, k_pool.dtype)
             staging_v = jnp.zeros(st_shape, v_pool.dtype)
@@ -355,16 +408,28 @@ class ContinuousBatchingEngine:
             off = pos_t % P.block_size
             blk_f = blk.reshape(-1)
             off_f = off.reshape(-1)
-            # staging [L, B, H, n, D] -> [L, H, B*n, D]
-            st_k_f = staging_k.transpose(0, 2, 1, 3, 4).reshape(L, H, -1, D)
-            st_v_f = staging_v.transpose(0, 2, 1, 3, 4).reshape(L, H, -1, D)
+
+            if quant != "none":
+                # quantize per token over (H, D): staging [L, B, H, n, D]
+                k_vals, k_sc = self._quantize_rows(staging_k)  # sc [L, B, n]
+                v_vals, v_sc = self._quantize_rows(staging_v)
+                k_scale = k_scale.at[:, blk_f, off_f].set(
+                    k_sc.reshape(L, -1), mode="drop"
+                )
+                v_scale = v_scale.at[:, blk_f, off_f].set(
+                    v_sc.reshape(L, -1), mode="drop"
+                )
+                staging_k, staging_v = k_vals, v_vals
+            Ds = staging_k.shape[-1]
+            st_k_f = staging_k.transpose(0, 2, 1, 3, 4).reshape(L, H, -1, Ds)
+            st_v_f = staging_v.transpose(0, 2, 1, 3, 4).reshape(L, H, -1, Ds)
             k_pool = k_pool.at[:, :, blk_f, off_f].set(
                 st_k_f.astype(k_pool.dtype), mode="drop"
             )
             v_pool = v_pool.at[:, :, blk_f, off_f].set(
                 st_v_f.astype(v_pool.dtype), mode="drop"
             )
-            return toks, k_pool, v_pool
+            return toks, k_pool, v_pool, k_scale, v_scale
 
         return chunk
 
@@ -380,7 +445,10 @@ class ContinuousBatchingEngine:
         P = self.pool_cfg
         H, D = model.n_kv_head, model.head_dim
 
-        def prefill(params, k_pool, v_pool, tables, tokens, true_lens, admit):
+        quant = P.quant
+
+        def prefill(params, k_pool, v_pool, k_scale, v_scale, tables, tokens,
+                    true_lens, admit):
             # tokens: [n_slots, bucket]; tables: [n_slots, max_blocks]
             B, Tpad = tokens.shape
             pos = jnp.minimum(
@@ -392,16 +460,21 @@ class ContinuousBatchingEngine:
 
             class _PrefillStrategy:
                 def cache_layer_slices(self_s, cache):
-                    return (k_pool, v_pool)
+                    return (k_pool, v_pool, k_scale, v_scale)
 
                 def cache_with_layer_slices(self_s, cache, new_slices, T):
-                    return {"k_pool": new_slices[0], "v_pool": new_slices[1]}
+                    return {
+                        "k_pool": new_slices[0],
+                        "v_pool": new_slices[1],
+                        "k_scale": new_slices[2],
+                        "v_scale": new_slices[3],
+                    }
 
                 def set_length(self_s, cache, n):
                     return cache
 
                 def layer_attend(self_s, layer_cache, cache, q, k_new, v_new, sm):
-                    k_pool_l, v_pool_l = layer_cache  # [H, n_blocks, bs, D]
+                    k_pool_l, v_pool_l, ks_l, vs_l = layer_cache
                     from ..cache.kvcache import _attend
 
                     out = _attend(q, k_new, v_new, jnp.zeros((), jnp.int32))
@@ -417,19 +490,30 @@ class ContinuousBatchingEngine:
                     blk = jnp.where(valid, blk, P.n_blocks)  # drop sentinel
                     blk_f = blk.reshape(-1)
                     off_f = off.reshape(-1)
-                    # k_new: [B, H, Tpad, D] -> [H, B*Tpad, D]
-                    kn = k_new.transpose(1, 0, 2, 3).reshape(H, -1, D)
-                    vn = v_new.transpose(1, 0, 2, 3).reshape(H, -1, D)
+                    kn, vn = k_new, v_new  # [B, H, Tpad, D]
+                    if quant != "none":
+                        kn, k_sc = self._quantize_rows(kn)  # sc [B, Tpad]
+                        vn, v_sc = self._quantize_rows(vn)
+                        ks_l = ks_l.at[blk_f, off_f].set(
+                            k_sc.reshape(-1), mode="drop"
+                        )
+                        vs_l = vs_l.at[blk_f, off_f].set(
+                            v_sc.reshape(-1), mode="drop"
+                        )
+                    Ds = kn.shape[-1]
+                    kn = kn.transpose(1, 0, 2, 3).reshape(H, -1, Ds)
+                    vn = vn.transpose(1, 0, 2, 3).reshape(H, -1, Ds)
                     k_pool_l = k_pool_l.at[:, blk_f, off_f].set(
                         kn.astype(k_pool_l.dtype), mode="drop"
                     )
                     v_pool_l = v_pool_l.at[:, blk_f, off_f].set(
                         vn.astype(v_pool_l.dtype), mode="drop"
                     )
-                    return out, (k_pool_l, v_pool_l)
+                    return out, (k_pool_l, v_pool_l, ks_l, vs_l)
 
             strategy = _PrefillStrategy()
-            cache = {"k_pool": k_pool, "v_pool": v_pool}
+            cache = {"k_pool": k_pool, "v_pool": v_pool,
+                     "k_scale": k_scale, "v_scale": v_scale}
             logits, cache = model.forward(
                 params, tokens, pos, cache, strategy, seq_mask
             )
@@ -440,7 +524,8 @@ class ContinuousBatchingEngine:
             nxt = jnp.clip(
                 jnp.argmax(last, axis=-1).astype(jnp.int32), 0, model.vocab_size - 1
             )
-            return nxt, cache["k_pool"], cache["v_pool"]
+            return (nxt, cache["k_pool"], cache["v_pool"],
+                    cache["k_scale"], cache["v_scale"])
 
         return prefill
 
@@ -489,10 +574,12 @@ class ContinuousBatchingEngine:
             true_lens[slot] = len(ids)
             admit[slot] = True
 
-        nxt, self.k_pool, self.v_pool = self._prefill(
+        nxt, self.k_pool, self.v_pool, self.k_scale, self.v_scale = self._prefill(
             self.params,
             self.k_pool,
             self.v_pool,
+            self.k_scale,
+            self.v_scale,
             jnp.asarray(tables),
             jnp.asarray(tokens),
             jnp.asarray(true_lens),
@@ -550,14 +637,18 @@ class ContinuousBatchingEngine:
             # the host discards the extra tokens before retiring them
             chunk = self.pool_cfg.max_chunk
 
-            toks, self.k_pool, self.v_pool = self._decode_chunk(chunk)(
-                self.params,
-                self.k_pool,
-                self.v_pool,
-                jnp.asarray(self.tables),
-                jnp.asarray(self.lengths),
-                jnp.asarray(self.active),
-                jnp.asarray(self.last_token),
+            (toks, self.k_pool, self.v_pool, self.k_scale, self.v_scale) = (
+                self._decode_chunk(chunk)(
+                    self.params,
+                    self.k_pool,
+                    self.v_pool,
+                    self.k_scale,
+                    self.v_scale,
+                    jnp.asarray(self.tables),
+                    jnp.asarray(self.lengths),
+                    jnp.asarray(self.active),
+                    jnp.asarray(self.last_token),
+                )
             )
             toks = np.asarray(toks)  # [chunk, B]
             total_steps += chunk

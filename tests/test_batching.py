@@ -93,6 +93,67 @@ def test_paged_kernel_path_matches_gather_path(setup):
     assert outs[True] == outs[False]
 
 
+@pytest.mark.parametrize("quant", ["int8", "int4"])
+def test_quantized_pool_batching(setup, quant):
+    """int8/int4 paged pools: requests complete and tokens track the fp pool
+    closely (quantization error can flip late tokens with a random model)."""
+    from efficient_llm_inference_tpu.evaluation.quality import token_agreement_rate
+
+    spec, params, eng = setup
+    prompts = [
+        "The weather in the mountains changes quickly during spring.",
+        "Rivers flow from the hills down to the distant sea.",
+    ]
+    n_new = 10
+    outs = {}
+    for q in ("none", quant):
+        cbe = ContinuousBatchingEngine(
+            spec,
+            params,
+            PoolConfig(n_slots=2, block_size=16, n_blocks=24, max_blocks_per_seq=8,
+                       prompt_bucket=64, quant=q),
+            dtype=jnp.float32,
+        )
+        reqs = [
+            Request(rid=i, prompt_ids=eng.tokenizer.encode(p), max_new_tokens=n_new)
+            for i, p in enumerate(prompts)
+        ]
+        cbe.run(reqs)
+        assert all(r.done and len(r.out_ids) == n_new for r in reqs)
+        outs[q] = [r.out_ids for r in reqs]
+    for a, b in zip(outs["none"], outs[quant]):
+        assert token_agreement_rate(a, b) >= 0.5, (a, b)
+
+
+def test_llama_int4_paged_batching():
+    """North-star smoke: Llama-family model with INT4 paged KV pool under
+    continuous batching (BASELINE.json config 5, single-chip slice)."""
+    import jax as _jax
+
+    from efficient_llm_inference_tpu.models import llama as llama_mod
+
+    cfg = llama_mod.LlamaConfig.tiny()
+    spec = llama_mod.llama_spec(cfg)
+    params = llama_mod.init_llama_params(_jax.random.PRNGKey(3), cfg, jnp.float32)
+    cbe = ContinuousBatchingEngine(
+        spec,
+        params,
+        PoolConfig(n_slots=2, block_size=16, n_blocks=16, max_blocks_per_seq=4,
+                   prompt_bucket=32, quant="int4"),
+        dtype=jnp.float32,
+    )
+    from efficient_llm_inference_tpu.data.tokenizer import ByteTokenizer
+
+    tok = ByteTokenizer()
+    reqs = [
+        Request(rid=i, prompt_ids=tok.encode(f"prompt {i} about rivers"),
+                max_new_tokens=8)
+        for i in range(4)
+    ]
+    cbe.run(reqs)
+    assert all(r.done and len(r.out_ids) == 8 for r in reqs)
+
+
 def test_blocks_recycled_across_waves(setup):
     spec, params, eng = setup
     # pool only fits ~2 concurrent requests; 5 requests must run in waves
