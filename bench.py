@@ -102,8 +102,60 @@ def measure_reference_cpu(time_budget_s: float = 120.0) -> float | None:
         return None
 
 
+def measure_batching(time_budget_s: float = 300.0) -> float | None:
+    """Continuous-batching aggregate (16 slots, int8 paged pool)."""
+    try:
+        import time as _t
+
+        t_start = _t.perf_counter()
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        import efficient_llm_inference_tpu as elit
+        from efficient_llm_inference_tpu.engine.batching import (
+            ContinuousBatchingEngine,
+            PoolConfig,
+            Request,
+        )
+        from efficient_llm_inference_tpu.models.gpt2 import GPT2Config
+        from efficient_llm_inference_tpu.models.registry import gpt2_spec
+
+        eng = elit.InferenceEngine.from_model_name("gpt2")
+        spec = gpt2_spec(dataclasses.replace(GPT2Config.small(), scan_unroll=12))
+        cbe = ContinuousBatchingEngine(
+            spec,
+            eng.params,
+            PoolConfig(n_slots=16, block_size=64, n_blocks=64,
+                       max_blocks_per_seq=2, prompt_bucket=128, max_chunk=32,
+                       quant="int8"),
+            dtype=eng.config.dtype,
+        )
+        warm = [Request(100 + i, eng.tokenizer.encode("warm"), MAX_NEW)
+                for i in range(16)]
+        cbe.run(warm)
+        if _t.perf_counter() - t_start > time_budget_s:
+            return None
+        reqs = [
+            Request(i, eng.tokenizer.encode(f"Request {i}: the weather is"),
+                    MAX_NEW)
+            for i in range(32)
+        ]
+        t0 = _t.perf_counter()
+        cbe.run(reqs)
+        dt = _t.perf_counter() - t0
+        return sum(len(r.out_ids) for r in reqs) / dt
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] batching measure failed: {e}", file=sys.stderr)
+        return None
+
+
 def main():
     ours = measure_ours()
+    batch_tps = measure_batching()
+    if batch_tps:
+        print(f"[bench] continuous batching (16 slots, int8 paged pool): "
+              f"{batch_tps:.0f} tok/s aggregate", file=sys.stderr)
     ref_tps = measure_reference_cpu()
     value = ours["full_cache"]
     vs_baseline = (value / ref_tps) if ref_tps else None
