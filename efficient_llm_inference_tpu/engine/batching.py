@@ -81,7 +81,6 @@ class ContinuousBatchingEngine:
         pool: PoolConfig = PoolConfig(),
         dtype=jnp.bfloat16,
         eos_id: Optional[int] = None,
-        use_paged_kernel: Optional[bool] = None,
     ):
         self.model = model
         self.params = params
@@ -110,10 +109,10 @@ class ContinuousBatchingEngine:
         from ..core.config import default_device_kind
 
         self._on_tpu = default_device_kind() == "tpu"
-        # default to the XLA gather path: the paged Pallas kernel's
-        # (B, Hkv, blocks) grid is currently DMA-overhead bound (measured
-        # 11.5 vs 8.5 ms/step at 8 slots); enable explicitly to use it
-        self.use_paged_kernel = bool(use_paged_kernel)
+        # NOTE: ops/pallas/paged.py (block-table paged attention) is the
+        # planned kernel for the chunk-start past gather once its grid is
+        # head-blocked — see docs/ROADMAP.md; the staged path currently
+        # uses the XLA gather, which measures faster.
         # per-slot state (host mirrors + device arrays)
         self.tables = np.zeros((P.n_slots, P.max_blocks_per_seq), np.int32)
         self.lengths = np.zeros((P.n_slots,), np.int32)
@@ -122,7 +121,6 @@ class ContinuousBatchingEngine:
         self.slot_req: List[Optional[Request]] = [None] * P.n_slots
         self.slot_blocks: List[List[int]] = [[] for _ in range(P.n_slots)]
 
-        self._decode_step = jax.jit(self._make_decode_step())
         self._prefill = jax.jit(self._make_prefill())
         self._chunks: Dict[int, Callable] = {}
 
@@ -134,19 +132,6 @@ class ContinuousBatchingEngine:
     # ------------------------------------------------------------------
     # jitted step builders
     # ------------------------------------------------------------------
-    def _logical_kv(self, k_pool_l, v_pool_l, tables):
-        """Gather per-slot logical KV [B, Tcap, H, D] from the pool."""
-        P = self.pool_cfg
-        # [B, max_blocks, bs, H, D] -> [B, Tcap, H, D]
-        k = k_pool_l[tables]
-        v = v_pool_l[tables]
-        B = tables.shape[0]
-        Tcap = P.max_blocks_per_seq * P.block_size
-        return (
-            k.reshape(B, Tcap, *k.shape[3:]),
-            v.reshape(B, Tcap, *v.shape[3:]),
-        )
-
     # -- quantized-pool helpers ------------------------------------------
     def _dequant_gathered(self, g, scale_g):
         """g: [L,B,H,Tcap,Dstore] raw storage; scale_g: [L,B,Tcap]."""
@@ -179,105 +164,6 @@ class ContinuousBatchingEngine:
             lo = q[..., 1::2]
             vals = ((hi << 4) | lo).astype(jnp.uint8)
         return vals, jnp.squeeze(scale, axis=(-3, -1))
-
-    def _make_decode_step(self):
-        model = self.model
-        P = self.pool_cfg
-        H, D, Hq = model.n_kv_head, model.head_dim, model.n_head
-        G = Hq // H
-        Tcap = P.max_blocks_per_seq * P.block_size
-        use_kernel = self.use_paged_kernel
-        interpret = not self._on_tpu
-
-        def step(params, k_pool, v_pool, tables, lengths, active, tokens):
-            """One batched decode step for all slots.
-
-            tokens: [B] int32 (last emitted token per slot)
-            Returns (next_tokens [B], k_pool, v_pool).
-            """
-            B = tokens.shape[0]
-            pos = jnp.minimum(lengths, model.n_positions - 1)
-
-            class _PoolStrategy:
-                """Adapter: model's strategy interface over the block pool."""
-
-                def cache_layer_slices(self_s, cache):
-                    return (k_pool, v_pool)
-
-                def cache_with_layer_slices(self_s, cache, new_slices, T):
-                    return {
-                        "k_pool": new_slices[0],
-                        "v_pool": new_slices[1],
-                        "length": cache["length"],
-                    }
-
-                def set_length(self_s, cache, n):
-                    return cache
-
-                def layer_attend(self_s, layer_cache, cache, q, k_new, v_new, seq_mask):
-                    k_pool_l, v_pool_l = layer_cache  # [H, n_blocks, bs, D]
-                    # scatter each slot's new token into its current block;
-                    # inactive slots write to the drop sentinel so a retired
-                    # slot's stale table can never corrupt recycled blocks
-                    blk = tables[jnp.arange(B), lengths // P.block_size]
-                    blk = jnp.where(active, blk, P.n_blocks)
-                    off = lengths % P.block_size
-                    kn = k_new[:, :, 0, :].transpose(1, 0, 2)  # [H, B, D]
-                    vn = v_new[:, :, 0, :].transpose(1, 0, 2)
-                    k_pool_l = k_pool_l.at[:, blk, off].set(
-                        kn.astype(k_pool_l.dtype), mode="drop"
-                    )
-                    v_pool_l = v_pool_l.at[:, blk, off].set(
-                        vn.astype(v_pool_l.dtype), mode="drop"
-                    )
-                    if use_kernel:
-                        from ..ops.pallas.paged import paged_attention_decode
-
-                        out = paged_attention_decode(
-                            q[:, :, 0, :],
-                            k_pool_l,
-                            v_pool_l,
-                            tables,
-                            lengths,
-                            interpret=interpret,
-                        )
-                        return out[:, :, None, :], (k_pool_l, v_pool_l)
-                    # jnp fallback: gather logical KV and attend
-                    k_log = k_pool_l[:, tables].reshape(H, B, Tcap, D)
-                    v_log = v_pool_l[:, tables].reshape(H, B, Tcap, D)
-                    k_log = k_log.transpose(1, 0, 2, 3)  # [B, H, Tcap, D]
-                    v_log = v_log.transpose(1, 0, 2, 3)
-                    scale = 1.0 / jnp.sqrt(jnp.float32(D))
-                    qg = q.reshape(B, H, G, 1, D)
-                    s = jnp.einsum(
-                        "bhgtd,bhcd->bhgtc",
-                        qg,
-                        k_log,
-                        preferred_element_type=jnp.float32,
-                    ) * scale
-                    idx = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1, 1, Tcap), 4)
-                    mask = idx <= lengths[:, None, None, None, None]
-                    s = jnp.where(mask, s, jnp.float32(jnp.finfo(jnp.float32).min))
-                    p = jax.nn.softmax(s, axis=-1)
-                    out = jnp.einsum(
-                        "bhgtc,bhcd->bhgtd",
-                        p,
-                        v_log,
-                        preferred_element_type=jnp.float32,
-                    )
-                    return out.reshape(B, Hq, 1, D), (k_pool_l, v_pool_l)
-
-            strategy = _PoolStrategy()
-            cache = {"k_pool": k_pool, "v_pool": v_pool, "length": lengths}
-            logits, cache = model.forward(
-                params, tokens[:, None], pos[:, None], cache, strategy, None
-            )
-            nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
-            nxt = jnp.clip(nxt, 0, model.vocab_size - 1)
-            nxt = jnp.where(active, nxt, tokens)
-            return nxt, cache["k_pool"], cache["v_pool"]
-
-        return step
 
     def _make_decode_chunk(self, n_steps: int):
         """Staged chunk decode: `n_steps` batched steps in ONE dispatch with

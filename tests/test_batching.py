@@ -65,34 +65,6 @@ def test_batched_matches_single_stream(setup):
         assert req.out_ids == singles[i], (i, req.out_ids, singles[i])
 
 
-def test_paged_kernel_path_matches_gather_path(setup):
-    """The Pallas paged-attention path (interpret on CPU) must produce the
-    same tokens as the jnp gather path."""
-    spec, params, eng = setup
-    prompts = [
-        "The weather in the mountains changes quickly during spring.",
-        "Rivers flow from the hills down to the distant sea.",
-    ]
-    n_new = 8
-    outs = {}
-    for use_kernel in (False, True):
-        cbe = ContinuousBatchingEngine(
-            spec,
-            params,
-            PoolConfig(n_slots=2, block_size=16, n_blocks=24, max_blocks_per_seq=8,
-                       prompt_bucket=64),
-            dtype=jnp.float32,
-            use_paged_kernel=use_kernel,
-        )
-        reqs = [
-            Request(rid=i, prompt_ids=eng.tokenizer.encode(p), max_new_tokens=n_new)
-            for i, p in enumerate(prompts)
-        ]
-        cbe.run(reqs)
-        outs[use_kernel] = [r.out_ids for r in reqs]
-    assert outs[True] == outs[False]
-
-
 @pytest.mark.parametrize("quant", ["int8", "int4"])
 def test_quantized_pool_batching(setup, quant):
     """int8/int4 paged pools: requests complete and tokens track the fp pool
