@@ -55,6 +55,18 @@ class LlamaConfig:
         )
 
     @staticmethod
+    def llama3_3b() -> "LlamaConfig":
+        # Llama-3.2-3B geometry
+        return LlamaConfig(
+            hidden_size=3072,
+            intermediate_size=8192,
+            n_layer=28,
+            n_head=24,
+            n_kv_head=8,
+            tie_embeddings=True,
+        )
+
+    @staticmethod
     def tiny(vocab_size: int = 256) -> "LlamaConfig":
         return LlamaConfig(
             vocab_size=vocab_size,
@@ -73,6 +85,7 @@ class LlamaConfig:
             "llama-3-8b": LlamaConfig.llama3_8b,
             "llama3-8b": LlamaConfig.llama3_8b,
             "llama-3-1b": LlamaConfig.llama3_1b,
+            "llama-3-3b": LlamaConfig.llama3_3b,
             "llama-tiny": LlamaConfig.tiny,
         }
         if name not in table:
