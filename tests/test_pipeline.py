@@ -61,6 +61,32 @@ def test_pipeline_forward_matches_reference(setup):
     assert (np.asarray(got).argmax(-1) == np.asarray(ref).argmax(-1)).all()
 
 
+def test_gpipe_forward_matches_reference(setup):
+    """GPipe microbatch schedule must be numerically identical to the
+    sequential pipeline and the single-device forward."""
+    from efficient_llm_inference_tpu.parallel.pipeline import make_gpipe_forward
+
+    cfg, params, mesh = setup
+    rng = np.random.default_rng(2)
+    B, T, M = 8, 12, 4
+    tokens = jnp.asarray(rng.integers(0, 211, (B, T)), jnp.int32)
+    # varied per-row lengths exercise the per-microbatch masks
+    lens = rng.integers(4, T + 1, B)
+    seq_mask = jnp.asarray(np.arange(T)[None, :] < lens[:, None])
+
+    ref = _reference_logits(cfg, params, tokens, seq_mask)
+
+    staged = place_pipeline_params(params, mesh, n_stages=4)
+    fwd = make_gpipe_forward(cfg, mesh, n_stages=4, n_microbatches=M)
+    with mesh:
+        got = fwd(staged, tokens, seq_mask)
+
+    got_np, ref_np = np.asarray(got), np.asarray(ref)
+    # compare at real positions only (pad positions hold garbage in both)
+    m = np.asarray(seq_mask)
+    np.testing.assert_allclose(got_np[m], ref_np[m], rtol=1e-4, atol=1e-4)
+
+
 def test_pipeline_greedy_step(setup):
     cfg, params, mesh = setup
     rng = np.random.default_rng(1)
