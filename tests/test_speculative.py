@@ -1,0 +1,71 @@
+"""Speculative decoding greedy-equivalence.
+
+The defining property: greedy speculative output is IDENTICAL to plain
+target greedy decoding no matter what the draft proposes — a good draft
+only accelerates, a bad one only slows. Verified with (a) an unrelated
+random draft (low acceptance) and (b) the target itself as draft
+(100% acceptance).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from efficient_llm_inference_tpu.core.config import Config
+from efficient_llm_inference_tpu.engine.engine import InferenceEngine
+from efficient_llm_inference_tpu.engine.speculative import make_speculative_generate
+from efficient_llm_inference_tpu.models import gpt2 as gpt2_mod
+from efficient_llm_inference_tpu.models.registry import gpt2_spec
+
+
+@pytest.fixture(scope="module")
+def setup():
+    t_cfg = gpt2_mod.GPT2Config(
+        vocab_size=173, n_positions=256, n_embd=32, n_layer=3, n_head=2
+    )
+    d_cfg = gpt2_mod.GPT2Config(
+        vocab_size=173, n_positions=256, n_embd=16, n_layer=1, n_head=2
+    )
+    t_params = gpt2_mod.init_gpt2_params(jax.random.PRNGKey(10), t_cfg, jnp.float32)
+    d_params = gpt2_mod.init_gpt2_params(jax.random.PRNGKey(11), d_cfg, jnp.float32)
+    eng = InferenceEngine(
+        gpt2_spec(t_cfg), t_params,
+        config=Config(model_name="t", device="cpu", dtype=jnp.float32),
+    )
+    return t_cfg, d_cfg, t_params, d_params, eng
+
+
+def _run_spec(t_cfg, d_cfg, t_params, d_params, ids, n_new, k):
+    gen = make_speculative_generate(
+        gpt2_spec(t_cfg), gpt2_spec(d_cfg), n_new, k=k, prompt_bucket=64
+    )
+    buf = np.zeros((1, 64), np.int32)
+    buf[0, : len(ids)] = ids
+    out, n = gen(t_params, d_params, jnp.asarray(buf), jnp.int32(len(ids)))
+    return np.asarray(out)[: int(n)].tolist()
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_unrelated_draft_matches_target_greedy(setup, k):
+    t_cfg, d_cfg, t_params, d_params, eng = setup
+    prompt = "A gentle breeze moved across the field toward the old barn."
+    ids = eng.tokenizer.encode(prompt)
+    n_new = 14
+
+    ref = eng.generate_ids(prompt, "full_cache", n_new)[-n_new:]
+    got = _run_spec(t_cfg, d_cfg, t_params, d_params, ids, n_new, k)
+    assert got == ref, (got, ref)
+
+
+def test_self_draft_full_acceptance(setup):
+    """Target drafting for itself must accept everything and still match."""
+    t_cfg, _, t_params, _, eng = setup
+    prompt = "Numbers and letters filled the page from margin to margin."
+    ids = eng.tokenizer.encode(prompt)
+    n_new = 12
+
+    ref = eng.generate_ids(prompt, "full_cache", n_new)[-n_new:]
+    got = _run_spec(t_cfg, t_cfg, t_params, t_params, ids, n_new, k=4)
+    assert got == ref, (got, ref)
