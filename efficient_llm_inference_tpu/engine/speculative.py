@@ -13,6 +13,14 @@ Single jitted dispatch per generation: a while_loop over speculation
 rounds, each round = one scanned draft burst + one k-token target verify,
 with both caches rolled back to the accepted prefix (static-shape buffers
 make rollback a pure length update).
+
+Numerics caveat: the identity is exact in fp32 (property-tested). Under
+bf16 the verify pass computes logits with [k, E] matmul shapes while plain
+decoding uses [1, E], so accumulation order differs and near-tie argmax
+positions can flip — the same benign drift class as XLA-vs-torch fp32
+differences, not a scheduling bug. Measured on one v5e chip: k=4 with a
+3-layer truncated draft reaches ~958 tok/s single-stream vs ~650 for
+plain decode (1.47x).
 """
 
 from __future__ import annotations
