@@ -330,6 +330,111 @@ class QuantizedKV:
 
 
 @dataclasses.dataclass(frozen=True)
+class RingKV:
+    """Ring-buffer sliding-window cache: trim-free O(1) eviction.
+
+    Re-applying the reference's sliding-window trim every step
+    (implementations.py:124-140) is equivalent to a ring buffer of size W:
+    the token written at absolute position t lives in slot t % W, and once
+    full every write overwrites the oldest entry. Attention is order-
+    invariant over key slots (positions are baked into K before caching for
+    both learned-position and rotary models), so no compaction or sort is
+    ever needed — the per-step masked-sort gather of the generic trim path
+    disappears.
+
+    `length` holds the ABSOLUTE token count; the reference's position quirk
+    (next position = trimmed cache length) is exposed via `position()`,
+    which saturates at W.
+    """
+
+    n_layer: int
+    n_head: int
+    head_dim: int
+    window: int
+    batch: int = 1
+    dtype: Any = jnp.float32
+
+    @property
+    def capacity(self) -> int:
+        return self.window
+
+    def init(self) -> dict:
+        shape = (self.n_layer, self.batch, self.n_head, self.window, self.head_dim)
+        return {
+            "k": jnp.zeros(shape, self.dtype),
+            "v": jnp.zeros(shape, self.dtype),
+            "length": jnp.zeros((), jnp.int32),  # absolute count
+        }
+
+    def cache_layer_slices(self, cache: dict):
+        return (cache["k"], cache["v"])
+
+    def cache_with_layer_slices(self, cache: dict, new_slices, T: int) -> dict:
+        k, v = new_slices
+        return {"k": k, "v": v, "length": cache["length"]}
+
+    def set_length(self, cache: dict, length) -> dict:
+        return {**cache, "length": jnp.asarray(length, jnp.int32)}
+
+    def position(self, cache: dict) -> jax.Array:
+        """Reference position quirk: trimmed length, saturating at W."""
+        return jnp.minimum(cache["length"], self.window)
+
+    def layer_attend(self, layer_cache, cache, q, k_new, v_new, seq_mask):
+        k_l, v_l = layer_cache
+        length = cache["length"]  # absolute count before this block
+        B, H, T, D = q.shape
+        W = self.window
+
+        if T == 1:
+            # decode: write at slot length % W, then attend all valid slots
+            slot = length % W
+            k_l = jax.lax.dynamic_update_slice(
+                k_l, k_new.astype(k_l.dtype), (0, 0, slot, 0)
+            )
+            v_l = jax.lax.dynamic_update_slice(
+                v_l, v_new.astype(v_l.dtype), (0, 0, slot, 0)
+            )
+            n_valid = jnp.minimum(length + 1, W)
+            scale = 1.0 / jnp.sqrt(jnp.float32(D))
+            Hkv = k_l.shape[1]
+            G = H // Hkv
+            qg = q.reshape(B, Hkv, G, T, D)
+            s = jnp.einsum(
+                "bkgtd,bkcd->bkgtc", qg, k_l, preferred_element_type=jnp.float32
+            ) * scale
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+            s = jnp.where(col[None, None, None] < n_valid, s, NEG_INF)
+            p = jax.nn.softmax(s, axis=-1)
+            out = jnp.einsum(
+                "bkgtc,bkcd->bkgtd", p, v_l, preferred_element_type=jnp.float32
+            )
+            return out.reshape(B, H, T, D), (k_l, v_l)
+
+        # prefill: dense causal attention over the block itself; ring-write
+        # every token at slot t % W (wrap-around leaves exactly the last W)
+        out = _attend(q, k_new, v_new, jnp.zeros((), jnp.int32))
+        t_idx = jnp.arange(T, dtype=jnp.int32)
+        if seq_mask is not None:
+            true_len = jnp.sum(seq_mask[0].astype(jnp.int32))
+        else:
+            true_len = jnp.asarray(T, jnp.int32)
+        # only the last W real tokens survive the window, and writing ONLY
+        # those makes every slot a single-writer scatter (duplicate-index
+        # scatter order is unspecified in XLA)
+        keep = (t_idx < true_len) & (t_idx >= true_len - W)
+        slots = jnp.where(keep, t_idx % W, W)  # W = drop sentinel
+        k_l = k_l.at[:, :, slots, :].set(k_new.astype(k_l.dtype), mode="drop")
+        v_l = v_l.at[:, :, slots, :].set(v_new.astype(v_l.dtype), mode="drop")
+        return out, (k_l, v_l)
+
+    def est_bytes(self, length: int) -> float:
+        per_tok = self.batch * self.n_head * self.head_dim
+        itemsize = jnp.dtype(self.dtype).itemsize
+        return 2.0 * self.n_layer * min(length, self.window) * per_tok * itemsize
+
+
+@dataclasses.dataclass(frozen=True)
 class NoCacheKV:
     """Cache-free strategy: causal attention within the forward block only.
 

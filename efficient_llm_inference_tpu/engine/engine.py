@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..cache import eviction
-from ..cache.kvcache import DenseKV, NoCacheKV, PagedKV, QuantizedKV
+from ..cache.kvcache import DenseKV, NoCacheKV, PagedKV, QuantizedKV, RingKV
 from ..core.config import Config
 from ..core.utils import (
     DeviceTimer,
@@ -162,11 +162,23 @@ class InferenceEngine:
                     batch=self.config.batch_size,
                     dtype=self.config.dtype,
                 )
+            elif method == "sliding_window" and kw.get("ring", True):
+                # trim-free ring buffer: O(1) eviction, token-identical to
+                # the generic trim path (kw ring=False falls back to it)
+                strategy = RingKV(
+                    n_layer=m.n_layer,
+                    n_head=m.n_kv_head,
+                    head_dim=m.head_dim,
+                    window=kw["window_size"],
+                    batch=self.config.batch_size,
+                    dtype=self.config.dtype,
+                )
             else:  # trim family
-                cap = eviction.capacity_bound(method, bucket, max_new, kw)
+                trim_kw = {k_: v_ for k_, v_ in kw.items() if k_ != "ring"}
+                cap = eviction.capacity_bound(method, bucket, max_new, trim_kw)
                 strategy = DenseKV(**self._dense_kw(cap))
                 trim = eviction.TRIM_FNS[method]
-                trim_fn = lambda c: trim(c, kw)  # noqa: E731
+                trim_fn = lambda c: trim(c, trim_kw)  # noqa: E731
             if method == "chunked_cache":
                 trim = eviction.TRIM_FNS[method]
                 trim_fn = lambda c: trim(c, kw)  # noqa: E731

@@ -100,12 +100,14 @@ def make_decode(
     def decode(params, cache, last_logits):
         B = last_logits.shape[0]
 
+        pos_of = getattr(strategy, "position", lambda c: c["length"])
+
         def step(carry, _):
             cache, logits = carry
             tok = jnp.clip(
                 jnp.argmax(logits, axis=-1).astype(jnp.int32), 0, model.vocab_size - 1
             )  # [B]
-            pos = jnp.minimum(cache["length"], model.n_positions - 1)
+            pos = jnp.minimum(pos_of(cache), model.n_positions - 1)
             pos = jnp.broadcast_to(pos[None, None], (B, 1)).astype(jnp.int32)
             logits2, cache = model.forward(
                 params, tok[:, None], pos, cache, strategy, None
@@ -222,11 +224,13 @@ def _decode_body(model, strategy, trim_fn, max_new_tokens, sampling=None):
         B = last_logits.shape[0]
         key0 = jax.random.PRNGKey(sp.seed)
 
+        pos_of = getattr(strategy, "position", lambda c: c["length"])
+
         def step(carry, _):
             cache, logits, key = carry
             key, sub = jax.random.split(key)
             tok = jnp.clip(sample_token(logits, sub, sp), 0, model.vocab_size - 1)
-            pos = jnp.minimum(cache["length"], model.n_positions - 1)
+            pos = jnp.minimum(pos_of(cache), model.n_positions - 1)
             pos = jnp.broadcast_to(pos[None, None], (B, 1)).astype(jnp.int32)
             logits2, cache = model.forward(
                 params, tok[:, None], pos, cache, strategy, None
