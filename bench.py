@@ -22,7 +22,7 @@ import numpy as np
 
 MAX_NEW = 64
 PROMPT_TOKENS = 256
-N_TIMED_REPS = 3
+N_TIMED_REPS = 4
 
 
 def _make_prompt_ids(n: int, vocab: int) -> list[int]:
