@@ -53,18 +53,37 @@ class PoolConfig:
 
 
 class BlockAllocator:
-    """Host-side free-list over the shared pool (block-granular)."""
+    """Host-side refcounted free-list over the shared pool (block-granular).
+
+    Reference counting enables prefix caching: full prompt blocks with
+    identical token content are shared read-only across requests (each
+    holder retains; the block frees when the last holder releases)."""
 
     def __init__(self, n_blocks: int):
         self.free = list(range(n_blocks - 1, -1, -1))
+        self.refcount: Dict[int, int] = {}
 
     def alloc(self, n: int) -> Optional[List[int]]:
         if len(self.free) < n:
             return None
-        return [self.free.pop() for _ in range(n)]
+        blocks = [self.free.pop() for _ in range(n)]
+        for b in blocks:
+            self.refcount[b] = 1
+        return blocks
 
-    def release(self, blocks: List[int]) -> None:
-        self.free.extend(blocks)
+    def retain(self, block: int) -> None:
+        self.refcount[block] += 1
+
+    def release(self, blocks: List[int]) -> List[int]:
+        """Decrement refs; returns the blocks that actually freed."""
+        freed = []
+        for b in blocks:
+            self.refcount[b] -= 1
+            if self.refcount[b] == 0:
+                del self.refcount[b]
+                self.free.append(b)
+                freed.append(b)
+        return freed
 
     @property
     def n_free(self) -> int:
@@ -81,6 +100,7 @@ class ContinuousBatchingEngine:
         pool: PoolConfig = PoolConfig(),
         dtype=jnp.bfloat16,
         eos_id: Optional[int] = None,
+        enable_prefix_cache: bool = False,
     ):
         self.model = model
         self.params = params
@@ -88,6 +108,10 @@ class ContinuousBatchingEngine:
         self.dtype = dtype
         self.eos_id = eos_id
         self.allocator = BlockAllocator(pool.n_blocks)
+        # prefix cache: token-chunk -> shared pool block (+ reverse map)
+        self.enable_prefix_cache = enable_prefix_cache
+        self._prefix_map: Dict[tuple, int] = {}
+        self._block_prefix: Dict[int, tuple] = {}
 
         L, H, D = model.n_layer, model.n_kv_head, model.head_dim
         P = pool
@@ -334,7 +358,7 @@ class ContinuousBatchingEngine:
         quant = P.quant
 
         def prefill(params, k_pool, v_pool, k_scale, v_scale, tables, tokens,
-                    true_lens, admit):
+                    true_lens, admit, reused_lens):
             # tokens: [n_slots, bucket]; tables: [n_slots, max_blocks]
             B, Tpad = tokens.shape
             pos = jnp.minimum(
@@ -372,7 +396,13 @@ class ContinuousBatchingEngine:
                         axis=1,
                     )  # [B, Tpad]
                     off = jnp.broadcast_to(t % P.block_size, blk.shape)
-                    valid = (t < true_lens[:, None]) & admit[:, None]
+                    # skip writes for prefix-cached (shared, read-only)
+                    # positions — their KV already lives in the pool
+                    valid = (
+                        (t < true_lens[:, None])
+                        & (t >= reused_lens[:, None])
+                        & admit[:, None]
+                    )
                     blk = jnp.where(valid, blk, P.n_blocks)  # drop sentinel
                     blk_f = blk.reshape(-1)
                     off_f = off.reshape(-1)
@@ -422,7 +452,8 @@ class ContinuousBatchingEngine:
         """Admit as many queued requests as slots/blocks allow, with ONE
         batched prefill dispatch for the whole wave. Returns #admitted."""
         P = self.pool_cfg
-        wave = []  # (slot, req, ids, blocks)
+        bs = P.block_size
+        wave = []  # (slot, req, ids, blocks, n_reused_blocks)
         for req in list(queue):
             try:
                 slot = next(
@@ -431,7 +462,7 @@ class ContinuousBatchingEngine:
                 )
             except StopIteration:
                 break
-            slot_cap = P.max_blocks_per_seq * P.block_size
+            slot_cap = P.max_blocks_per_seq * bs
             max_prompt = min(P.prompt_bucket, slot_cap - req.max_new_tokens)
             if max_prompt <= 0:
                 raise ValueError(
@@ -439,25 +470,50 @@ class ContinuousBatchingEngine:
                     f"{slot_cap} (max_blocks_per_seq * block_size)"
                 )
             ids = req.prompt_ids[:max_prompt]
-            n_blocks = -(-(len(ids) + req.max_new_tokens) // P.block_size)
-            blocks = self.allocator.alloc(n_blocks)
-            if blocks is None:
+            n_blocks = -(-(len(ids) + req.max_new_tokens) // bs)
+
+            # prefix cache walk: reuse shared blocks while the CUMULATIVE
+            # prompt prefix (context determines KV, not just own tokens)
+            # matches a registered full chunk
+            shared: List[int] = []
+            if self.enable_prefix_cache:
+                for i in range(len(ids) // bs):
+                    key = tuple(ids[: (i + 1) * bs])
+                    blk = self._prefix_map.get(key)
+                    if blk is None:
+                        break
+                    shared.append(blk)
+            fresh = self.allocator.alloc(n_blocks - len(shared))
+            if fresh is None:
                 break
-            wave.append((slot, req, ids, blocks))
+            for blk in shared:
+                self.allocator.retain(blk)
+            blocks = shared + fresh
+            # register this request's own full-prompt blocks so later
+            # requests (including in this same wave) can share them
+            if self.enable_prefix_cache:
+                for i in range(len(shared), len(ids) // bs):
+                    key = tuple(ids[: (i + 1) * bs])
+                    if key not in self._prefix_map:
+                        self._prefix_map[key] = blocks[i]
+                        self._block_prefix.setdefault(blocks[i], []).append(key)
+            wave.append((slot, req, ids, blocks, len(shared)))
 
         if not wave:
             return 0
 
         tokens = np.zeros((P.n_slots, P.prompt_bucket), np.int32)
         true_lens = np.ones((P.n_slots,), np.int32)
+        reused_lens = np.zeros((P.n_slots,), np.int32)
         admit = np.zeros((P.n_slots,), bool)
         tables = self.tables.copy()
-        for slot, req, ids, blocks in wave:
+        for slot, req, ids, blocks, n_shared in wave:
             table = np.full((P.max_blocks_per_seq,), P.n_blocks, np.int32)
             table[: len(blocks)] = blocks
             tables[slot] = table
             tokens[slot, : len(ids)] = ids
             true_lens[slot] = len(ids)
+            reused_lens[slot] = n_shared * bs
             admit[slot] = True
 
         nxt, self.k_pool, self.v_pool, self.k_scale, self.v_scale = self._prefill(
@@ -470,9 +526,10 @@ class ContinuousBatchingEngine:
             jnp.asarray(tokens),
             jnp.asarray(true_lens),
             jnp.asarray(admit),
+            jnp.asarray(reused_lens),
         )
         nxt = np.asarray(nxt)
-        for slot, req, ids, blocks in wave:
+        for slot, req, ids, blocks, n_shared in wave:
             self.tables[slot] = tables[slot]
             self.lengths[slot] = len(ids)
             self.active[slot] = True
@@ -486,7 +543,11 @@ class ContinuousBatchingEngine:
     def _retire(self, slot: int) -> None:
         req = self.slot_req[slot]
         req.done = True
-        self.allocator.release(self.slot_blocks[slot])
+        freed = self.allocator.release(self.slot_blocks[slot])
+        for blk in freed:
+            for key in self._block_prefix.pop(blk, []):
+                if self._prefix_map.get(key) == blk:
+                    del self._prefix_map[key]
         self.slot_blocks[slot] = []
         self.active[slot] = False
         self.slot_req[slot] = None

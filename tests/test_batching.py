@@ -126,6 +126,63 @@ def test_llama_int4_paged_batching():
     assert all(r.done and len(r.out_ids) == 8 for r in reqs)
 
 
+def test_prefix_cache_shares_blocks_and_matches(setup):
+    """Identical prompts share full prompt blocks; divergent suffixes get
+    their own blocks; outputs equal the non-cached engine exactly."""
+    spec, params, eng = setup
+    bs = 16
+    common = list(range(1, bs + 1)) * 2  # 32 tokens = 2 full shared blocks
+    prompts = [
+        common + [60, 61, 62],
+        common + [70, 71, 72],   # same 2-block prefix, different tail
+        common + [60, 61, 62],   # fully identical to request 0
+    ]
+    n_new = 8
+
+    def run(enable):
+        cbe = ContinuousBatchingEngine(
+            spec, params,
+            PoolConfig(n_slots=3, block_size=bs, n_blocks=32,
+                       max_blocks_per_seq=8, prompt_bucket=64),
+            dtype=jnp.float32,
+            enable_prefix_cache=enable,
+        )
+        reqs = [Request(i, list(p), n_new) for i, p in enumerate(prompts)]
+        cbe.run(reqs)
+        return cbe, [r.out_ids for r in reqs]
+
+    cbe_off, outs_off = run(False)
+    cbe_on, outs_on = run(True)
+    assert outs_on == outs_off
+
+    # accounting: without sharing each request allocates ceil((35+8)/16)=3
+    # blocks (9 total); with sharing the 2-block prefix is stored once
+    # (2 shared + 3 requests x 1 tail = 5 concurrent)
+    used_off = 32 - cbe_off.allocator.n_free  # blocks still held: none (all retired)
+    assert cbe_on.allocator.n_free == 32  # all released after completion
+    assert cbe_on._prefix_map == {} and cbe_on._block_prefix == {}
+
+
+def test_prefix_cache_concurrent_accounting(setup):
+    """While identical requests are live, shared blocks are held once."""
+    spec, params, eng = setup
+    bs = 16
+    prompt = list(range(1, 2 * bs + 1))  # exactly 2 full blocks, aligned
+    cbe = ContinuousBatchingEngine(
+        spec, params,
+        PoolConfig(n_slots=2, block_size=bs, n_blocks=16,
+                   max_blocks_per_seq=8, prompt_bucket=64),
+        dtype=jnp.float32,
+        enable_prefix_cache=True,
+    )
+    reqs = [Request(i, list(prompt), 4) for i in range(2)]
+    cbe._admit_wave(list(reqs))  # admit both, no decoding yet
+    # per request: ceil((32+4)/16) = 3 blocks; shared prefix = 2 blocks
+    # -> concurrent = 2 shared + 2x1 decode-tail = 4 (vs 6 unshared)
+    assert 16 - cbe.allocator.n_free == 4
+    assert cbe.allocator.refcount[cbe.slot_blocks[0][0]] == 2
+
+
 def test_blocks_recycled_across_waves(setup):
     spec, params, eng = setup
     # pool only fits ~2 concurrent requests; 5 requests must run in waves
