@@ -61,4 +61,9 @@ def spec_by_name(name: str) -> ModelSpec:
         from . import llama as llama_mod
 
         return llama_mod.llama_spec(llama_mod.LlamaConfig.by_name(name))
+    if name.startswith("mixtral"):
+        from . import mixtral as mx
+
+        cfg = mx.MixtralConfig.tiny() if "tiny" in name else mx.MixtralConfig()
+        return mx.mixtral_spec(cfg)
     raise ValueError(f"Unknown model: {name}")
