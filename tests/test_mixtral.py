@@ -114,3 +114,26 @@ def test_expert_parallel_forward_exact(setup):
             lambda p, t, q: spec.forward(p, t, q, strategy.init(), strategy, None)
         )(sharded, tokens, pos)
     np.testing.assert_allclose(np.asarray(got), np.asarray(base), rtol=2e-5, atol=2e-5)
+
+
+def test_mixtral_continuous_batching(setup):
+    """The batching engine is model-agnostic: MoE serving over the paged
+    pool with an int8 quantized store."""
+    _, cfg, params = setup
+    from efficient_llm_inference_tpu.data.tokenizer import ByteTokenizer
+    from efficient_llm_inference_tpu.engine.batching import (
+        ContinuousBatchingEngine,
+        PoolConfig,
+        Request,
+    )
+
+    cbe = ContinuousBatchingEngine(
+        mx.mixtral_spec(cfg), params,
+        PoolConfig(n_slots=2, block_size=16, n_blocks=16, max_blocks_per_seq=4,
+                   prompt_bucket=32, quant="int8"),
+        dtype=jnp.float32,
+    )
+    tok = ByteTokenizer()
+    reqs = [Request(i, tok.encode(f"expert request {i}"), 6) for i in range(4)]
+    cbe.run(reqs)
+    assert all(r.done and len(r.out_ids) == 6 for r in reqs)
