@@ -323,7 +323,9 @@ class QuantizedKV:
         B, H, D, L = self.batch, self.n_head, self.head_dim, self.n_layer
         per_tok_store = {"int8": B * H * D, "int4": B * H * (D // 2)}
         n_scales = 1 if self.granularity == "per_token" else H
-        scale_bytes = n_scales * jnp.dtype(self.dtype).itemsize
+        # scales live in float32 buffers (init() uses jnp.float32), so count
+        # them at 4 bytes regardless of the compute dtype
+        scale_bytes = n_scales * jnp.dtype(jnp.float32).itemsize
         k_b = per_tok_store[self._k_kind()] + scale_bytes
         v_b = per_tok_store[self._v_kind()] + scale_bytes
         return float(L * length * (k_b + v_b))

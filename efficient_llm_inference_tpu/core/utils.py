@@ -43,30 +43,65 @@ def _first_accel_device() -> Optional[jax.Device]:
     return None
 
 
-def reset_device_peak(device: str = "tpu") -> None:
-    """Reset device peak-memory statistics if the backend supports it.
-
-    TPU analog of torch.cuda.reset_peak_memory_stats
-    (reference: src/core/utils.py:16-21). The TPU runtime does not expose a
-    reset, so this is a no-op kept for API parity; `get_device_peak_mb`
-    reports the runtime's running peak.
-    """
-    return None
+# session peak (peak_bytes_in_use) observed at the last reset_device_peak()
+# call, used to approximate per-window peaks (the TPU runtime has no reset)
+_peak_at_reset: Optional[float] = None
 
 
-def get_device_peak_mb(device: str = "tpu") -> Optional[float]:
-    """Peak device memory in MB via memory_stats (reference: utils.py:23-34)."""
+def _read_stats() -> Optional[dict]:
     d = _first_accel_device()
-    if d is None or device == "cpu":
+    if d is None:
         return None
     try:
         stats = d.memory_stats()
     except Exception:
         return None
-    if not stats:
+    return stats or None
+
+
+def reset_device_peak(device: str = "tpu") -> None:
+    """Mark the start of a peak-measurement window.
+
+    TPU analog of torch.cuda.reset_peak_memory_stats (reference:
+    src/core/utils.py:16-21). The TPU runtime exposes no peak reset, so this
+    snapshots the current session peak; `get_device_peak_mb` then reports a
+    per-window estimate instead of the session-running peak (which would let
+    method A's peak bleed into method B's report, unlike the reference's
+    per-benchmark reset at benchmarker.py:689).
+    """
+    global _peak_at_reset
+    if device == "cpu":
+        return None
+    stats = _read_stats()
+    if stats is None:
+        _peak_at_reset = None
         return None
     peak = stats.get("peak_bytes_in_use", stats.get("bytes_in_use"))
-    return None if peak is None else peak / (1024**2)
+    _peak_at_reset = None if peak is None else float(peak)
+    return None
+
+
+def get_device_peak_mb(device: str = "tpu") -> Optional[float]:
+    """Peak device memory in MB since the last `reset_device_peak`.
+
+    If the session peak rose during the window, that IS the window's peak.
+    Otherwise the high-water mark predates the window; the best available
+    estimate is the current bytes-in-use (a lower bound on the window peak).
+    Matches the reference's absolute-MB semantics (utils.py:23-34).
+    """
+    if device == "cpu":
+        return None
+    stats = _read_stats()
+    if stats is None:
+        return None
+    peak = stats.get("peak_bytes_in_use", stats.get("bytes_in_use"))
+    if peak is None:
+        return None
+    if _peak_at_reset is not None and float(peak) <= _peak_at_reset:
+        used = stats.get("bytes_in_use")
+        if used is not None:
+            return used / (1024**2)
+    return peak / (1024**2)
 
 
 def get_device_mem_mb(device: str = "tpu") -> Optional[float]:

@@ -469,6 +469,16 @@ class ContinuousBatchingEngine:
                     f"max_new_tokens={req.max_new_tokens} exceeds slot capacity "
                     f"{slot_cap} (max_blocks_per_seq * block_size)"
                 )
+            if len(req.prompt_ids) > max_prompt:
+                import warnings
+
+                warnings.warn(
+                    f"request {req.rid}: prompt of {len(req.prompt_ids)} tokens "
+                    f"truncated to {max_prompt} (prompt_bucket={P.prompt_bucket}, "
+                    f"slot capacity {slot_cap} - max_new_tokens="
+                    f"{req.max_new_tokens})",
+                    stacklevel=2,
+                )
             ids = req.prompt_ids[:max_prompt]
             n_blocks = -(-(len(ids) + req.max_new_tokens) // bs)
 

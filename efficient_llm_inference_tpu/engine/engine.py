@@ -197,8 +197,9 @@ class InferenceEngine:
             if method in _TRUNCATING_METHODS
             else self.model.n_positions
         )
-        # Leave at least one position for generation.
-        cap = min(cap, self.model.n_positions)
+        # A prompt of exactly n_positions tokens generates with positions
+        # clamped to n_positions-1 (the reference has the same aliasing: HF
+        # position_ids saturate when the cache hits the context limit).
         return list(ids[:cap])
 
     def _run(

@@ -248,8 +248,15 @@ def _decode_body(model, strategy, trim_fn, max_new_tokens, sampling=None):
     return decode
 
 
-def bucket_for(length: int, buckets=(16, 32, 64, 128, 256, 512, 1024)) -> int:
-    """Smallest bucket >= length (bounds XLA recompiles across prompt sizes)."""
+def bucket_for(
+    length: int, buckets=(16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+) -> int:
+    """Smallest bucket >= length (bounds XLA recompiles across prompt sizes).
+
+    The table extends to 8192 so long-context models (llama/mixtral allow
+    n_positions=8192) can take >1024-token prompts on the non-truncating
+    methods; the engine clamps the chosen bucket to model.n_positions.
+    """
     for b in buckets:
         if length <= b:
             return b

@@ -22,10 +22,36 @@ from typing import Dict, List
 
 
 # ---------------------------------------------------------------------------
-# Classic Porter stemmer (Porter, 1980 — "An algorithm for suffix stripping")
+# Porter stemmer, NLTK_EXTENSIONS behavior (what `rouge_score` uses via
+# nltk.stem.porter.PorterStemmer() — its default mode). The extensions over
+# Porter 1980: an irregular-forms pool (dying→die, news→news, ...), special
+# ies/ied handling for 4-letter words, the consonant-y step-1c condition,
+# the alli-then-recurse / bli / fulli / logi step-2 rules, and the
+# vowel-consonant *o extension for 2-letter stems. Behavior verified
+# token-exactly against nltk + rouge_score in tests/test_rouge_golden.py.
 # ---------------------------------------------------------------------------
 
 _VOWELS = "aeiou"
+
+# Irregular forms drawn to Porter's attention over the years (NLTK pool).
+_IRREGULAR = {
+    "sky": "sky",
+    "skies": "sky",
+    "dying": "die",
+    "lying": "lie",
+    "tying": "tie",
+    "news": "news",
+    "innings": "inning",
+    "inning": "inning",
+    "outings": "outing",
+    "outing": "outing",
+    "cannings": "canning",
+    "canning": "canning",
+    "howe": "howe",
+    "proceed": "proceed",
+    "exceed": "exceed",
+    "succeed": "succeed",
+}
 
 
 def _is_cons(word: str, i: int) -> bool:
@@ -65,25 +91,38 @@ def _ends_double_cons(word: str) -> bool:
 
 
 def _cvc(word: str) -> bool:
-    if len(word) < 3:
-        return False
-    if not (
+    if len(word) >= 3 and (
         _is_cons(word, len(word) - 3)
         and not _is_cons(word, len(word) - 2)
         and _is_cons(word, len(word) - 1)
+        and word[-1] not in "wxy"
     ):
-        return False
-    return word[-1] not in "wxy"
+        return True
+    # NLTK extension: a 2-letter vowel-consonant stem also counts as *o
+    return len(word) == 2 and not _is_cons(word, 0) and _is_cons(word, 1)
+
+
+def _rules(w: str, rules) -> str:
+    """First matching suffix wins; a failed condition stops the list."""
+    for suf, rep, cond in rules:
+        if w.endswith(suf):
+            stem = w[: -len(suf)] if suf else w
+            return stem + rep if (cond is None or cond(stem)) else w
+    return w
 
 
 def porter_stem(word: str) -> str:
-    """Stem one lowercase word with the classic Porter algorithm."""
+    """Stem one lowercase word, matching NLTK's default-mode PorterStemmer."""
+    if word in _IRREGULAR:
+        return _IRREGULAR[word]
     if len(word) <= 2:
         return word
     w = word
 
-    # Step 1a
-    if w.endswith("sses"):
+    # Step 1a ('ties'/'dies' keep the e — 4-letter NLTK extension)
+    if w.endswith("ies") and len(w) == 4:
+        w = w[:-1]
+    elif w.endswith("sses"):
         w = w[:-2]
     elif w.endswith("ies"):
         w = w[:-2]
@@ -92,71 +131,78 @@ def porter_stem(word: str) -> str:
     elif w.endswith("s"):
         w = w[:-1]
 
-    # Step 1b
-    flag_1b = False
-    if w.endswith("eed"):
+    # Step 1b ('died'→'die' but 'spied'→'spi' — NLTK extension)
+    if w.endswith("ied"):
+        w = w[:-1] if len(w) == 4 else w[:-2]
+    elif w.endswith("eed"):
         if _measure(w[:-3]) > 0:
             w = w[:-1]
-    elif w.endswith("ed"):
-        if _has_vowel(w[:-2]):
+    else:
+        flag_1b = False
+        if w.endswith("ed") and _has_vowel(w[:-2]):
             w = w[:-2]
             flag_1b = True
-    elif w.endswith("ing"):
-        if _has_vowel(w[:-3]):
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
             w = w[:-3]
             flag_1b = True
-    if flag_1b:
-        if w.endswith(("at", "bl", "iz")):
-            w += "e"
-        elif _ends_double_cons(w) and not w.endswith(("l", "s", "z")):
-            w = w[:-1]
-        elif _measure(w) == 1 and _cvc(w):
-            w += "e"
+        if flag_1b:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _ends_double_cons(w):
+                if w[-1] not in "lsz":
+                    w = w[:-1]
+                # double l/s/z: matched rule with failed condition -> stop
+            elif _measure(w) == 1 and _cvc(w):
+                w += "e"
 
-    # Step 1c
-    if w.endswith("y") and _has_vowel(w[:-1]):
-        w = w[:-1] + "i"
+    # Step 1c: y→i only after a consonant in a >1-char stem (NLTK condition:
+    # 'happy'→'happi' but 'enjoy'→'enjoy', 'say' stays)
+    if w.endswith("y"):
+        stem = w[:-1]
+        if len(stem) > 1 and _is_cons(stem, len(stem) - 1):
+            w = stem + "i"
 
-    # Step 2
-    step2 = [
-        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
-        ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
-        ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
-        ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
-        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
-    ]
-    for suf, rep in step2:
-        if w.endswith(suf):
-            if _measure(w[: -len(suf)]) > 0:
-                w = w[: -len(suf)] + rep
-            break
+    # Step 2 (NLTK: 'alli' strips first then re-runs; 'bli'→'ble' replaces
+    # the paper's 'abli'→'able'; 'fulli' and 'logi' rules added)
+    if w.endswith("alli") and _measure(w[:-4]) > 0:
+        return porter_stem(w[:-4] + "al")
+    m_pos = lambda s: _measure(s) > 0  # noqa: E731
+    w_snapshot = w
+    w = _rules(w, [
+        ("ational", "ate", m_pos), ("tional", "tion", m_pos),
+        ("enci", "ence", m_pos), ("anci", "ance", m_pos),
+        ("izer", "ize", m_pos), ("bli", "ble", m_pos),
+        ("alli", "al", m_pos), ("entli", "ent", m_pos),
+        ("eli", "e", m_pos), ("ousli", "ous", m_pos),
+        ("ization", "ize", m_pos), ("ation", "ate", m_pos),
+        ("ator", "ate", m_pos), ("alism", "al", m_pos),
+        ("iveness", "ive", m_pos), ("fulness", "ful", m_pos),
+        ("ousness", "ous", m_pos), ("aliti", "al", m_pos),
+        ("iviti", "ive", m_pos), ("biliti", "ble", m_pos),
+        ("fulli", "ful", m_pos),
+        # the 'l' stays with the stem so 'geologi' works like 'archaeologi'
+        ("logi", "log", lambda s: _measure(w_snapshot[:-3]) > 0),
+    ])
 
     # Step 3
-    step3 = [
-        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
-        ("ical", "ic"), ("ful", ""), ("ness", ""),
-    ]
-    for suf, rep in step3:
-        if w.endswith(suf):
-            if _measure(w[: -len(suf)]) > 0:
-                w = w[: -len(suf)] + rep
-            break
+    w = _rules(w, [
+        ("icate", "ic", m_pos), ("ative", "", m_pos), ("alize", "al", m_pos),
+        ("iciti", "ic", m_pos), ("ical", "ic", m_pos), ("ful", "", m_pos),
+        ("ness", "", m_pos),
+    ])
 
     # Step 4
-    step4 = [
-        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
-        "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
-    ]
-    for suf in step4:
-        if w.endswith(suf):
-            stem = w[: -len(suf)]
-            if _measure(stem) > 1:
-                if suf == "ion":
-                    if stem and stem[-1] in "st":
-                        w = stem
-                else:
-                    w = stem
-            break
+    m_gt1 = lambda s: _measure(s) > 1  # noqa: E731
+    w = _rules(w, [
+        ("al", "", m_gt1), ("ance", "", m_gt1), ("ence", "", m_gt1),
+        ("er", "", m_gt1), ("ic", "", m_gt1), ("able", "", m_gt1),
+        ("ible", "", m_gt1), ("ant", "", m_gt1), ("ement", "", m_gt1),
+        ("ment", "", m_gt1), ("ent", "", m_gt1),
+        ("ion", "", lambda s: _measure(s) > 1 and bool(s) and s[-1] in "st"),
+        ("ou", "", m_gt1), ("ism", "", m_gt1), ("ate", "", m_gt1),
+        ("iti", "", m_gt1), ("ous", "", m_gt1), ("ive", "", m_gt1),
+        ("ize", "", m_gt1),
+    ])
 
     # Step 5a
     if w.endswith("e"):

@@ -58,16 +58,21 @@ def quantize_int4_packed(
     """Symmetric INT4 quantization packed 2-per-byte along the last axis.
 
     Reproduces reference ops.py:33-65: scale = max|x|/7, clamp [-8,7], +8 to
-    unsigned nibble, even index in the high nibble. Requires an even last
-    dimension (the engine's head_dim is always even; the reference pads odd
-    dims, ops.py:54-56).
+    unsigned nibble, even index in the high nibble. An ODD last dimension is
+    zero-padded by one element before packing (reference ops.py:54-56 tracks
+    this as `orig_last_dim`); pass `orig_last_dim` to
+    :func:`dequantize_int4_packed` to slice the pad lane off again. The scale
+    is computed on the unpadded values (the pad is zero, so it never affects
+    max|x| anyway).
 
-    Returns (packed uint8 [..., D//2], scale fp32 with reduced axes squeezed).
+    Returns (packed uint8 [..., ceil(D/2)], scale fp32, reduced axes squeezed).
     """
-    assert x.shape[-1] % 2 == 0, "packed int4 requires even last dim"
     x32 = x.astype(jnp.float32)
     scale = _scale(x32, 7.0, tuple(axes), eps)
     q = jnp.clip(jnp.round(x32 / scale), -8, 7).astype(jnp.int8)
+    if x.shape[-1] % 2 == 1:
+        pad = [(0, 0)] * (q.ndim - 1) + [(0, 1)]
+        q = jnp.pad(q, pad)  # pad quantizes to 0 -> nibble 8 after offset
     q_u = (q + 8).astype(jnp.uint8)
     hi = q_u[..., 0::2]
     lo = q_u[..., 1::2]
@@ -84,12 +89,18 @@ def unpack_int4(packed: jax.Array) -> jax.Array:
 
 
 def dequantize_int4_packed(
-    packed: jax.Array, scale: jax.Array, out_dtype=jnp.float32
+    packed: jax.Array,
+    scale: jax.Array,
+    out_dtype=jnp.float32,
+    orig_last_dim: int | None = None,
 ) -> jax.Array:
     """Packed INT4 dequantize (reference ops.py:121-133).
 
     `scale` must be broadcastable against the *unpacked* shape
-    [..., 2*packed.shape[-1]].
+    [..., 2*packed.shape[-1]]. `orig_last_dim` slices off the zero pad lane
+    when the original last dimension was odd (reference ops.py:114-133).
     """
     q = unpack_int4(packed)
+    if orig_last_dim is not None and orig_last_dim != q.shape[-1]:
+        q = q[..., :orig_last_dim]
     return (q.astype(jnp.float32) * scale.astype(jnp.float32)).astype(out_dtype)

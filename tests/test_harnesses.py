@@ -34,6 +34,30 @@ def engine():
     )
 
 
+def test_long_prompt_non_truncating_method_beyond_1024():
+    """Prompts >1024 tokens must not crash non-truncating methods on models
+    with n_positions > 1024 (the bucket table extends past 1024)."""
+    import jax
+
+    cfg = gpt2_mod.GPT2Config(
+        vocab_size=260, n_positions=2048, n_embd=32, n_layer=1, n_head=2
+    )
+    params = gpt2_mod.init_gpt2_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    eng = InferenceEngine(
+        gpt2_spec(cfg),
+        params,
+        config=Config(model_name="t", device="cpu", dtype=jnp.float32),
+    )
+    prompt = "river " * 250  # 1500 bytes -> 1500 tokens (ByteTokenizer)
+    assert len(eng.tokenizer.encode(prompt)) > 1024
+    text = eng.generate(prompt, method="sliding_window", max_new_tokens=2,
+                        window_size=64)
+    assert isinstance(text, str) and len(text) > 0
+    # truncating methods still clip at prompt_cap (reference parity)
+    ids = eng._encode(prompt, "full_cache")
+    assert len(ids) == eng.config.prompt_cap
+
+
 SCHEMA_KEYS = {
     "method",
     "elapsed_sec",

@@ -98,6 +98,44 @@ def test_eps_clamp_on_zeros():
     assert np.all(np.asarray(q) == 0)
 
 
+def _torch_int4_packed_odd(x):
+    """Reference odd-last-dim path: pad quantized values by one zero element
+    before the nibble offset (/root/reference/src/quantization/ops.py:54-56)."""
+    x32 = torch.tensor(x, dtype=torch.float32)
+    scale = (x32.abs().max() / 7.0).clamp(min=1e-8)
+    q = torch.clamp((x32 / scale).round(), -8, 7).to(torch.int8)
+    orig_last = q.size(-1)
+    if orig_last % 2 == 1:
+        q = torch.cat([q, torch.zeros_like(q[..., :1])], dim=-1)
+    q_u = (q + 8).to(torch.uint8)
+    packed = (q_u[..., 0::2] << 4) | q_u[..., 1::2]
+    return packed.numpy(), float(scale), orig_last
+
+
+@pytest.mark.parametrize("last_dim", [5, 7, 15])
+def test_int4_odd_last_dim_matches_torch_reference(last_dim):
+    rng = np.random.default_rng(10 + last_dim)
+    x = rng.normal(scale=0.5, size=(2, 3, last_dim)).astype(np.float32)
+    p_ref, s_ref, orig = _torch_int4_packed_odd(x)
+    p, s = quantize_int4_packed(jnp.asarray(x), axes=(0, 1, 2))
+    assert p.shape[-1] == (last_dim + 1) // 2
+    assert np.array_equal(np.asarray(p), p_ref)
+    assert np.isclose(float(s), s_ref, rtol=1e-6, atol=0)
+    # round-trip through orig_last_dim truncation recovers the odd shape
+    y = dequantize_int4_packed(p, s, orig_last_dim=orig)
+    assert y.shape == x.shape
+    bound = float(s) / 2 + 1e-6
+    assert np.abs(np.asarray(y) - x).max() <= bound
+
+
+def test_int4_odd_dim_pad_lane_is_zero_nibble():
+    # the pad lane must encode exactly q=0 (nibble 8), reference ops.py:54-56
+    x = jnp.asarray([[3.0, -3.0, 1.0]])
+    p, s = quantize_int4_packed(x, axes=(0, 1))
+    q = np.asarray(unpack_int4(p))
+    assert q.shape[-1] == 4 and q[0, -1] == 0
+
+
 def test_per_head_granularity_scales():
     rng = np.random.default_rng(5)
     x = rng.normal(size=(1, 4, 6, 16)).astype(np.float32)
