@@ -56,6 +56,14 @@ class Config:
         prompt_cap: Static prompt-length cap (reference truncates at 1024,
             /root/reference/src/benchmarking/benchmarker.py:76-78). XLA needs
             static shapes, so this also bounds cache capacity.
+        scan_unroll: Layer-loop unroll factor; None = auto (full unroll on
+            TPU for models up to 16 layers, 1 elsewhere). Unrolling removes
+            per-iteration scan overhead from the decode step — measured
+            716 -> 542 us/step on GPT-2 small on v5e — at the cost of a
+            bigger (cached) compile.
+        weight_quant: "int8" quantizes matmul weights per output channel
+            (serving mode, beyond the reference; ~1.7x decode speedup at
+            batch 1). None keeps full-precision weights (token-exact vs HF).
     """
 
     model_name: str = "gpt2"
@@ -65,6 +73,15 @@ class Config:
     max_new_tokens: int = 64
     batch_size: int = 1
     prompt_cap: int = 1024
+    scan_unroll: Optional[int] = None
+    weight_quant: Optional[Literal["int8"]] = None
+
+    def resolved_scan_unroll(self, n_layer: int) -> int:
+        if self.scan_unroll is not None:
+            return self.scan_unroll
+        if self.device == "tpu" and n_layer <= 16:
+            return n_layer
+        return 1
 
     def __post_init__(self):
         # Seed host-side RNGs for anything non-JAX (dataset shuffling etc.).

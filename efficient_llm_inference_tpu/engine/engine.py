@@ -85,8 +85,17 @@ class InferenceEngine:
         config: Optional[Config] = None,
         params=None,
     ) -> "InferenceEngine":
+        import dataclasses as _dc
+
+        from ..models.registry import spec_with_config
+
         config = config or Config(model_name=name)
         spec = spec_by_name(name)
+        unroll = config.resolved_scan_unroll(spec.n_layer)
+        if unroll != getattr(spec.config, "scan_unroll", 1):
+            spec = spec_with_config(
+                spec, _dc.replace(spec.config, scan_unroll=unroll)
+            )
         if params is None:
             if name.startswith("gpt2"):
                 params = gpt2_mod.init_gpt2_params(
@@ -97,6 +106,17 @@ class InferenceEngine:
 
                 params = llama_mod.init_llama_params(
                     config.prng_key(), spec.config, config.dtype
+                )
+        if config.weight_quant == "int8":
+            if spec.name == "gpt2":
+                params = gpt2_mod.quantize_gpt2_weights(params)
+            elif spec.name == "llama":
+                from ..models import llama as llama_mod
+
+                params = llama_mod.quantize_llama_weights(params)
+            else:
+                raise ValueError(
+                    f"weight_quant=int8 not supported for {spec.name}"
                 )
         if tokenizer is None:
             tokenizer = load_tokenizer(name)
@@ -220,6 +240,7 @@ class InferenceEngine:
             buf = np.zeros((self.config.batch_size, total_cap), np.int32)
             buf[0, :true_len] = ids
             gen, n_new = fns(self.params, jnp.asarray(buf), jnp.int32(true_len))
+            gen, n_new = jax.device_get((gen, n_new))  # one round-trip
             n_new = int(n_new)
             out_ids = np.asarray(gen)[0, : true_len + n_new].tolist()
             self.last_generation_ids = out_ids
@@ -235,8 +256,11 @@ class InferenceEngine:
         buf[0, :true_len] = ids
         toks, final_len = generate(self.params, jnp.asarray(buf), jnp.int32(true_len))
         n_new = max_new_tokens
+        # one host fetch for both results: each device_get is a full
+        # round-trip through the remote runtime (~tens of ms)
+        toks, final_len = jax.device_get((toks, final_len))
         out_ids = ids + np.asarray(toks)[0].tolist()
-        final_len = int(jax.device_get(final_len))
+        final_len = int(final_len)
         self.last_generation_ids = out_ids  # raw token ids of prompt+generation
         return (
             self.tokenizer.decode(out_ids, skip_special_tokens=True),

@@ -100,6 +100,55 @@ def init_gpt2_params(key: jax.Array, cfg: GPT2Config, dtype=jnp.float32) -> dict
     return params
 
 
+def quantize_gpt2_weights(params: dict) -> dict:
+    """Per-output-channel symmetric int8 weight quantization (serving mode).
+
+    Beyond the reference (which only quantizes KV): batch-1 decode is
+    weight-bandwidth bound, so int8 weights nearly halve step time (measured
+    548 GB/s of int8 bytes through XLA's fused convert+dot on v5e — the
+    convert does NOT materialize in HBM). Returns a params pytree where every
+    large matmul weight is replaced by {"q": int8, "s": f32[1(,1), F]};
+    embeddings/norms/biases stay in the original dtype. `wte` additionally
+    gets an int8 lm-head copy (`lm_q`/`lm_s`) while the bf16 table is kept
+    for the (tiny) embedding lookups.
+    """
+
+    def q(w):
+        w32 = jnp.asarray(w, jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(w32), axis=-2, keepdims=True) / 127.0, 1e-8)
+        return {
+            "q": jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8),
+            "s": s,
+        }
+
+    blocks = dict(params["blocks"])
+    for name in ("attn_w", "attn_proj_w", "fc_w", "fc_proj_w"):
+        blocks[name] = q(blocks[name])
+    out = dict(params)
+    out["blocks"] = blocks
+    lm = q(params["wte"].T)  # [E, V]
+    out["lm_q"], out["lm_s"] = lm["q"], lm["s"]
+    return out
+
+
+def _mm(x: jax.Array, w, b=None) -> jax.Array:
+    """x @ w (+ b) where w is a dense array or an int8 {"q", "s"} dict.
+
+    The int8 path multiplies in the compute dtype and scales the f32
+    accumulator per output channel; XLA fuses the convert into the dot (no
+    dequantized copy in HBM).
+    """
+    if isinstance(w, dict):
+        y = jnp.dot(
+            x, w["q"].astype(x.dtype), preferred_element_type=jnp.float32
+        ) * w["s"]
+    else:
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def _layer_norm(x: jax.Array, g: jax.Array, b: jax.Array, eps: float) -> jax.Array:
     """LayerNorm with fp32 statistics (matches HF under bf16 weights)."""
     x32 = x.astype(jnp.float32)
@@ -152,7 +201,7 @@ def gpt2_forward(
     def layer_body(x, layer_in):
         bp, layer_cache = layer_in
         h = _layer_norm(x, bp["ln1_g"], bp["ln1_b"], cfg.layer_norm_epsilon)
-        qkv = h @ bp["attn_w"] + bp["attn_b"]  # [B, T, 3E]
+        qkv = _mm(h, bp["attn_w"], bp["attn_b"])  # [B, T, 3E]
         q, k, v = jnp.split(qkv, 3, axis=-1)
         # [B, T, H, D] -> [B, H, T, D]
         q = q.reshape(B, T, H, D).transpose(0, 2, 1, 3)
@@ -164,12 +213,12 @@ def gpt2_forward(
         )  # [B, H, T, D]
 
         a = attn_out.transpose(0, 2, 1, 3).reshape(B, T, E).astype(x.dtype)
-        a = a @ bp["attn_proj_w"] + bp["attn_proj_b"]
+        a = _mm(a, bp["attn_proj_w"], bp["attn_proj_b"])
         x = x + a
 
         h2 = _layer_norm(x, bp["ln2_g"], bp["ln2_b"], cfg.layer_norm_epsilon)
-        m = _gelu_new(h2 @ bp["fc_w"] + bp["fc_b"])
-        m = m @ bp["fc_proj_w"] + bp["fc_proj_b"]
+        m = _gelu_new(_mm(h2, bp["fc_w"], bp["fc_b"]))
+        m = _mm(m, bp["fc_proj_w"], bp["fc_proj_b"])
         x = x + m
         return x, layer_cache
 
@@ -181,9 +230,14 @@ def gpt2_forward(
     x = _layer_norm(x, params["lnf_g"], params["lnf_b"], cfg.layer_norm_epsilon)
     # Keep operands in the weight dtype (bf16 on TPU: MXU-native, half the
     # HBM traffic of an fp32 upcast) and accumulate in fp32.
-    logits = jnp.einsum(
-        "bte,ve->btv", x, wte, preferred_element_type=jnp.float32
-    )  # [B, T, V]
+    if "lm_q" in params:  # int8 weight-quantized lm head (serving mode)
+        logits = jnp.dot(
+            x, params["lm_q"].astype(x.dtype), preferred_element_type=jnp.float32
+        ) * params["lm_s"]
+    else:
+        logits = jnp.einsum(
+            "bte,ve->btv", x, wte, preferred_element_type=jnp.float32
+        )  # [B, T, V]
     return logits, cache
 
 

@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .gpt2 import _mm
+
 
 @dataclasses.dataclass(frozen=True)
 class LlamaConfig:
@@ -177,9 +179,9 @@ def llama_forward(
     def layer_body(x, layer_in):
         bp, layer_cache = layer_in
         h = _rms_norm(x, bp["ln1"], cfg.rms_eps)
-        q = (h @ bp["wq"]).reshape(B, T, Hq, D).transpose(0, 2, 1, 3)
-        k = (h @ bp["wk"]).reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
-        v = (h @ bp["wv"]).reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
+        q = _mm(h, bp["wq"]).reshape(B, T, Hq, D).transpose(0, 2, 1, 3)
+        k = _mm(h, bp["wk"]).reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
+        v = _mm(h, bp["wv"]).reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -187,12 +189,12 @@ def llama_forward(
             layer_cache, cache, q, k, v, seq_mask
         )
         a = attn_out.transpose(0, 2, 1, 3).reshape(B, T, Hq * D).astype(x.dtype)
-        x = x + a @ bp["wo"]
+        x = x + _mm(a, bp["wo"])
 
         h2 = _rms_norm(x, bp["ln2"], cfg.rms_eps)
-        gate = jax.nn.silu((h2 @ bp["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-        up = h2 @ bp["w_up"]
-        x = x + (gate * up) @ bp["w_down"]
+        gate = jax.nn.silu(_mm(h2, bp["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+        up = _mm(h2, bp["w_up"])
+        x = x + _mm(gate * up, bp["w_down"])
         return x, layer_cache
 
     x, new_layer_caches = jax.lax.scan(
@@ -202,7 +204,11 @@ def llama_forward(
 
     x = _rms_norm(x, params["ln_f"], cfg.rms_eps)
     # bf16 operands + fp32 accumulation (MXU-native, half the HBM traffic).
-    if cfg.tie_embeddings:
+    if "lm_q" in params:  # int8 weight-quantized lm head (serving mode)
+        logits = jnp.dot(
+            x, params["lm_q"].astype(x.dtype), preferred_element_type=jnp.float32
+        ) * params["lm_s"]
+    elif cfg.tie_embeddings:
         logits = jnp.einsum(
             "bte,ve->btv", x, params["embed"], preferred_element_type=jnp.float32
         )
@@ -211,6 +217,34 @@ def llama_forward(
             "bte,ev->btv", x, params["lm_head"], preferred_element_type=jnp.float32
         )
     return logits, cache
+
+
+def quantize_llama_weights(params: dict) -> dict:
+    """Per-output-channel symmetric int8 weight quantization (serving mode).
+
+    Same scheme as models/gpt2.py:quantize_gpt2_weights: every matmul weight
+    becomes {"q": int8, "s": f32}; embed/norms stay full precision; the
+    lm head (tied or untied) gets an int8 copy under `lm_q`/`lm_s`.
+    """
+
+    def q(w):
+        w32 = jnp.asarray(w, jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(w32), axis=-2, keepdims=True) / 127.0, 1e-8)
+        return {
+            "q": jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8),
+            "s": s,
+        }
+
+    blocks = dict(params["blocks"])
+    for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+        blocks[name] = q(blocks[name])
+    out = dict(params)
+    out["blocks"] = blocks
+    head = params["lm_head"] if "lm_head" in params else params["embed"].T
+    lm = q(head)
+    out.pop("lm_head", None)
+    out["lm_q"], out["lm_s"] = lm["q"], lm["s"]
+    return out
 
 
 def llama_spec(cfg: LlamaConfig):

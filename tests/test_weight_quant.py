@@ -1,0 +1,92 @@
+"""int8 weight quantization (serving mode) + scan-unroll equivalence.
+
+Weight quantization is a TPU-native extension beyond the reference (which
+only quantizes KV): per-output-channel symmetric int8, dequantized inside
+the dot by XLA (no HBM materialization). Unrolling the layer scan must be
+numerically identical to the rolled loop.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from efficient_llm_inference_tpu.cache.kvcache import DenseKV
+from efficient_llm_inference_tpu.core.config import Config
+from efficient_llm_inference_tpu.engine.engine import InferenceEngine
+from efficient_llm_inference_tpu.models import gpt2 as gpt2_mod
+from efficient_llm_inference_tpu.models import llama as llama_mod
+from efficient_llm_inference_tpu.models.registry import gpt2_spec
+
+
+def _logits(spec, params, tokens):
+    strat = DenseKV(
+        n_layer=spec.n_layer,
+        n_head=spec.n_kv_head,
+        head_dim=spec.head_dim,
+        capacity=tokens.shape[1] + 4,
+        batch=1,
+        dtype=jnp.float32,
+    )
+    pos = jnp.broadcast_to(
+        jnp.arange(tokens.shape[1], dtype=jnp.int32)[None], tokens.shape
+    )
+    logits, _ = spec.forward(params, tokens, pos, strat.init(), strat, None)
+    return np.asarray(logits)
+
+
+@pytest.mark.parametrize("family", ["gpt2", "llama"])
+def test_int8_weights_close_to_fp(family):
+    if family == "gpt2":
+        cfg = gpt2_mod.GPT2Config.tiny()
+        spec = gpt2_spec(cfg)
+        params = gpt2_mod.init_gpt2_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        qparams = gpt2_mod.quantize_gpt2_weights(params)
+    else:
+        cfg = llama_mod.LlamaConfig.tiny()
+        spec = llama_mod.llama_spec(cfg)
+        params = llama_mod.init_llama_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        qparams = llama_mod.quantize_llama_weights(params)
+
+    toks = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size, (1, 16)), jnp.int32
+    )
+    fp = _logits(spec, params, toks)
+    q8 = _logits(spec, qparams, toks)
+    # int8 per-channel round-off: logits stay close in a relative sense
+    denom = np.abs(fp).max()
+    assert np.abs(q8 - fp).max() / denom < 0.05
+    # and greedy decisions mostly agree on random-init tiny models
+    agree = (fp.argmax(-1) == q8.argmax(-1)).mean()
+    assert agree >= 0.75, agree
+
+
+def test_engine_weight_quant_int8_generates():
+    eng = InferenceEngine.from_model_name(
+        "gpt2-tiny",
+        config=Config(
+            model_name="t", device="cpu", dtype=jnp.float32, weight_quant="int8"
+        ),
+    )
+    text, n = eng.generate_with_cache("Hello world.", max_new_tokens=4)
+    assert n == 4 and isinstance(text, str)
+
+
+def test_scan_unroll_token_exact():
+    cfg = gpt2_mod.GPT2Config.tiny()
+    params = gpt2_mod.init_gpt2_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+    outs = []
+    for unroll in (1, 2):
+        eng = InferenceEngine.from_model_name(
+            "gpt2-tiny",
+            params=params,
+            config=Config(
+                model_name="t", device="cpu", dtype=jnp.float32, scan_unroll=unroll
+            ),
+        )
+        outs.append(eng.generate_ids("The river flows", method="full_cache",
+                                     max_new_tokens=8))
+    assert outs[0] == outs[1]
