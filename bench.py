@@ -130,7 +130,7 @@ def measure_batching(time_budget_s: float = 300.0) -> float | None:
             spec,
             eng.params,
             PoolConfig(n_slots=16, block_size=64, n_blocks=64,
-                       max_blocks_per_seq=2, prompt_bucket=128, max_chunk=32,
+                       max_blocks_per_seq=2, prompt_bucket=128, max_chunk=64,
                        quant="int8"),
             dtype=eng.config.dtype,
         )

@@ -279,30 +279,34 @@ class QuantizedKV:
 
         # Fused decode path: one Pallas kernel reads the quantized buffers
         # directly (no dequantized materialization) and merges the fp
-        # current token into the same online softmax.
+        # current token into the same online softmax. Works for any batch
+        # (grid is (B, Hkv)); T>1 prefill takes the reference-numerics path.
         T = q.shape[2]
-        if self.fused and T == 1 and self.batch == 1:
-            from ..ops.pallas.attention import fused_quant_attention_decode
+        if self.fused and T == 1:
+            from ..ops.pallas.attention import fused_quant_attention_batched
 
+            B, H, C = self.batch, self.n_head, self.capacity
             if self.granularity == "per_token":
-                ks2 = jnp.broadcast_to(ks_l[None, :], (self.n_head, self.capacity))
-                vs2 = jnp.broadcast_to(vs_l[None, :], (self.n_head, self.capacity))
+                ks2 = jnp.broadcast_to(ks_l[None, None, :], (B, H, C))
+                vs2 = jnp.broadcast_to(vs_l[None, None, :], (B, H, C))
             else:
-                ks2, vs2 = ks_l, vs_l
-            out = fused_quant_attention_decode(
-                q[0, :, 0],  # [Hq, D]
-                k_l[0],
+                ks2 = jnp.broadcast_to(ks_l[None], (B, H, C))
+                vs2 = jnp.broadcast_to(vs_l[None], (B, H, C))
+            out = fused_quant_attention_batched(
+                q[:, :, 0],  # [B, Hq, D]
+                k_l,
                 ks2,
-                v_l[0],
+                v_l,
                 vs2,
-                k_new[0, :, 0],
-                v_new[0, :, 0],
-                length,
+                k_new,  # [B, H, 1, D]
+                v_new,
+                jnp.broadcast_to(length, (B,)),
+                jnp.int32(1),
                 k_bits=self._bits(self._k_kind()),
                 v_bits=self._bits(self._v_kind()),
                 interpret=self._interpret,
             )
-            return out[None, :, None, :], (k_l, v_l, ks_l, vs_l)
+            return out[:, :, None, :], (k_l, v_l, ks_l, vs_l)
 
         # Reference-numerics path: dequantize the whole buffer, then overlay
         # the current block in fp (reference keeps the in-flight token

@@ -148,10 +148,33 @@ class ContinuousBatchingEngine:
         self._prefill = jax.jit(self._make_prefill())
         self._chunks: Dict[int, Callable] = {}
 
-    def _decode_chunk(self, n_steps: int):
-        if n_steps not in self._chunks:
-            self._chunks[n_steps] = jax.jit(self._make_decode_chunk(n_steps))
-        return self._chunks[n_steps]
+    def _decode_chunk(self, n_steps: int, n_past_blocks: int):
+        key = (n_steps, n_past_blocks)
+        if key not in self._chunks:
+            self._chunks[key] = jax.jit(
+                self._make_decode_chunk(n_steps, n_past_blocks)
+            )
+        return self._chunks[key]
+
+    def _past_blocks_bucket(self) -> int:
+        """Blocks needed to cover every active slot's past, bucketed to a few
+        compiled sizes (full, 1/2, 1/4 of max_blocks_per_seq).
+
+        Early in serving most slots hold a few hundred tokens while the slot
+        capacity is sized for the longest request — gathering and attending
+        over the full padded capacity wastes most of the chunk's HBM
+        traffic. Bucketing recovers it at the cost of <=3 compiled shapes.
+        """
+        P = self.pool_cfg
+        active = self.active
+        if not active.any():
+            return P.max_blocks_per_seq
+        need = -(-int(self.lengths[active].max()) // P.block_size)
+        need = max(need, 1)
+        for b in (P.max_blocks_per_seq // 4, P.max_blocks_per_seq // 2):
+            if b >= need:
+                return b
+        return P.max_blocks_per_seq
 
     # ------------------------------------------------------------------
     # jitted step builders
@@ -189,54 +212,83 @@ class ContinuousBatchingEngine:
             vals = ((hi << 4) | lo).astype(jnp.uint8)
         return vals, jnp.squeeze(scale, axis=(-3, -1))
 
-    def _make_decode_chunk(self, n_steps: int):
+    def _make_decode_chunk(self, n_steps: int, n_past_blocks: int):
         """Staged chunk decode: `n_steps` batched steps in ONE dispatch with
         pool traffic amortized across the chunk.
 
         The pool is FROZEN for the duration of a chunk: the past KV is
-        gathered once (not per step), new tokens accumulate in a small
-        staging buffer [L, B, H, n_steps, D] that each step's attention
-        reads alongside the frozen past, and the whole staging buffer is
-        scattered into the pool once at chunk end. This removes the
-        per-step pool gather AND the per-step scatter (TPU scatters are
-        slow), which dominated the unstaged step cost.
+        gathered once (not per step) — only the first `n_past_blocks` table
+        entries, bucketed to what the active slots actually use — new tokens
+        accumulate in a small staging buffer [L, B, H, n_steps, D] that each
+        step's attention reads alongside the frozen past, and the whole
+        staging buffer is scattered into the pool once at chunk end. This
+        removes the per-step pool gather AND the per-step scatter (TPU
+        scatters are slow), which dominated the unstaged step cost.
+
+        Quantized pools stay COMPRESSED end to end: the gather keeps the raw
+        int8 / packed-int4 values and per-token scales, and each step's
+        attention reads them through the fused Pallas kernel
+        (ops/pallas/attention.py:fused_quant_attention_batched) — the past is
+        never materialized at full precision. The reference pays an O(T)
+        dequant materialization per STEP (ops.py:212-269); round 1 of this
+        engine paid it per chunk; now it is never paid.
         """
         model = self.model
         P = self.pool_cfg
         H, D, Hq, L = model.n_kv_head, model.head_dim, model.n_head, model.n_layer
         G = Hq // H
-        Tcap = P.max_blocks_per_seq * P.block_size
+        Tpast = n_past_blocks * P.block_size  # bucketed gather/attend span
+        Tcap = P.max_blocks_per_seq * P.block_size  # full slot capacity
         NEG = float(jnp.finfo(jnp.float32).min)
 
         quant = P.quant
+        fused = quant != "none"
+        interp = not self._on_tpu
 
         def chunk(params, k_pool, v_pool, k_scale, v_scale, tables, lengths,
                   active, tokens):
             B = tokens.shape[0]
             lengths0 = lengths
+            tables_g = tables[:, :n_past_blocks]
 
-            # 1. gather the frozen past ONCE per chunk (dequantizing if the
-            # pool is int8/int4): pool -> past [L, B, H, Tcap, D]
+            # 1. gather the frozen past ONCE per chunk (still quantized —
+            # compressed size): pool -> past [L, B, H, Tpast, Ds]
             def gather(pool):
-                g = pool[:, :, tables]  # [L, H, B, mb, bs, Ds]
-                g = g.reshape(L, H, B, Tcap, g.shape[-1])
+                g = pool[:, :, tables_g]  # [L, H, B, mb, bs, Ds]
+                g = g.reshape(L, H, B, Tpast, g.shape[-1])
                 return g.transpose(0, 2, 1, 3, 4)
 
             def gather_scale(sc):
-                g = sc[:, tables]  # [L, B, mb, bs]
-                return g.reshape(L, B, Tcap)
+                g = sc[:, tables_g]  # [L, B, mb, bs]
+                return g.reshape(L, B, Tpast)
 
-            k_past = self._dequant_gathered(gather(k_pool), gather_scale(k_scale))
-            v_past = self._dequant_gathered(gather(v_pool), gather_scale(v_scale))
+            k_past, v_past = gather(k_pool), gather(v_pool)
+            k_psc, v_psc = gather_scale(k_scale), gather_scale(v_scale)
+            if not fused:
+                k_past = self._dequant_gathered(k_past, k_psc)
+                v_past = self._dequant_gathered(v_past, v_psc)
+            elif quant == "int4":
+                # unpack nibbles ONCE per chunk (values stay integer, scales
+                # stay separate): the pool keeps its 4x memory win, while the
+                # per-step kernel runs the int8 path — per-step nibble ALU
+                # work on quarter-utilized lanes measured ~2x slower than
+                # this amortized unpack
+                from ..ops.quantization import unpack_int4
+
+                k_past = unpack_int4(k_past)  # [L, B, H, Tpast, D] int8
+                v_past = unpack_int4(v_past)
             st_shape = (L, B, H, n_steps, D)
-            staging_k = jnp.zeros(st_shape, k_pool.dtype)
-            staging_v = jnp.zeros(st_shape, v_pool.dtype)
+            st_dt = self.dtype
+            staging_k = jnp.zeros(st_shape, st_dt)
+            staging_v = jnp.zeros(st_shape, st_dt)
 
             class _StagedStrategy:
                 def cache_layer_slices(self_s, cache):
                     return (
                         cache["k_past"],
                         cache["v_past"],
+                        cache["k_psc"],
+                        cache["v_psc"],
                         cache["st_k"],
                         cache["st_v"],
                     )
@@ -249,7 +301,7 @@ class ContinuousBatchingEngine:
                     return cache
 
                 def layer_attend(self_s, layer_cache, cache, q, k_new, v_new, sm):
-                    kp, vp, sk, sv = layer_cache  # past [B,H,Tcap,D], staging
+                    kp, vp, ksc, vsc, sk, sv = layer_cache
                     i = cache["i"]
                     sk = jax.lax.dynamic_update_slice(
                         sk, k_new.astype(sk.dtype), (0, 0, i, 0)
@@ -257,7 +309,27 @@ class ContinuousBatchingEngine:
                     sv = jax.lax.dynamic_update_slice(
                         sv, v_new.astype(sv.dtype), (0, 0, i, 0)
                     )
-                    k_all = jnp.concatenate([kp, sk], axis=2)  # [B,H,Tcap+n,D]
+                    if fused:
+                        from ..ops.pallas.attention import (
+                            fused_quant_attention_batched,
+                        )
+
+                        out = fused_quant_attention_batched(
+                            q[:, :, 0],  # [B, Hq, D]
+                            kp,  # [B, H, Tpast, D] int8 (int4 pre-unpacked)
+                            jnp.broadcast_to(ksc[:, None], (B, H, Tpast)),
+                            vp,
+                            jnp.broadcast_to(vsc[:, None], (B, H, Tpast)),
+                            sk,  # [B, H, n_steps, D] fp staging
+                            sv,
+                            lengths0,
+                            i + 1,
+                            k_bits=8,
+                            v_bits=8,
+                            interpret=interp,
+                        )
+                        return out[:, :, None, :], (sk, sv)
+                    k_all = jnp.concatenate([kp, sk], axis=2)  # [B,H,Tp+n,D]
                     v_all = jnp.concatenate([vp, sv], axis=2)
                     scale = 1.0 / jnp.sqrt(jnp.float32(D))
                     qg = q.reshape(B, H, G, 1, D)
@@ -266,11 +338,11 @@ class ContinuousBatchingEngine:
                         preferred_element_type=jnp.float32,
                     ) * scale
                     t_idx = jax.lax.broadcasted_iota(
-                        jnp.int32, (B, 1, 1, 1, Tcap + n_steps), 4
+                        jnp.int32, (B, 1, 1, 1, Tpast + n_steps), 4
                     )
                     past_ok = t_idx < lengths0[:, None, None, None, None]
-                    stage_ok = (t_idx >= Tcap) & ((t_idx - Tcap) <= i)
-                    mask = jnp.where(t_idx < Tcap, past_ok, stage_ok)
+                    stage_ok = (t_idx >= Tpast) & ((t_idx - Tpast) <= i)
+                    mask = jnp.where(t_idx < Tpast, past_ok, stage_ok)
                     sc = jnp.where(mask, sc, NEG)
                     pr = jax.nn.softmax(sc, axis=-1)
                     out = jnp.einsum(
@@ -287,6 +359,8 @@ class ContinuousBatchingEngine:
                 cache = {
                     "k_past": k_past,
                     "v_past": v_past,
+                    "k_psc": k_psc,
+                    "v_psc": v_psc,
                     "st_k": st_k,
                     "st_v": st_v,
                     "i": i,
@@ -595,7 +669,7 @@ class ContinuousBatchingEngine:
             chunk = self.pool_cfg.max_chunk
 
             (toks, self.k_pool, self.v_pool, self.k_scale, self.v_scale) = (
-                self._decode_chunk(chunk)(
+                self._decode_chunk(chunk, self._past_blocks_bucket())(
                     self.params,
                     self.k_pool,
                     self.v_pool,

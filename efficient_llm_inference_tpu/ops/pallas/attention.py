@@ -54,6 +54,192 @@ def _interleave(x):
     )
 
 
+def _make_batched_kernel(kv_bits_k: int, kv_bits_v: int, D: int, C: int,
+                         G: int, S: int, H: int):
+    """Two-region batched decode attention: quantized past + fp extra block.
+
+    Grid (B,) with ALL KV heads fused into one program per slot (head-
+    blocked: a (slot, head) grid at decode tile sizes is DMA-overhead bound
+    — measured on the round-1 paged kernel, docs/BENCHMARKS.md). The
+    program walks heads with a fori_loop over the slot's [H, C, Ds] stripe
+    and merges a small full-precision region of S positions (the staged
+    chunk buffer, or just the current token when S == 1) into the same
+    online softmax. Quantized values feed the MXU directly; scales fold
+    into scores/probs, so no dequantized buffer ever exists anywhere.
+    """
+    scale = 1.0 / (D**0.5)
+
+    def kernel(
+        len_ref,  # SMEM scalar-prefetch: [B] int32 valid past (t < len)
+        nex_ref,  # SMEM scalar-prefetch: [1] int32 valid extra (j < nex)
+        q_ref,  # [1, H, G, D]
+        kq_ref,  # [1, H, C, Ds]
+        ks_ref,  # [1, H, 1, C] f32 per-(head,)token scales, lane-major
+        vq_ref,
+        vs_ref,
+        ke_ref,  # [1, H, S, D] fp extra K
+        ve_ref,  # [1, H, S, D] fp extra V
+        o_ref,  # [1, H, G, D]
+    ):
+        b = pl.program_id(0)
+        length = len_ref[b]
+        nex = nex_ref[0]
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+        j_idx = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+        d2 = D // 2
+
+        def _nibbles(packed, dt):
+            """hi/lo int4 planes WITHOUT the lane-concat: a dot over a
+            deinterleaved D splits into (evens half) + (odds half), so the
+            kernel computes two half-width dots and never shuffles lanes."""
+            p32 = packed.astype(jnp.int32)
+            hi = ((p32 >> 4) & 0x0F) - 8
+            lo = (p32 & 0x0F) - 8
+            return hi.astype(dt), lo.astype(dt)
+
+        def _dot(a, bm):  # [G, D?] x [C, D?] -> [G, C]
+            return jax.lax.dot_general(
+                a, bm, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def _pv(p, vm):  # [G, C] x [C, D?] -> [G, D?]
+            return jax.lax.dot_general(
+                p, vm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def head_body(h, _):  # fori_loop: VMEM scratch reused across heads
+            # Scales FOLD INTO scores/probs instead of dequantizing K/V:
+            # s[g,c] = (q . k_q[c]) * ks[c] and p' = p * vs — the quantized
+            # stripes feed the MXU directly (int8 is exact in bf16) and the
+            # kernel never holds a dequantized [C, D] buffer, keeping scoped
+            # VMEM flat in C (a full f32 dequant of every head OOMs at
+            # C >= 1024).
+            q = q_ref[0, h]  # [G, D], model dtype
+            dt = q.dtype
+            if kv_bits_k == 4:
+                k_hi, k_lo = _nibbles(kq_ref[0, h], dt)
+                s_raw = _dot(q[:, :d2], k_hi) + _dot(q[:, d2:], k_lo)
+            else:
+                s_raw = _dot(q, kq_ref[0, h].astype(dt) if kv_bits_k == 8
+                             else kq_ref[0, h])
+            if kv_bits_k != 16:
+                s_raw = s_raw * ks_ref[0, h]  # [1, C] broadcast over G
+            s_past = jnp.where(t_idx < length, s_raw * scale, NEG_INF)
+
+            s_ex = _dot(q, ke_ref[0, h]) * scale  # [G, S]
+            s_ex = jnp.where(j_idx < nex, s_ex, NEG_INF)
+
+            m = jnp.maximum(
+                jnp.max(s_past, axis=-1, keepdims=True),
+                jnp.max(s_ex, axis=-1, keepdims=True),
+            )  # [G, 1]
+            p_past = jnp.exp(s_past - m)
+            p_ex = jnp.exp(s_ex - m)
+            denom = (
+                jnp.sum(p_past, axis=-1, keepdims=True)
+                + jnp.sum(p_ex, axis=-1, keepdims=True)
+            )
+            if kv_bits_v != 16:
+                pp = (p_past * vs_ref[0, h]).astype(dt)  # fold V scales
+            else:
+                pp = p_past.astype(dt)
+            if kv_bits_v == 4:
+                v_hi, v_lo = _nibbles(vq_ref[0, h], dt)
+                out = jnp.concatenate(
+                    [_pv(pp, v_hi), _pv(pp, v_lo)], axis=-1
+                )  # [G, D] in deinterleaved order
+            else:
+                out = _pv(pp, vq_ref[0, h].astype(dt) if kv_bits_v == 8
+                          else vq_ref[0, h])
+            out = out + _pv(p_ex.astype(dt), ve_ref[0, h])
+            o_ref[0, h] = (out / denom).astype(o_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, H, head_body, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k_bits", "v_bits", "interpret")
+)
+def fused_quant_attention_batched(
+    q,  # [B, Hq, D] fp queries (one decode row per slot)
+    k_q,  # [B, Hkv, C, D] int8 or [B, Hkv, C, D//2] uint8
+    k_scale,  # [B, Hkv, C] f32
+    v_q,
+    v_scale,
+    k_extra,  # [B, Hkv, S, D] fp region (staged chunk / current token)
+    v_extra,
+    lengths,  # [B] int32: past positions t < lengths[b] are visible
+    n_extra,  # int32 scalar: extra positions j < n_extra are visible
+    k_bits: int = 8,
+    v_bits: int = 8,
+    interpret: bool = False,
+):
+    """Returns [B, Hq, D] (q's dtype). Reads the quantized KV at compressed
+    size — the serving-path replacement for materializing a dequantized past
+    every chunk (the reference pays this per STEP, ops.py:212-269).
+
+    k_bits/v_bits: 8 = int8 + per-token scale, 4 = packed int4 + scale,
+    16 = raw fp storage (scales ignored — lets the fp pool share this
+    kernel and skip the per-step concat materialization)."""
+    B, Hq, D = q.shape
+    Hkv, C = k_q.shape[1], k_q.shape[2]
+    S = k_extra.shape[2]
+    G = Hq // Hkv
+
+    if k_bits == 4:
+        q = _deinterleave(q)
+        k_extra = _deinterleave(k_extra)
+    if v_bits == 4:
+        v_extra = _deinterleave(v_extra)
+
+    qg = q.reshape(B, Hkv, G, D)
+    lengths = jnp.asarray(lengths, jnp.int32).reshape(B)
+    nex = jnp.asarray(n_extra, jnp.int32).reshape(1)
+    ks = k_scale.astype(jnp.float32)[:, :, None, :]  # [B, Hkv, 1, C]
+    vs = v_scale.astype(jnp.float32)[:, :, None, :]
+
+    kernel = _make_batched_kernel(k_bits, v_bits, D, C, G, S, Hkv)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Hkv, G, D), lambda b, ln, nx: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hkv, C, k_q.shape[3]),
+                         lambda b, ln, nx: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hkv, 1, C), lambda b, ln, nx: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hkv, C, v_q.shape[3]),
+                         lambda b, ln, nx: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hkv, 1, C), lambda b, ln, nx: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hkv, S, D), lambda b, ln, nx: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hkv, S, D), lambda b, ln, nx: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Hkv, G, D), lambda b, ln, nx: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+        interpret=interpret,
+    )(lengths, nex, qg, k_q, ks, v_q, vs, k_extra, v_extra)
+    out = out.reshape(B, Hq, D)
+    if v_bits == 4:
+        out = _interleave(out)
+    return out
+
+
 def _make_kernel(kv_bits_k: int, kv_bits_v: int, D: int, C: int, G: int):
     scale = 1.0 / (D**0.5)
 

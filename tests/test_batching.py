@@ -94,7 +94,10 @@ def test_quantized_pool_batching(setup, quant):
         assert all(r.done and len(r.out_ids) == n_new for r in reqs)
         outs[q] = [r.out_ids for r in reqs]
     for a, b in zip(outs["none"], outs[quant]):
-        assert token_agreement_rate(a, b) >= 0.5, (a, b)
+        # staging stays full-precision and the fused kernel reads the pool
+        # at reference numerics, so agreement is near-perfect; slack only
+        # for quantization flipping a genuine near-tie
+        assert token_agreement_rate(a, b) >= 0.9, (a, b)
 
 
 def test_llama_int4_paged_batching():
