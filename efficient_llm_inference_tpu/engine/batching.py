@@ -101,12 +101,20 @@ class ContinuousBatchingEngine:
         dtype=jnp.bfloat16,
         eos_id: Optional[int] = None,
         enable_prefix_cache: bool = False,
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh with ("data", "model") axes.
+        KV-head pools shard over "model", decode slots over "data" (the
+        docstring contract above, now actually placed and tested). Sharded
+        mode runs the jnp attention path — einsum reductions stay within
+        shards, so tokens are exactly the single-device tokens; the fused
+        Pallas kernel is single-device until a shard_map wrapper exists."""
         self.model = model
         self.params = params
         self.pool_cfg = pool
         self.dtype = dtype
         self.eos_id = eos_id
+        self.mesh = mesh
         self.allocator = BlockAllocator(pool.n_blocks)
         # prefix cache: token-chunk -> shared pool block (+ reverse map)
         self.enable_prefix_cache = enable_prefix_cache
@@ -130,6 +138,21 @@ class ContinuousBatchingEngine:
         # per-token scales (shared across heads/D, reference granularity)
         self.k_scale = jnp.ones((L, P.n_blocks, P.block_size), jnp.float32)
         self.v_scale = jnp.ones((L, P.n_blocks, P.block_size), jnp.float32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as PS
+
+            assert H % mesh.shape["model"] == 0, (H, dict(mesh.shape))
+            assert P.n_slots % mesh.shape["data"] == 0, (
+                P.n_slots, dict(mesh.shape))
+            pool_s = NamedSharding(mesh, PS(None, "model"))
+            rep = NamedSharding(mesh, PS())
+            self.k_pool = jax.device_put(self.k_pool, pool_s)
+            self.v_pool = jax.device_put(self.v_pool, pool_s)
+            self.k_scale = jax.device_put(self.k_scale, rep)
+            self.v_scale = jax.device_put(self.v_scale, rep)
+            self._slot_sharding = NamedSharding(mesh, PS("data"))
+        else:
+            self._slot_sharding = None
         from ..core.config import default_device_kind
 
         self._on_tpu = default_device_kind() == "tpu"
@@ -147,6 +170,13 @@ class ContinuousBatchingEngine:
 
         self._prefill = jax.jit(self._make_prefill())
         self._chunks: Dict[int, Callable] = {}
+
+    def _slot_arr(self, x) -> jax.Array:
+        """Host slot-state array -> device, sharded over "data" when meshed."""
+        a = jnp.asarray(x)
+        if self._slot_sharding is not None:
+            a = jax.device_put(a, self._slot_sharding)
+        return a
 
     def _decode_chunk(self, n_steps: int, n_past_blocks: int):
         key = (n_steps, n_past_blocks)
@@ -242,7 +272,7 @@ class ContinuousBatchingEngine:
         NEG = float(jnp.finfo(jnp.float32).min)
 
         quant = P.quant
-        fused = quant != "none"
+        fused = quant != "none" and self.mesh is None
         interp = not self._on_tpu
 
         def chunk(params, k_pool, v_pool, k_scale, v_scale, tables, lengths,
@@ -606,11 +636,11 @@ class ContinuousBatchingEngine:
             self.v_pool,
             self.k_scale,
             self.v_scale,
-            jnp.asarray(tables),
-            jnp.asarray(tokens),
-            jnp.asarray(true_lens),
-            jnp.asarray(admit),
-            jnp.asarray(reused_lens),
+            self._slot_arr(tables),
+            self._slot_arr(tokens),
+            self._slot_arr(true_lens),
+            self._slot_arr(admit),
+            self._slot_arr(reused_lens),
         )
         nxt = np.asarray(nxt)
         for slot, req, ids, blocks, n_shared in wave:
@@ -675,10 +705,10 @@ class ContinuousBatchingEngine:
                     self.v_pool,
                     self.k_scale,
                     self.v_scale,
-                    jnp.asarray(self.tables),
-                    jnp.asarray(self.lengths),
-                    jnp.asarray(self.active),
-                    jnp.asarray(self.last_token),
+                    self._slot_arr(self.tables),
+                    self._slot_arr(self.lengths),
+                    self._slot_arr(self.active),
+                    self._slot_arr(self.last_token),
                 )
             )
             toks = np.asarray(toks)  # [chunk, B]

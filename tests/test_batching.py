@@ -205,3 +205,42 @@ def test_blocks_recycled_across_waves(setup):
     assert all(r.done for r in reqs)
     assert all(len(r.out_ids) == 8 for r in reqs)
     assert cbe.allocator.n_free == 12  # all blocks returned
+
+
+@pytest.mark.parametrize("quant", ["none", "int8"])
+def test_sharded_engine_matches_unsharded(setup, quant):
+    """(data, model)-meshed serving: heads shard over "model", slots over
+    "data"; tokens must equal the single-device engine's exactly (einsum
+    reduction dims are unsharded, so no cross-shard accumulation reorder)."""
+    from jax.sharding import Mesh
+
+    spec, params, eng = setup
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)  # n_head=2 -> model=2
+    mesh = Mesh(devices.reshape(4, 2), ("data", "model"))
+    prompts = [
+        "The weather in the mountains changes quickly.",
+        "Rivers flow from the hills down to the sea.",
+        "Engineers design bridges to withstand loads.",
+    ]
+    n_new = 10
+    pool = PoolConfig(n_slots=4, block_size=16, n_blocks=24,
+                      max_blocks_per_seq=8, prompt_bucket=64, quant=quant)
+    outs = {}
+    for m in (None, mesh):
+        cbe = ContinuousBatchingEngine(spec, params, pool,
+                                       dtype=jnp.float32, mesh=m)
+        reqs = [Request(i, eng.tokenizer.encode(p), n_new)
+                for i, p in enumerate(prompts)]
+        cbe.run(reqs)
+        outs[m is None] = [r.out_ids for r in reqs]
+    if quant == "none":
+        assert outs[True] == outs[False]
+    else:
+        # sharded quant mode runs the jnp dequant path vs the fused kernel
+        # single-device: same math, different f32 accumulation order
+        from efficient_llm_inference_tpu.evaluation.quality import (
+            token_agreement_rate,
+        )
+
+        for a, b in zip(outs[True], outs[False]):
+            assert token_agreement_rate(a, b) >= 0.9, (a, b)
