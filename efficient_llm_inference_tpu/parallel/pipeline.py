@@ -5,12 +5,19 @@ sequence-sharded forward): the layer stack is split into S stages, each
 stage's parameters live on its own device (group), and activations hop
 stage-to-stage over ICI via `lax.ppermute` inside `shard_map`.
 
-This implementation runs the stages sequentially (fill-drain, no
-microbatch overlap yet — GPipe-style overlap is roadmap work); it is the
-memory-capacity form of PP: an S-stage mesh holds a model S× larger than
-one device's HBM. Embeddings/ln_f/lm_head are replicated (small next to
-the layer stack).
+Three schedules are provided:
 
+* `make_pipeline_forward` — sequential fill-drain forward (cache-free);
+* `make_gpipe_forward` — GPipe microbatch overlap: at tick t stage s works
+  on microbatch t-s, efficiency M/(M+S-1) vs the sequential form's 1/S;
+* `make_pipeline_generate` — KV-CACHED greedy generation: each stage holds
+  a DenseKV cache for its own layers (stage-sharded state), prefill writes
+  the prompt KV per stage, and the decode scan hops single-token
+  activations stage-to-stage — so PP actually serves tokens. This is the
+  memory-capacity form of serving: an S-stage mesh decodes a model S×
+  larger than one device's HBM, with the KV cache also split S ways.
+
+Embeddings/ln_f/lm_head are replicated (small next to the layer stack).
 Works for any stacked-layer model whose per-layer body is exposed through
 the strategy-free forward (GPT-2 here); validated on the virtual CPU mesh
 (tests/test_pipeline.py) and in the driver dry-run.
@@ -262,6 +269,140 @@ def make_gpipe_forward(
     specs = stage_param_specs()
     fn = shard_map(
         spmd_fn,
+        mesh=mesh,
+        in_specs=(specs, P(), P()),
+        out_specs=P(),
+    )
+    return jax.jit(fn)
+
+
+def make_pipeline_generate(
+    cfg: gpt2_mod.GPT2Config,
+    mesh: Mesh,
+    n_stages: int,
+    max_new_tokens: int,
+    capacity: int,
+):
+    """KV-cached pipelined greedy generation (PP can now SERVE, not just
+    forward). Returns a jitted (staged_params, tokens [B, Tpad], true_len)
+    -> tokens [B, max_new_tokens], token-exact vs the single-device engine.
+
+    Each stage owns a DenseKV cache for its layer block — stage-sharded
+    cache state, the PP memory-capacity story for both weights AND KV.
+    Prefill runs the sequential fill-drain over the padded prompt writing
+    each stage's cache; the decode scan sends one token's activation around
+    the stage ring per step (cache writes gated to the owning stage).
+    """
+    from ..cache.kvcache import DenseKV
+
+    S = n_stages
+    Lp = cfg.n_layer // S
+    eps = cfg.layer_norm_epsilon
+    strategy = DenseKV(
+        n_layer=Lp, n_head=cfg.n_head, head_dim=cfg.head_dim,
+        capacity=capacity,
+    )
+
+    def stage_apply(blocks, k_st, v_st, length, x, seq_mask):
+        """Run this device's layer block with its local KV cache.
+
+        k_st/v_st: [Lp, B, H, C, D]; x: [B, T, E]. Returns (y, k_st, v_st).
+        """
+        B, T = x.shape[:2]
+        D, H, E = cfg.head_dim, cfg.n_head, cfg.n_embd
+        cache = {"length": length}
+
+        def layer_body(x, layer_in):
+            bp, (k_l, v_l) = layer_in
+            h = gpt2_mod._layer_norm(x, bp["ln1_g"], bp["ln1_b"], eps)
+            qkv = h @ bp["attn_w"] + bp["attn_b"]
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+            k = k.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+            v = v.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+            out, (k_l, v_l) = strategy.layer_attend(
+                (k_l, v_l), cache, q, k, v, seq_mask
+            )
+            a = out.transpose(0, 2, 1, 3).reshape(B, T, E).astype(x.dtype)
+            x = x + (a @ bp["attn_proj_w"] + bp["attn_proj_b"])
+            h2 = gpt2_mod._layer_norm(x, bp["ln2_g"], bp["ln2_b"], eps)
+            m = gpt2_mod._gelu_new(h2 @ bp["fc_w"] + bp["fc_b"])
+            x = x + (m @ bp["fc_proj_w"] + bp["fc_proj_b"])
+            return x, (k_l, v_l)
+
+        y, (k_st, v_st) = jax.lax.scan(layer_body, x, (blocks, (k_st, v_st)))
+        return y, k_st, v_st
+
+    def ring_pass(params, k_st, v_st, x, length, seq_mask, stage_id):
+        """One full fill-drain pass over all stages; gated cache commits."""
+        fwd_perm = [(i, (i + 1) % S) for i in range(S)]
+        blocks = jax.tree.map(lambda b: b[0], params["blocks"])
+        for s in range(S):
+            y, k_new, v_new = stage_apply(blocks, k_st, v_st, length, x, seq_mask)
+            own = stage_id == s
+            x = jnp.where(own, y, x)
+            k_st = jnp.where(own, k_new, k_st)
+            v_st = jnp.where(own, v_new, v_st)
+            if s < S - 1:
+                x = jax.lax.ppermute(x, "stage", fwd_perm)
+        # broadcast the last stage's activation to every device
+        x = jnp.where(stage_id == S - 1, x, jnp.zeros_like(x))
+        return jax.lax.psum(x, "stage"), k_st, v_st
+
+    def logits_of(params, x):
+        x = gpt2_mod._layer_norm(x, params["lnf_g"], params["lnf_b"], eps)
+        return jnp.einsum(
+            "bte,ve->btv", x, params["wte"], preferred_element_type=jnp.float32
+        )
+
+    def spmd_gen(params, tokens, true_len):
+        stage_id = jax.lax.axis_index("stage")
+        B, Tpad = tokens.shape
+        H, D, E = cfg.n_head, cfg.head_dim, cfg.n_embd
+        k_st = jnp.zeros((Lp, B, H, capacity, D), jnp.float32)
+        v_st = jnp.zeros((Lp, B, H, capacity, D), jnp.float32)
+        k_st = jax.lax.pcast(k_st, ("stage",), to="varying")
+        v_st = jax.lax.pcast(v_st, ("stage",), to="varying")
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, Tpad), 1)
+        seq_mask = col < true_len
+        pos = jnp.minimum(col, cfg.n_positions - 1)
+        x = params["wte"][tokens] + params["wpe"][pos]
+        x = jnp.where(seq_mask[..., None], x, jnp.zeros_like(x))
+        x = jax.lax.pcast(x, ("stage",), to="varying")
+
+        # PREFILL: cache written at positions 0..Tpad-1, length -> true_len
+        x, k_st, v_st = ring_pass(
+            params, k_st, v_st, x, jnp.zeros((), jnp.int32), seq_mask, stage_id
+        )
+        logits = logits_of(params, x)
+        idx = jnp.broadcast_to((true_len - 1)[None, None, None], (B, 1, 1))
+        last = jnp.take_along_axis(logits, idx, axis=1)[:, 0]
+
+        # DECODE: one token around the ring per step
+        def step(carry, _):
+            k_st, v_st, logits, length = carry
+            tok = jnp.clip(
+                jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                0, cfg.vocab_size - 1,
+            )  # [B]
+            p = jnp.minimum(length, cfg.n_positions - 1)
+            x = params["wte"][tok][:, None, :] + params["wpe"][p][None, None, :]
+            x = jax.lax.pcast(x, ("stage",), to="varying")
+            x, k_st, v_st = ring_pass(
+                params, k_st, v_st, x, length, None, stage_id
+            )
+            logits2 = logits_of(params, x)[:, 0]
+            return (k_st, v_st, logits2, length + 1), tok
+
+        (_, _, _, _), toks = jax.lax.scan(
+            step, (k_st, v_st, last, true_len), None, length=max_new_tokens
+        )
+        return toks.T  # [B, max_new_tokens]
+
+    specs = stage_param_specs()
+    fn = shard_map(
+        spmd_gen,
         mesh=mesh,
         in_specs=(specs, P(), P()),
         out_specs=P(),

@@ -105,3 +105,64 @@ def test_pipeline_greedy_step(setup):
     with mesh:
         tok = step(staged, jnp.asarray(buf), jnp.int32(len(ids)))
     assert int(np.asarray(tok)[0]) == ref_tok
+
+
+def test_pipeline_generate_token_exact(setup):
+    """KV-cached pipelined greedy decode == single-device engine tokens."""
+    from efficient_llm_inference_tpu.core.config import Config
+    from efficient_llm_inference_tpu.engine.engine import InferenceEngine
+    from efficient_llm_inference_tpu.parallel.pipeline import (
+        make_pipeline_generate,
+    )
+
+    cfg, params, mesh = setup
+    spec = gpt2_spec(cfg)
+    eng = InferenceEngine(
+        spec, params,
+        config=Config(model_name="t", device="cpu", dtype=jnp.float32),
+    )
+    prompt = "Rivers flow to the sea."
+    n_new = 8
+    want = eng.generate_ids(prompt, "full_cache", n_new)[-n_new:]
+
+    ids = eng.tokenizer.encode(prompt)
+    bucket = 32
+    buf = np.zeros((1, bucket), np.int32)
+    buf[0, : len(ids)] = ids
+    staged = place_pipeline_params(params, mesh, 4)
+    gen = make_pipeline_generate(cfg, mesh, 4, n_new, capacity=bucket + n_new)
+    with mesh:
+        toks = gen(staged, jnp.asarray(buf), jnp.int32(len(ids)))
+    assert np.asarray(toks)[0].tolist() == want
+
+
+def test_pipeline_generate_batched(setup):
+    """Batched pipelined decode: per-row tokens match per-row single-stream."""
+    from efficient_llm_inference_tpu.parallel.pipeline import (
+        make_pipeline_generate,
+    )
+
+    cfg, params, mesh = setup
+    rng = np.random.default_rng(0)
+    B, T, n_new = 2, 16, 6
+    true_len = 12
+    buf = np.zeros((B, T), np.int32)
+    buf[:, :true_len] = rng.integers(1, 200, (B, true_len))
+    staged = place_pipeline_params(params, mesh, 4)
+    gen = make_pipeline_generate(cfg, mesh, 4, n_new, capacity=T + n_new)
+    with mesh:
+        toks = np.asarray(gen(staged, jnp.asarray(buf), jnp.int32(true_len)))
+    assert toks.shape == (B, n_new)
+
+    # single-device reference: DenseKV prefill+decode on the same buffers
+    from efficient_llm_inference_tpu.cache.kvcache import DenseKV
+    from efficient_llm_inference_tpu.engine.generate import make_generate
+
+    spec = gpt2_spec(cfg)
+    strat = DenseKV(n_layer=cfg.n_layer, n_head=cfg.n_head,
+                    head_dim=cfg.head_dim, capacity=T + n_new, batch=B,
+                    dtype=jnp.float32)
+    ref, _ = make_generate(spec, strat, None, n_new)(
+        params, jnp.asarray(buf), jnp.int32(true_len)
+    )
+    assert np.array_equal(toks, np.asarray(ref))
