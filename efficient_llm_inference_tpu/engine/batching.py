@@ -156,10 +156,13 @@ class ContinuousBatchingEngine:
         from ..core.config import default_device_kind
 
         self._on_tpu = default_device_kind() == "tpu"
-        # NOTE: ops/pallas/paged.py (block-table paged attention) is the
-        # planned kernel for the chunk-start past gather once its grid is
-        # head-blocked — see docs/ROADMAP.md; the staged path currently
-        # uses the XLA gather, which measures faster.
+        # NOTE: per-step block-table paged attention (ops/pallas/paged.py)
+        # was rebuilt head-blocked and re-measured in round 2: the XLA
+        # gather + batched einsum stays ~10x faster at decode shapes (it
+        # batches (slot, head) into two MXU einsums; any per-slot program
+        # serializes heads at G=1). The serving path therefore reads the
+        # pool via ONE bucketed compressed gather per chunk and the fused
+        # two-region kernel per step — see docs/BENCHMARKS.md.
         # per-slot state (host mirrors + device arrays)
         self.tables = np.zeros((P.n_slots, P.max_blocks_per_seq), np.int32)
         self.lengths = np.zeros((P.n_slots,), np.int32)

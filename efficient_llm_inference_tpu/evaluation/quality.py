@@ -122,6 +122,101 @@ def compute_sliding_window_nll(
     return avg_nll, math.exp(avg_nll)
 
 
+def compute_method_nll(
+    engine,
+    text: str,
+    method: str = "full_cache",
+    max_tokens: int = 256,
+    **kw,
+) -> float:
+    """Teacher-forced mean next-token NLL under a cache METHOD's semantics.
+
+    Generalizes the reference's sliding-window NLL (quality.py:60-121) to
+    every cache method: the text is fed one token at a time through the
+    method's own prefill-one/decode-step machinery — per-step eviction,
+    quantized storage, ring writes, everything — scoring the TRUE next
+    token each step. The resulting NLL measures exactly what the method's
+    KV budget costs in modeling quality; together with `est_bytes` it gives
+    the "KV-cache MB at fixed quality delta" curve (BASELINE.json north
+    star). full_cache reproduces plain teacher-forcing perplexity.
+    """
+    from ..engine.generate import bucket_for
+
+    ids = engine.tokenizer.encode(text)[:max_tokens]
+    T = bucket_for(len(ids))
+    if len(ids) < T:  # right-pad; padded steps are masked out of the mean
+        pad = T - len(ids)
+    else:
+        pad = 0
+    true_len = len(ids)
+    assert true_len >= 2, "need at least 2 tokens to score"
+    model = engine.model
+
+    # Reuse the engine's strategy construction: bucket=1 (prefill is one
+    # token here), max_new = T-1 decode steps.
+    if method == "no_cache":
+        method = "full_cache"  # identical teacher-forced semantics
+    kind, _, strategy, _ = engine._build(method, 1, T - 1, kw)
+    trim_fn = None
+    if method not in ("full_cache", "paged_attention") and not method.startswith(
+        "quant_"
+    ):
+        from ..cache import eviction
+
+        if method == "sliding_window" and kw.get("ring", True):
+            pass  # RingKV needs no trim
+        else:
+            trim_kw = {k_: v_ for k_, v_ in kw.items() if k_ != "ring"}
+            trim = eviction.TRIM_FNS[method]
+            trim_fn = lambda c: trim(c, trim_kw)  # noqa: E731
+
+    key = (method, T, tuple(sorted(kw.items())), "teacher_nll")
+    if key not in engine._fns:
+        pos_of = getattr(strategy, "position", lambda c: c["length"])
+
+        def run(params, tokens, true_len):  # tokens [1, T]
+            cache = strategy.init()
+            pos0 = jnp.zeros((1, 1), jnp.int32)
+            logits, cache = model.forward(
+                params, tokens[:, :1], pos0, cache, strategy, None
+            )
+            cache = strategy.set_length(cache, 1)
+            if trim_fn is not None:
+                cache = trim_fn(cache)
+            lp0 = jax.nn.log_softmax(logits[0, 0].astype(jnp.float32))
+            nll0 = -lp0[tokens[0, 1]]
+
+            def step(carry, t):
+                cache, acc = carry
+                tok = jax.lax.dynamic_slice(tokens, (0, t), (1, 1))
+                pos = jnp.minimum(pos_of(cache), model.n_positions - 1)
+                pos = jnp.broadcast_to(pos[None, None], (1, 1)).astype(jnp.int32)
+                logits, cache = model.forward(
+                    params, tok, pos, cache, strategy, None
+                )
+                cache = strategy.set_length(cache, cache["length"] + 1)
+                if trim_fn is not None:
+                    cache = trim_fn(cache)
+                lp = jax.nn.log_softmax(logits[0, 0].astype(jnp.float32))
+                nxt = jax.lax.dynamic_slice(tokens, (0, t + 1), (1, 1))[0, 0]
+                nll = -lp[nxt]
+                # only positions t+1 < true_len count
+                acc = acc + jnp.where(t + 1 < true_len, nll, 0.0)
+                return (cache, acc), None
+
+            (cache, acc), _ = jax.lax.scan(
+                step, (cache, nll0), jnp.arange(1, T - 1, dtype=jnp.int32)
+            )
+            return acc / (true_len - 1).astype(jnp.float32)
+
+        engine._fns[key] = jax.jit(run)
+    buf = np.zeros((1, T), np.int32)
+    buf[0, :true_len] = ids
+    return float(
+        engine._fns[key](engine.params, jnp.asarray(buf), jnp.int32(true_len))
+    )
+
+
 def text_similarity(a: str, b: str) -> float:
     """difflib SequenceMatcher ratio (reference quality.py:124-134)."""
     return SequenceMatcher(None, a, b).ratio()

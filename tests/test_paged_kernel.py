@@ -23,7 +23,8 @@ def _reference(q, k_pool, v_pool, tables, lengths):
     qg = np.asarray(q, np.float32).reshape(B, Hkv, G, D)
     s = np.einsum("bhgd,bhcd->bhgc", qg, k.astype(np.float32)) / np.sqrt(D)
     pos = np.arange(Tcap)[None, None, None, :]
-    s = np.where(pos <= np.asarray(lengths)[:, None, None, None], s, -1e30)
+    # exclusive convention: p < lengths[b] (matches every mask in the repo)
+    s = np.where(pos < np.asarray(lengths)[:, None, None, None], s, -1e30)
     s = s - s.max(-1, keepdims=True)
     p = np.exp(s)
     p /= p.sum(-1, keepdims=True)
