@@ -34,6 +34,31 @@ from ..cache.kvcache import DenseKV
 from ..models.registry import ModelSpec
 
 
+def make_self_draft(spec: ModelSpec, params: dict, n_layers: int):
+    """Truncated self-draft: the target's own first `n_layers` layers.
+
+    Free draft model (no extra training, shares embeddings/lm head).
+    Measured on v5e with GPT-2 small: a 1-LAYER self-draft at k=4 reaches
+    1615 tok/s single-stream vs 1323 plain (1.22x) even against the
+    unrolled fast decode path; deeper drafts lose because their extra
+    per-round cost outweighs acceptance gains on this model.
+    """
+    import dataclasses
+
+    from ..models.registry import spec_with_config
+
+    cfg = dataclasses.replace(
+        spec.config, n_layer=n_layers,
+        scan_unroll=min(n_layers, getattr(spec.config, "scan_unroll", 1) or 1),
+    )
+    dspec = spec_with_config(spec, cfg)
+    import jax as _jax
+
+    dparams = dict(params)
+    dparams["blocks"] = _jax.tree.map(lambda x: x[:n_layers], params["blocks"])
+    return dspec, dparams
+
+
 def make_speculative_generate(
     target: ModelSpec,
     draft: ModelSpec,

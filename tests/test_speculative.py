@@ -69,3 +69,24 @@ def test_self_draft_full_acceptance(setup):
     ref = eng.generate_ids(prompt, "full_cache", n_new)[-n_new:]
     got = _run_spec(t_cfg, t_cfg, t_params, t_params, ids, n_new, k=4)
     assert got == ref, (got, ref)
+
+
+def test_self_draft_helper_matches_target_greedy(setup):
+    """make_self_draft's truncated draft preserves the greedy stream."""
+    from efficient_llm_inference_tpu.engine.speculative import make_self_draft
+
+    t_cfg, d_cfg, t_params, d_params, eng = setup
+    spec = gpt2_spec(t_cfg)
+    dspec, dparams = make_self_draft(spec, t_params, 1)
+    assert dspec.n_layer == 1
+
+    prompt = "the tides turn at dawn"
+    ids = eng.tokenizer.encode(prompt)
+    n_new = 12
+    plain = eng.generate_ids(prompt, "full_cache", n_new)[-n_new:]
+
+    gen = make_speculative_generate(spec, dspec, n_new, k=4, prompt_bucket=32)
+    buf = np.zeros((1, 32), np.int32)
+    buf[0, : len(ids)] = ids
+    out, n = gen(t_params, dparams, jnp.asarray(buf), jnp.int32(len(ids)))
+    assert np.asarray(out)[:n_new].tolist() == plain
