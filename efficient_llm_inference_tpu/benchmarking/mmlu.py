@@ -15,6 +15,7 @@ from typing import Dict, List, Optional, Tuple
 from ..data.loaders import MMLUDataset
 from ..engine.engine import InferenceEngine
 from ..evaluation.accuracy import AccuracyEvaluator
+from .dispatch import generate_with_method
 
 
 class MMLUBenchmark:
@@ -43,64 +44,10 @@ class MMLUBenchmark:
         t0 = time.perf_counter()
         answers = []
         for i, prompt in enumerate(prompts):
-            kw = method_kwargs
-            if method == "no_cache":
-                text, _ = self.engine.generate_no_cache(prompt, max_new_tokens)
-            elif method == "full_cache":
-                text, _ = self.engine.generate_with_cache(prompt, max_new_tokens)
-            elif method == "sliding_window":
-                text, _ = self.engine.generate_with_sliding_window(
-                    prompt, max_new_tokens, window_size=kw.get("window_size", 256)
-                )
-            elif method == "prefix_window":
-                text, _ = self.engine.generate_with_prefix_window(
-                    prompt,
-                    max_new_tokens,
-                    window_size=kw.get("window_size", 256),
-                    prefix_len=kw.get("prefix_len", 32),
-                )
-            elif method == "strided_cache":
-                text, _ = self.engine.generate_with_strided_cache(
-                    prompt,
-                    max_new_tokens,
-                    window_size=kw.get("window_size", 256),
-                    stride=kw.get("stride", 4),
-                    prefix_len=kw.get("prefix_len", 0),
-                )
-            elif method == "block_cache":
-                text, _ = self.engine.generate_with_block_cache(
-                    prompt,
-                    max_new_tokens,
-                    window_size=kw.get("window_size", 256),
-                    block_size=kw.get("block_size", 64),
-                    keep_per_block=kw.get("keep_per_block", 8),
-                    prefix_len=kw.get("prefix_len", 0),
-                )
-            elif method == "budget_cache":
-                text, _ = self.engine.generate_with_budget_cache(
-                    prompt,
-                    max_new_tokens,
-                    window_size=kw.get("window_size", 256),
-                    old_budget=kw.get("old_budget", 64),
-                    prefix_len=kw.get("prefix_len", 0),
-                )
-            elif method.startswith("quant_"):
-                text, _, _ = self.engine.generate_with_quantized_kv(
-                    prompt, max_new_tokens, mode=method.replace("quant_", "")
-                )
-            elif method == "paged_attention":
-                text, _, _, _, _ = self.engine.generate_with_paged_attention(
-                    prompt, max_new_tokens, block_size=kw.get("block_size", 64)
-                )
-            elif method == "chunked_cache":
-                text, _, _ = self.engine.generate_with_chunked_cache(
-                    prompt,
-                    max_new_tokens,
-                    chunk_size=kw.get("chunk_size", 64),
-                    keep_last=kw.get("keep_last", 256),
-                )
-            else:
-                raise ValueError(f"Unknown method: {method}")
+            # all 12 registry methods dispatch here (reference mmlu.py:89-144)
+            text = generate_with_method(
+                self.engine, prompt, method, max_new_tokens, **method_kwargs
+            )
 
             # Extract generated answer after the prompt (mmlu.py:147-152).
             answer = text[len(prompt):].strip() if len(text) > len(prompt) else text.strip()

@@ -18,6 +18,7 @@ import jax
 from ..data.loaders import SummarizationDataset
 from ..engine.engine import InferenceEngine
 from ..evaluation.rouge import RougeEvaluator
+from .dispatch import generate_with_method
 
 
 class SummarizationBenchmark:
@@ -52,32 +53,16 @@ class SummarizationBenchmark:
         t0 = time.perf_counter()
         summaries = []
         for prompt in prompts:
-            if method == "no_cache":
-                text, _ = self.engine.generate_no_cache(prompt, max_new_tokens)
-            elif method == "full_cache":
-                text, _ = self.engine.generate_with_cache(prompt, max_new_tokens)
-            elif method == "sliding_window":
-                text, _ = self.engine.generate_with_sliding_window(
-                    prompt, max_new_tokens,
-                    window_size=method_kwargs.get("window_size", 256),
-                )
-            elif method.startswith("quant_"):
-                text, _, _ = self.engine.generate_with_quantized_kv(
-                    prompt, max_new_tokens, mode=method.replace("quant_", "")
-                )
-            elif method == "paged_attention":
-                text, _, _, _, _ = self.engine.generate_with_paged_attention(
-                    prompt, max_new_tokens,
-                    block_size=method_kwargs.get("block_size", 64),
-                )
-            elif method == "chunked_cache":
-                text, _, _ = self.engine.generate_with_chunked_cache(
-                    prompt, max_new_tokens,
-                    chunk_size=method_kwargs.get("chunk_size", 64),
-                    keep_last=method_kwargs.get("keep_last", 256),
-                )
-            else:
+            # reference restricts this harness to 7 methods
+            # (summarization.py:87-113); the full registry lives in mmlu
+            if not method.startswith("quant_") and method not in (
+                "no_cache", "full_cache", "sliding_window",
+                "paged_attention", "chunked_cache",
+            ):
                 raise ValueError(f"Unknown method: {method}")
+            text = generate_with_method(
+                self.engine, prompt, method, max_new_tokens, **method_kwargs
+            )
 
             # Extract generated summary (reference summarization.py:116-119)
             if "Summary:" in text:

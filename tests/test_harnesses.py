@@ -140,3 +140,24 @@ def test_package_root_exports():
     ):
         assert getattr(elit, name) is not None
     assert elit.__version__
+
+
+def test_dispatch_unknown_method_raises(engine):
+    from efficient_llm_inference_tpu.benchmarking.dispatch import (
+        generate_with_method,
+    )
+
+    with pytest.raises(ValueError, match="Unknown method"):
+        generate_with_method(engine, "hi", "bogus_method", 2)
+
+
+def test_summarization_harness_rejects_mmlu_only_methods(engine):
+    """The reference restricts the summarization harness to 7 methods
+    (summarization.py:87-113); prefix/strided/block/budget stay MMLU-only."""
+    import efficient_llm_inference_tpu as elit
+
+    ds = elit.load_cnn_dailymail(max_samples=1)
+    sb = elit.SummarizationBenchmark(engine, ds)
+    with pytest.raises(ValueError, match="Unknown method"):
+        sb.generate_summaries(["short article"], method="prefix_window",
+                              max_new_tokens=2)
