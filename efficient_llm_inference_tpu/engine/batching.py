@@ -57,37 +57,66 @@ class BlockAllocator:
 
     Reference counting enables prefix caching: full prompt blocks with
     identical token content are shared read-only across requests (each
-    holder retains; the block frees when the last holder releases)."""
+    holder retains; the block frees when the last holder releases).
+
+    Released CACHEABLE blocks (registered prefixes) are not freed eagerly:
+    they park in an LRU cached pool so later requests can reuse their KV
+    across waves, and are only evicted when a fresh allocation needs them
+    (the engine prunes its prefix registry via `pop_evicted`)."""
 
     def __init__(self, n_blocks: int):
         self.free = list(range(n_blocks - 1, -1, -1))
         self.refcount: Dict[int, int] = {}
+        self.cached: Dict[int, None] = {}  # insertion order = LRU order
+        self._evicted: List[int] = []
 
     def alloc(self, n: int) -> Optional[List[int]]:
-        if len(self.free) < n:
+        if len(self.free) + len(self.cached) < n:
             return None
-        blocks = [self.free.pop() for _ in range(n)]
+        blocks = []
+        for _ in range(n):
+            if self.free:
+                blocks.append(self.free.pop())
+            else:  # evict the least-recently-cached prefix block
+                b = next(iter(self.cached))
+                del self.cached[b]
+                self._evicted.append(b)
+                blocks.append(b)
         for b in blocks:
             self.refcount[b] = 1
         return blocks
 
-    def retain(self, block: int) -> None:
-        self.refcount[block] += 1
+    def pop_evicted(self) -> List[int]:
+        """Cached prefix blocks reclaimed since the last call (the engine
+        must drop their prefix-registry entries)."""
+        out, self._evicted = self._evicted, []
+        return out
 
-    def release(self, blocks: List[int]) -> List[int]:
-        """Decrement refs; returns the blocks that actually freed."""
+    def retain(self, block: int) -> None:
+        if block in self.cached:  # revive a parked prefix block
+            del self.cached[block]
+            self.refcount[block] = self.refcount.get(block, 0) + 1
+        else:
+            self.refcount[block] += 1
+
+    def release(self, blocks: List[int], cacheable=frozenset()) -> List[int]:
+        """Decrement refs; returns the blocks that actually FREED (blocks in
+        `cacheable` park in the LRU cache instead and are not returned)."""
         freed = []
         for b in blocks:
             self.refcount[b] -= 1
             if self.refcount[b] == 0:
                 del self.refcount[b]
-                self.free.append(b)
-                freed.append(b)
+                if b in cacheable:
+                    self.cached[b] = None
+                else:
+                    self.free.append(b)
+                    freed.append(b)
         return freed
 
     @property
     def n_free(self) -> int:
-        return len(self.free)
+        return len(self.free) + len(self.cached)
 
 
 class ContinuousBatchingEngine:
@@ -450,6 +479,158 @@ class ContinuousBatchingEngine:
 
         return chunk
 
+    def _suffix_prefill(self, s_bucket: int, n_past_blocks: int):
+        key = ("suffix", s_bucket, n_past_blocks)
+        if key not in self._chunks:
+            self._chunks[key] = jax.jit(
+                self._make_suffix_prefill(s_bucket, n_past_blocks)
+            )
+        return self._chunks[key]
+
+    def _make_suffix_prefill(self, S: int, n_past_blocks: int):
+        """Compute-saving prefix-cache prefill: forward ONLY the suffix.
+
+        When admitted prompts share cached prefix blocks, the plain prefill
+        still recomputes the whole padded prompt (the writes are skipped but
+        the matmuls are not). This program embeds just the suffix tokens
+        (bucketed to S) and attends over [shared prefix from the pool |
+        causal suffix], so prefill FLOPs scale with the un-cached suffix:
+        the compute-saving form of prefix caching the round-1 roadmap
+        deferred. Shared-prefix KV is read back at pool precision (for
+        quantized pools that is the same dequantized KV decode reads).
+        """
+        model = self.model
+        P = self.pool_cfg
+        H, D, Hq, L = model.n_kv_head, model.head_dim, model.n_head, model.n_layer
+        G = Hq // H
+        Tp = n_past_blocks * P.block_size
+        NEG = float(jnp.finfo(jnp.float32).min)
+        quant = P.quant
+
+        def prefill(params, k_pool, v_pool, k_scale, v_scale, tables,
+                    suffix_tokens, reused_lens, true_lens, admit):
+            B = suffix_tokens.shape[0]
+            suf_lens = true_lens - reused_lens  # [B], >= 1 by construction
+            tables_g = tables[:, :n_past_blocks]
+
+            def gather(pool):
+                g = pool[:, :, tables_g]  # [L, H, B, nb, bs, Ds]
+                g = g.reshape(L, H, B, Tp, g.shape[-1])
+                return g.transpose(0, 2, 1, 3, 4)
+
+            def gather_scale(sc):
+                return sc[:, tables_g].reshape(L, B, Tp)
+
+            k_past = self._dequant_gathered(gather(k_pool), gather_scale(k_scale))
+            v_past = self._dequant_gathered(gather(v_pool), gather_scale(v_scale))
+
+            col = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+            pos = jnp.minimum(
+                reused_lens[:, None] + col, model.n_positions - 1
+            )
+            seq_mask = col < suf_lens[:, None]
+
+            class _SuffixStrategy:
+                def cache_layer_slices(self_s, cache):
+                    return (
+                        cache["kp"], cache["vp"],
+                        cache["k_pool"], cache["v_pool"],
+                        cache["k_scale"], cache["v_scale"],
+                    )
+
+                def cache_with_layer_slices(self_s, cache, new_slices, T):
+                    return {
+                        **cache,
+                        "k_pool": new_slices[0],
+                        "v_pool": new_slices[1],
+                        "k_scale": new_slices[2],
+                        "v_scale": new_slices[3],
+                    }
+
+                def set_length(self_s, cache, n):
+                    return cache
+
+                def layer_attend(self_s, layer_cache, cache, q, k_new, v_new, sm):
+                    kp, vp, k_pool_l, v_pool_l, ks_l, vs_l = layer_cache
+                    # two-region causal attention: [shared past | suffix]
+                    k_all = jnp.concatenate(
+                        [kp, k_new.astype(kp.dtype)], axis=2
+                    )  # [B, H, Tp+S, D]
+                    v_all = jnp.concatenate([vp, v_new.astype(vp.dtype)], axis=2)
+                    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+                    qg = q.reshape(B, H, G, S, D)
+                    sc = jnp.einsum(
+                        "bhgsd,bhcd->bhgsc", qg, k_all,
+                        preferred_element_type=jnp.float32,
+                    ) * scale
+                    c_idx = jax.lax.broadcasted_iota(
+                        jnp.int32, (B, 1, 1, 1, Tp + S), 4
+                    )
+                    s_idx = jax.lax.broadcasted_iota(
+                        jnp.int32, (B, 1, 1, S, 1), 3
+                    )
+                    past_ok = c_idx < reused_lens[:, None, None, None, None]
+                    suf_ok = (c_idx - Tp) <= s_idx  # causal within suffix
+                    mask = jnp.where(c_idx < Tp, past_ok, suf_ok)
+                    sc = jnp.where(mask, sc, NEG)
+                    pr = jax.nn.softmax(sc, axis=-1)
+                    out = jnp.einsum(
+                        "bhgsc,bhcd->bhgsd", pr, v_all,
+                        preferred_element_type=jnp.float32,
+                    ).reshape(B, Hq, S, D)
+
+                    # scatter suffix KV into the slots' blocks
+                    p_abs = reused_lens[:, None] + col  # [B, S]
+                    blk_idx = jnp.minimum(
+                        p_abs // P.block_size, P.max_blocks_per_seq - 1
+                    )
+                    blk = jnp.take_along_axis(tables, blk_idx, axis=1)
+                    off = p_abs % P.block_size
+                    valid = seq_mask & admit[:, None]
+                    blk = jnp.where(valid, blk, P.n_blocks)  # drop sentinel
+                    blk_f = blk.reshape(-1)
+                    off_f = off.reshape(-1)
+                    kn, vn = k_new, v_new
+                    if quant != "none":
+                        kn, k_sc = self._quantize_rows(kn)
+                        vn, v_sc = self._quantize_rows(vn)
+                        ks_l = ks_l.at[blk_f, off_f].set(
+                            k_sc.reshape(-1), mode="drop"
+                        )
+                        vs_l = vs_l.at[blk_f, off_f].set(
+                            v_sc.reshape(-1), mode="drop"
+                        )
+                    Ds = kn.shape[-1]
+                    kn = kn.transpose(1, 0, 2, 3).reshape(H, -1, Ds)
+                    vn = vn.transpose(1, 0, 2, 3).reshape(H, -1, Ds)
+                    k_pool_l = k_pool_l.at[:, blk_f, off_f].set(
+                        kn.astype(k_pool_l.dtype), mode="drop"
+                    )
+                    v_pool_l = v_pool_l.at[:, blk_f, off_f].set(
+                        vn.astype(v_pool_l.dtype), mode="drop"
+                    )
+                    return out, (k_pool_l, v_pool_l, ks_l, vs_l)
+
+            strategy = _SuffixStrategy()
+            cache = {"kp": k_past, "vp": v_past,
+                     "k_pool": k_pool, "v_pool": v_pool,
+                     "k_scale": k_scale, "v_scale": v_scale}
+            logits, cache = model.forward(
+                params, suffix_tokens, pos, cache, strategy, seq_mask
+            )
+            idx = jnp.broadcast_to(
+                (suf_lens - 1)[:, None, None], (B, 1, logits.shape[-1])
+            )
+            last = jnp.take_along_axis(logits, jnp.clip(idx, 0, None), axis=1)[:, 0]
+            nxt = jnp.clip(
+                jnp.argmax(last, axis=-1).astype(jnp.int32),
+                0, model.vocab_size - 1,
+            )
+            return (nxt, cache["k_pool"], cache["v_pool"],
+                    cache["k_scale"], cache["v_scale"])
+
+        return prefill
+
     def _make_prefill(self):
         """Batched admission prefill: ALL slots in one dispatch.
 
@@ -560,7 +741,12 @@ class ContinuousBatchingEngine:
         batched prefill dispatch for the whole wave. Returns #admitted."""
         P = self.pool_cfg
         bs = P.block_size
-        wave = []  # (slot, req, ids, blocks, n_reused_blocks)
+        # prefixes COMMITTED by earlier dispatches: only these may skip
+        # compute — blocks registered within this same wave are written by
+        # this wave's own prefill dispatch, so reading them back as "past"
+        # would see pre-dispatch (stale) pool contents
+        committed_map = dict(self._prefix_map)
+        wave = []  # (slot, req, ids, blocks, n_shared, n_committed)
         for req in list(queue):
             try:
                 slot = next(
@@ -591,20 +777,29 @@ class ContinuousBatchingEngine:
 
             # prefix cache walk: reuse shared blocks while the CUMULATIVE
             # prompt prefix (context determines KV, not just own tokens)
-            # matches a registered full chunk
+            # matches a registered full chunk. At least one suffix token
+            # must remain un-cached: the admission step needs its logits.
             shared: List[int] = []
+            n_committed = 0
             if self.enable_prefix_cache:
-                for i in range(len(ids) // bs):
+                for i in range((len(ids) - 1) // bs):
                     key = tuple(ids[: (i + 1) * bs])
                     blk = self._prefix_map.get(key)
                     if blk is None:
                         break
                     shared.append(blk)
-            fresh = self.allocator.alloc(n_blocks - len(shared))
-            if fresh is None:
-                break
+                    if n_committed == i and key in committed_map:
+                        n_committed += 1
+            # retain BEFORE alloc: shared blocks may be parked in the LRU
+            # cache (refcount 0) and alloc would otherwise reclaim them
             for blk in shared:
                 self.allocator.retain(blk)
+            fresh = self.allocator.alloc(n_blocks - len(shared))
+            # alloc may have evicted parked blocks a LATER walk would find
+            self._prune_evicted()
+            if fresh is None:
+                self.allocator.release(shared, cacheable=self._block_prefix.keys())
+                break
             blocks = shared + fresh
             # register this request's own full-prompt blocks so later
             # requests (including in this same wave) can share them
@@ -614,7 +809,7 @@ class ContinuousBatchingEngine:
                     if key not in self._prefix_map:
                         self._prefix_map[key] = blocks[i]
                         self._block_prefix.setdefault(blocks[i], []).append(key)
-            wave.append((slot, req, ids, blocks, len(shared)))
+            wave.append((slot, req, ids, blocks, len(shared), n_committed))
 
         if not wave:
             return 0
@@ -624,29 +819,64 @@ class ContinuousBatchingEngine:
         reused_lens = np.zeros((P.n_slots,), np.int32)
         admit = np.zeros((P.n_slots,), bool)
         tables = self.tables.copy()
-        for slot, req, ids, blocks, n_shared in wave:
+        for slot, req, ids, blocks, n_shared, n_committed in wave:
             table = np.full((P.max_blocks_per_seq,), P.n_blocks, np.int32)
             table[: len(blocks)] = blocks
             tables[slot] = table
             tokens[slot, : len(ids)] = ids
             true_lens[slot] = len(ids)
-            reused_lens[slot] = n_shared * bs
+            # only prefixes committed by EARLIER dispatches skip compute and
+            # writes; in-wave twins recompute and write identical values
+            reused_lens[slot] = n_committed * bs
             admit[slot] = True
 
-        nxt, self.k_pool, self.v_pool, self.k_scale, self.v_scale = self._prefill(
-            self.params,
-            self.k_pool,
-            self.v_pool,
-            self.k_scale,
-            self.v_scale,
-            self._slot_arr(tables),
-            self._slot_arr(tokens),
-            self._slot_arr(true_lens),
-            self._slot_arr(admit),
-            self._slot_arr(reused_lens),
-        )
+        if reused_lens.any():
+            # compute-saving path: forward ONLY the suffixes, attending over
+            # the shared prefix blocks already in the pool
+            from .generate import bucket_for
+
+            max_suffix = max(
+                len(ids) - n_c * bs for _, _, ids, _, _, n_c in wave
+            )
+            s_bucket = min(bucket_for(max_suffix), P.prompt_bucket)
+            max_committed = max(n_c for *_, n_c in wave)
+            n_past = 1
+            while n_past < max_committed:
+                n_past *= 2
+            n_past = min(n_past, P.max_blocks_per_seq)
+            suffix_tokens = np.zeros((P.n_slots, s_bucket), np.int32)
+            for slot, req, ids, blocks, n_shared, n_c in wave:
+                suf = ids[n_c * bs:][:s_bucket]
+                suffix_tokens[slot, : len(suf)] = suf
+            nxt, self.k_pool, self.v_pool, self.k_scale, self.v_scale = (
+                self._suffix_prefill(s_bucket, n_past)(
+                    self.params,
+                    self.k_pool,
+                    self.v_pool,
+                    self.k_scale,
+                    self.v_scale,
+                    self._slot_arr(tables),
+                    self._slot_arr(suffix_tokens),
+                    self._slot_arr(reused_lens),
+                    self._slot_arr(true_lens),
+                    self._slot_arr(admit),
+                )
+            )
+        else:
+            nxt, self.k_pool, self.v_pool, self.k_scale, self.v_scale = self._prefill(
+                self.params,
+                self.k_pool,
+                self.v_pool,
+                self.k_scale,
+                self.v_scale,
+                self._slot_arr(tables),
+                self._slot_arr(tokens),
+                self._slot_arr(true_lens),
+                self._slot_arr(admit),
+                self._slot_arr(reused_lens),
+            )
         nxt = np.asarray(nxt)
-        for slot, req, ids, blocks, n_shared in wave:
+        for slot, req, ids, blocks, n_shared, n_c in wave:
             self.tables[slot] = tables[slot]
             self.lengths[slot] = len(ids)
             self.active[slot] = True
@@ -660,7 +890,11 @@ class ContinuousBatchingEngine:
     def _retire(self, slot: int) -> None:
         req = self.slot_req[slot]
         req.done = True
-        freed = self.allocator.release(self.slot_blocks[slot])
+        # registered-prefix blocks park in the allocator's LRU cache so the
+        # next wave can reuse their KV; everything else frees immediately
+        freed = self.allocator.release(
+            self.slot_blocks[slot], cacheable=self._block_prefix.keys()
+        )
         for blk in freed:
             for key in self._block_prefix.pop(blk, []):
                 if self._prefix_map.get(key) == blk:
@@ -668,6 +902,14 @@ class ContinuousBatchingEngine:
         self.slot_blocks[slot] = []
         self.active[slot] = False
         self.slot_req[slot] = None
+
+    def _prune_evicted(self) -> None:
+        """Drop prefix-registry entries for cache blocks the allocator
+        reclaimed to satisfy a fresh allocation."""
+        for blk in self.allocator.pop_evicted():
+            for key in self._block_prefix.pop(blk, []):
+                if self._prefix_map.get(key) == blk:
+                    del self._prefix_map[key]
 
     def run(self, requests: List[Request], progress: Optional[Callable] = None):
         """Serve all requests to completion; returns them (with out_ids)."""

