@@ -50,6 +50,12 @@ class PoolConfig:
     # KV pool storage: "none" (engine dtype), "int8", or "int4" (packed) —
     # per-token symmetric scales, numerics matching ops/quantization.py
     quant: str = "none"
+    # quantized-pool attention implementation: "xla" (two-region einsums
+    # with online merge — no concat, no dequant materialization; int8
+    # convert fuses into the dot), "pallas" (fused kernel; loses to "xla"
+    # at decode shapes — per-(slot, head) work serializes in-kernel while
+    # XLA batches it on the MXU), or "dequant" (materialize, reference-like)
+    attn: str = "xla"
 
 
 class BlockAllocator:
@@ -134,10 +140,10 @@ class ContinuousBatchingEngine:
     ):
         """`mesh`: optional jax.sharding.Mesh with ("data", "model") axes.
         KV-head pools shard over "model", decode slots over "data" (the
-        docstring contract above, now actually placed and tested). Sharded
-        mode runs the jnp attention path — einsum reductions stay within
-        shards, so tokens are exactly the single-device tokens; the fused
-        Pallas kernel is single-device until a shard_map wrapper exists."""
+        docstring contract above, now actually placed and tested). The
+        default "xla" two-region attention is pure jnp and shards as-is;
+        only attn="pallas" is single-device (silently mapped to "xla" when
+        meshed)."""
         self.model = model
         self.params = params
         self.pool_cfg = pool
@@ -304,7 +310,10 @@ class ContinuousBatchingEngine:
         NEG = float(jnp.finfo(jnp.float32).min)
 
         quant = P.quant
-        fused = quant != "none" and self.mesh is None
+        attn = P.attn if quant != "none" else "dequant"
+        if attn == "pallas" and self.mesh is not None:
+            attn = "xla"  # the Pallas kernel has no shard_map wrapper
+        fused = attn in ("xla", "pallas")
         interp = not self._on_tpu
 
         def chunk(params, k_pool, v_pool, k_scale, v_scale, tables, lengths,
@@ -371,7 +380,55 @@ class ContinuousBatchingEngine:
                     sv = jax.lax.dynamic_update_slice(
                         sv, v_new.astype(sv.dtype), (0, 0, i, 0)
                     )
-                    if fused:
+                    if attn == "xla":
+                        # two-region attention as batched einsums with an
+                        # explicit online-softmax merge: no [past|staging]
+                        # concat, no dequantized past — XLA fuses the
+                        # int8->bf16 convert into the QK/PV dots and the
+                        # per-token scales fold into scores/probs
+                        dt = q.dtype
+                        qg = q.reshape(B, H, G, D)
+                        scale = 1.0 / jnp.sqrt(jnp.float32(D))
+                        s_p = jnp.einsum(
+                            "bhgd,bhcd->bhgc", qg, kp.astype(dt),
+                            preferred_element_type=jnp.float32,
+                        ) * ksc[:, None, None, :] * scale
+                        c_idx = jax.lax.broadcasted_iota(
+                            jnp.int32, (B, 1, 1, Tpast), 3
+                        )
+                        s_p = jnp.where(
+                            c_idx < lengths0[:, None, None, None], s_p, NEG
+                        )
+                        s_s = jnp.einsum(
+                            "bhgd,bhsd->bhgs", qg, sk,
+                            preferred_element_type=jnp.float32,
+                        ) * scale
+                        j_idx = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, 1, 1, n_steps), 3
+                        )
+                        s_s = jnp.where(j_idx <= i, s_s, NEG)
+                        m = jnp.maximum(
+                            jnp.max(s_p, -1, keepdims=True),
+                            jnp.max(s_s, -1, keepdims=True),
+                        )
+                        p_p = jnp.exp(s_p - m)
+                        p_s = jnp.exp(s_s - m)
+                        denom = (
+                            jnp.sum(p_p, -1, keepdims=True)
+                            + jnp.sum(p_s, -1, keepdims=True)
+                        )
+                        out = jnp.einsum(
+                            "bhgc,bhcd->bhgd",
+                            (p_p * vsc[:, None, None, :]).astype(dt),
+                            vp.astype(dt),
+                            preferred_element_type=jnp.float32,
+                        ) + jnp.einsum(
+                            "bhgs,bhsd->bhgd", p_s.astype(dt), sv,
+                            preferred_element_type=jnp.float32,
+                        )
+                        out = (out / denom).reshape(B, Hq, 1, D)
+                        return out, (sk, sv)
+                    if attn == "pallas":
                         from ..ops.pallas.attention import (
                             fused_quant_attention_batched,
                         )

@@ -55,34 +55,33 @@ def _interleave(x):
 
 
 def _make_batched_kernel(kv_bits_k: int, kv_bits_v: int, D: int, C: int,
-                         G: int, S: int, H: int):
+                         G: int, S: int, H: int, Bt: int):
     """Two-region batched decode attention: quantized past + fp extra block.
 
-    Grid (B,) with ALL KV heads fused into one program per slot (head-
-    blocked: a (slot, head) grid at decode tile sizes is DMA-overhead bound
-    — measured on the round-1 paged kernel, docs/BENCHMARKS.md). The
-    program walks heads with a fori_loop over the slot's [H, C, Ds] stripe
-    and merges a small full-precision region of S positions (the staged
-    chunk buffer, or just the current token when S == 1) into the same
-    online softmax. Quantized values feed the MXU directly; scales fold
-    into scores/probs, so no dequantized buffer ever exists anywhere.
+    Grid (B/Bt,) with Bt slots AND all KV heads fused into each program
+    (per-program launch cost is ~5 us: a (slot, head) grid is DMA-overhead
+    bound and even one-slot programs cost ~1 ms/step at B=16 x 12 layers).
+    The program walks (slot, head) pairs with a fori_loop over [H, C, Ds]
+    stripes and merges a small full-precision region of S positions (the
+    staged chunk buffer, or just the current token when S == 1) into the
+    same online softmax. Quantized values feed the MXU directly; scales
+    fold into scores/probs, so no dequantized buffer ever exists anywhere.
     """
     scale = 1.0 / (D**0.5)
 
     def kernel(
         len_ref,  # SMEM scalar-prefetch: [B] int32 valid past (t < len)
         nex_ref,  # SMEM scalar-prefetch: [1] int32 valid extra (j < nex)
-        q_ref,  # [1, H, G, D]
-        kq_ref,  # [1, H, C, Ds]
-        ks_ref,  # [1, H, 1, C] f32 per-(head,)token scales, lane-major
+        q_ref,  # [Bt, H, G, D]
+        kq_ref,  # [Bt, H, C, Ds]
+        ks_ref,  # [Bt, H, 1, C] f32 per-(head,)token scales, lane-major
         vq_ref,
         vs_ref,
-        ke_ref,  # [1, H, S, D] fp extra K
-        ve_ref,  # [1, H, S, D] fp extra V
-        o_ref,  # [1, H, G, D]
+        ke_ref,  # [Bt, H, S, D] fp extra K
+        ve_ref,  # [Bt, H, S, D] fp extra V
+        o_ref,  # [Bt, H, G, D]
     ):
-        b = pl.program_id(0)
-        length = len_ref[b]
+        b0 = pl.program_id(0) * Bt
         nex = nex_ref[0]
         t_idx = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
         j_idx = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
@@ -109,26 +108,29 @@ def _make_batched_kernel(kv_bits_k: int, kv_bits_v: int, D: int, C: int,
                 preferred_element_type=jnp.float32,
             )
 
-        def head_body(h, _):  # fori_loop: VMEM scratch reused across heads
+        def head_body(idx, _):  # fori_loop: VMEM scratch reused per (slot, head)
             # Scales FOLD INTO scores/probs instead of dequantizing K/V:
             # s[g,c] = (q . k_q[c]) * ks[c] and p' = p * vs — the quantized
             # stripes feed the MXU directly (int8 is exact in bf16) and the
             # kernel never holds a dequantized [C, D] buffer, keeping scoped
             # VMEM flat in C (a full f32 dequant of every head OOMs at
             # C >= 1024).
-            q = q_ref[0, h]  # [G, D], model dtype
+            bb = idx // H
+            h = idx % H
+            length = len_ref[b0 + bb]
+            q = q_ref[bb, h]  # [G, D], model dtype
             dt = q.dtype
             if kv_bits_k == 4:
-                k_hi, k_lo = _nibbles(kq_ref[0, h], dt)
+                k_hi, k_lo = _nibbles(kq_ref[bb, h], dt)
                 s_raw = _dot(q[:, :d2], k_hi) + _dot(q[:, d2:], k_lo)
             else:
-                s_raw = _dot(q, kq_ref[0, h].astype(dt) if kv_bits_k == 8
-                             else kq_ref[0, h])
+                s_raw = _dot(q, kq_ref[bb, h].astype(dt) if kv_bits_k == 8
+                             else kq_ref[bb, h])
             if kv_bits_k != 16:
-                s_raw = s_raw * ks_ref[0, h]  # [1, C] broadcast over G
+                s_raw = s_raw * ks_ref[bb, h]  # [1, C] broadcast over G
             s_past = jnp.where(t_idx < length, s_raw * scale, NEG_INF)
 
-            s_ex = _dot(q, ke_ref[0, h]) * scale  # [G, S]
+            s_ex = _dot(q, ke_ref[bb, h]) * scale  # [G, S]
             s_ex = jnp.where(j_idx < nex, s_ex, NEG_INF)
 
             m = jnp.maximum(
@@ -142,22 +144,22 @@ def _make_batched_kernel(kv_bits_k: int, kv_bits_v: int, D: int, C: int,
                 + jnp.sum(p_ex, axis=-1, keepdims=True)
             )
             if kv_bits_v != 16:
-                pp = (p_past * vs_ref[0, h]).astype(dt)  # fold V scales
+                pp = (p_past * vs_ref[bb, h]).astype(dt)  # fold V scales
             else:
                 pp = p_past.astype(dt)
             if kv_bits_v == 4:
-                v_hi, v_lo = _nibbles(vq_ref[0, h], dt)
+                v_hi, v_lo = _nibbles(vq_ref[bb, h], dt)
                 out = jnp.concatenate(
                     [_pv(pp, v_hi), _pv(pp, v_lo)], axis=-1
                 )  # [G, D] in deinterleaved order
             else:
-                out = _pv(pp, vq_ref[0, h].astype(dt) if kv_bits_v == 8
-                          else vq_ref[0, h])
-            out = out + _pv(p_ex.astype(dt), ve_ref[0, h])
-            o_ref[0, h] = (out / denom).astype(o_ref.dtype)
+                out = _pv(pp, vq_ref[bb, h].astype(dt) if kv_bits_v == 8
+                          else vq_ref[bb, h])
+            out = out + _pv(p_ex.astype(dt), ve_ref[bb, h])
+            o_ref[bb, h] = (out / denom).astype(o_ref.dtype)
             return 0
 
-        jax.lax.fori_loop(0, H, head_body, 0)
+        jax.lax.fori_loop(0, Bt * H, head_body, 0)
 
     return kernel
 
@@ -203,29 +205,38 @@ def fused_quant_attention_batched(
     ks = k_scale.astype(jnp.float32)[:, :, None, :]  # [B, Hkv, 1, C]
     vs = v_scale.astype(jnp.float32)[:, :, None, :]
 
-    kernel = _make_batched_kernel(k_bits, v_bits, D, C, G, S, Hkv)
+    # Slot-block size: as many slots per program as a ~3 MB input block
+    # allows (the auto-pipeline double-buffers, so x2 in flight). One
+    # program per slot measured ~5 us of fixed cost -> at B=16, 12 layers
+    # that is ~1 ms/step of pure launch overhead; slot-blocking removes it.
+    per_slot = Hkv * C * (k_q.shape[3] + v_q.shape[3] + 8) + 2 * Hkv * S * D * 2
+    Bt = max(1, min(B, (3 << 20) // max(per_slot, 1)))
+    while B % Bt:
+        Bt -= 1
+
+    kernel = _make_batched_kernel(k_bits, v_bits, D, C, G, S, Hkv, Bt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B,),
+        grid=(B // Bt,),
         in_specs=[
-            pl.BlockSpec((1, Hkv, G, D), lambda b, ln, nx: (b, 0, 0, 0),
+            pl.BlockSpec((Bt, Hkv, G, D), lambda b, ln, nx: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, C, k_q.shape[3]),
+            pl.BlockSpec((Bt, Hkv, C, k_q.shape[3]),
                          lambda b, ln, nx: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, 1, C), lambda b, ln, nx: (b, 0, 0, 0),
+            pl.BlockSpec((Bt, Hkv, 1, C), lambda b, ln, nx: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, C, v_q.shape[3]),
+            pl.BlockSpec((Bt, Hkv, C, v_q.shape[3]),
                          lambda b, ln, nx: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, 1, C), lambda b, ln, nx: (b, 0, 0, 0),
+            pl.BlockSpec((Bt, Hkv, 1, C), lambda b, ln, nx: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, S, D), lambda b, ln, nx: (b, 0, 0, 0),
+            pl.BlockSpec((Bt, Hkv, S, D), lambda b, ln, nx: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, S, D), lambda b, ln, nx: (b, 0, 0, 0),
+            pl.BlockSpec((Bt, Hkv, S, D), lambda b, ln, nx: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Hkv, G, D), lambda b, ln, nx: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((Bt, Hkv, G, D), lambda b, ln, nx: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
