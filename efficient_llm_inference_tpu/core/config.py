@@ -64,6 +64,11 @@ class Config:
         weight_quant: "int8" quantizes matmul weights per output channel
             (serving mode, beyond the reference; ~1.7x decode speedup at
             batch 1). None keeps full-precision weights (token-exact vs HF).
+        megakernel: run eligible greedy batch-1 full_cache decode steps as
+            ONE Pallas program (ops/pallas/megakernel.py; measured 599 ->
+            375 us/step on GPT-2 small on v5e). None = auto (on on TPU);
+            False disables; True forces (interpret mode off-TPU — slow,
+            test-only).
     """
 
     model_name: str = "gpt2"
@@ -75,6 +80,7 @@ class Config:
     prompt_cap: int = 1024
     scan_unroll: Optional[int] = None
     weight_quant: Optional[Literal["int8"]] = None
+    megakernel: Optional[bool] = None
 
     def resolved_scan_unroll(self, n_layer: int) -> int:
         if self.scan_unroll is not None:
@@ -82,6 +88,11 @@ class Config:
         if self.device == "tpu" and n_layer <= 16:
             return n_layer
         return 1
+
+    def resolved_megakernel(self) -> bool:
+        if self.megakernel is not None:
+            return self.megakernel
+        return self.device == "tpu"
 
     def __post_init__(self):
         # Seed host-side RNGs for anything non-JAX (dataset shuffling etc.).

@@ -75,6 +75,7 @@ class InferenceEngine:
         self.tokenizer = tokenizer if tokenizer is not None else ByteTokenizer()
         self.config = config or Config()
         self._fns: Dict = {}
+        self._mega_packed = None  # lazy megakernel weight re-layout
 
     # ------------------------------------------------------------------
     @classmethod
@@ -143,6 +144,7 @@ class InferenceEngine:
 
         m = self.model
         trim_fn = None
+        mega = None
         if method == "no_cache":
             strategy = NoCacheKV(
                 n_layer=m.n_layer,
@@ -163,6 +165,9 @@ class InferenceEngine:
         else:
             if method == "full_cache":
                 cap = bucket + max_new
+                mega = self._mega_spec(cap, sampling)
+                if mega is not None:
+                    cap = mega["capacity"]  # rounded up for aligned DMA
                 strategy = DenseKV(**self._dense_kw(cap))
             elif method.startswith("quant_"):
                 cap = bucket + max_new
@@ -203,11 +208,40 @@ class InferenceEngine:
                 trim = eviction.TRIM_FNS[method]
                 trim_fn = lambda c: trim(c, kw)  # noqa: E731
 
-            generate = make_generate(m, strategy, trim_fn, max_new, sampling)
+            generate = make_generate(
+                m, strategy, trim_fn, max_new, sampling, mega=mega
+            )
             built = ("cached", generate, strategy, None)
 
         self._fns[key] = built
         return built
+
+    def _mega_spec(
+        self, cap: int, sampling: Optional[SamplingParams]
+    ) -> Optional[dict]:
+        """Whole-step megakernel eligibility for full_cache decode
+        (greedy, batch 1, GPT-2 family, weights packable, fits VMEM)."""
+        from ..ops.pallas.megakernel import mega_supported, pack_gpt2_mega
+
+        if not self.config.resolved_megakernel():
+            return None
+        if self.model.name != "gpt2" or self.config.batch_size != 1:
+            return None
+        if sampling is not None and not sampling.greedy:
+            return None
+        cap8 = -(-cap // 8) * 8  # aligned 8-row RMW group needs C % 8 == 0
+        if not mega_supported(self.model.config, cap8, self.params):
+            return None
+        if self._mega_packed is None:
+            self._mega_packed = pack_gpt2_mega(self.params, self.model.config)
+        if self._mega_packed is None:
+            return None
+        return {
+            "packed": self._mega_packed,
+            "cfg": self.model.config,
+            "capacity": cap8,
+            "interpret": self.config.device != "tpu",
+        }
 
     # ------------------------------------------------------------------
     def _encode(self, prompt: str, method: str) -> List[int]:

@@ -180,15 +180,26 @@ def make_generate(
     trim_fn: Optional[Callable],
     max_new_tokens: int,
     sampling: Optional[SamplingParams] = None,
+    mega: Optional[dict] = None,
 ):
     """Single-dispatch generation: prefill + decode scan in ONE jit call.
 
     Device dispatch through the remote runtime has a fixed per-call cost
     (~tens of ms via the axon relay); one call per generation instead of two
     (prefill, decode) halves it. Returns (tokens [B, N], final_cache_length).
+
+    When `mega` is given (a dict with "packed" weights, "cfg", "capacity",
+    "interpret" — see engine._mega_spec), each decode step runs as ONE
+    whole-step Pallas program instead of the XLA layer scan
+    (ops/pallas/megakernel.py). Prefill keeps the XLA path.
     """
     prefill = _prefill_body(model, strategy, trim_fn)
-    decode_body = _decode_body(model, strategy, trim_fn, max_new_tokens, sampling)
+    if mega is not None:
+        decode_body = _mega_decode_body(model, max_new_tokens, mega)
+    else:
+        decode_body = _decode_body(
+            model, strategy, trim_fn, max_new_tokens, sampling
+        )
 
     def generate(params, tokens, true_len):
         cache, last = prefill(params, tokens, true_len)
@@ -196,6 +207,47 @@ def make_generate(
         return toks, cache["length"]
 
     return jax.jit(generate)
+
+
+def _mega_decode_body(model: ModelSpec, max_new_tokens: int, mega: dict):
+    """Decode loop over whole-step megakernel calls (greedy, batch 1)."""
+    from ..ops.pallas.megakernel import gpt2_megastep, to_mega_layout
+
+    packed = mega["packed"]
+    cfg = mega["cfg"]
+    capacity = mega["capacity"]
+    interpret = mega.get("interpret", False)
+
+    def decode(params, cache, last_logits):
+        wte, wpe = params["wte"], params["wpe"]
+
+        def step(carry, _):
+            k, v, length, tok = carry
+            pos = jnp.minimum(length, model.n_positions - 1)
+            x = (wte[tok][None] + wpe[pos][None]).astype(wte.dtype)  # [1, E]
+            tok2, k, v = gpt2_megastep(
+                packed, k, v, length, x,
+                cfg=cfg, capacity=capacity, interpret=interpret,
+            )
+            tok2 = jnp.clip(tok2, 0, model.vocab_size - 1)
+            return (k, v, length + 1, tok2), tok
+
+        tok0 = jnp.clip(
+            jnp.argmax(last_logits[0]).astype(jnp.int32), 0,
+            model.vocab_size - 1,
+        )
+        init = (
+            to_mega_layout(cache["k"]),
+            to_mega_layout(cache["v"]),
+            cache["length"],
+            tok0,
+        )
+        (_, _, length, _), toks = jax.lax.scan(
+            step, init, None, length=max_new_tokens
+        )
+        return toks[None, :], {"length": length}
+
+    return decode
 
 
 def _prefill_body(model, strategy, trim_fn):

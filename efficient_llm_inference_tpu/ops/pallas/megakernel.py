@@ -1,0 +1,420 @@
+"""Whole-step decode megakernel: one Pallas program per GPT-2 decode step.
+
+Single-stream decode is weight-bandwidth bound, and the XLA step pays ~160 us
+of per-op overhead on top of the ~380 us weight-streaming floor (measured on
+v5e, docs/BENCHMARKS.md): the 49-matmul chain launches ~200 fused kernels per
+step. This kernel runs the ENTIRE step — all layer matmuls, attention over
+the HBM-resident KV cache, the final layer-norm, the LM head and the greedy
+argmax — as ONE program that streams every weight byte through a
+double-buffered VMEM ring at close to HBM speed (measured 732 GB/s of the
+819 GB/s roofline on the bare 248 MB stream).
+
+Design (TPU-native; no reference counterpart — the reference's decode step is
+a full HF model forward, /root/reference/src/benchmarking/benchmarker.py:473):
+
+* All weights are re-laid out host-side into ONE HBM array of [E, E] tiles
+  (`pack_gpt2_mega`): per layer 12 tiles (q, k, v, attn_proj, 4x fc columns,
+  4x fc_proj row-partials), then ceil(V/E) transposed LM-head tiles. Uniform
+  tile geometry makes the DMA pipeline trivial: fixed-size slabs of
+  `tiles_per_slab` tiles, 2-deep ring, prefetch slab s+1 while computing s.
+* The KV cache uses a kernel-friendly [L, C, E] layout (`to_mega_layout`
+  converts the prefill's [L, B, H, C, D] buffer once, before the decode
+  scan). Everything in the kernel then lives in [., E] lane space — Mosaic
+  supports no lane->sublane reshapes, so heads are never materialized as a
+  dim: per-head score reductions go through a constant 0/1 segment-selector
+  matmul [E, H], and per-head softmax stats broadcast back with its
+  transpose. Each layer's K/V pane is DMA'd into a 2-deep VMEM ring one
+  layer ahead; the current token's K/V merge into the softmax separately
+  (identical math to cache/kvcache.py `_attend` after its in-place write).
+  Cache row writes go through an aligned read-modify-write: Mosaic DMA
+  cannot slice single sub-tile rows (sublane tiling is 8), so the kernel
+  reads the 8-row group containing `cur` up front, inserts the new K/V rows
+  with an iota-select, and writes the group back — both group DMAs overlap
+  compute at either end of the step.
+* Numerics mirror models/gpt2.py: fp32 layer-norm stats, fp32 matmul
+  accumulation, residual stream in the model dtype, tanh-GELU in fp32, fp32
+  softmax. The only reassociations are the fc_proj row-partial sums, the
+  C-chunked attention reductions, and the current-token softmax merge (fp32
+  bit-level reorderings).
+* Greedy only: the LM head tracks a running (max, argmax) across tiles —
+  first-max-wins tie-breaking matches `jnp.argmax` over the full vocab.
+
+The engine auto-selects this path for full_cache greedy batch-1 decode on
+TPU (engine/generate.py `make_generate(mega=...)`); everything else keeps
+the XLA path, and tests run this kernel in Pallas interpret mode on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+# VMEM cap for the weight ring + KV ring (bytes). v5e has ~16 MiB/core;
+# leave headroom for attention temporaries, smalls, and Mosaic's own use.
+_VMEM_BUDGET = 11 * 1024 * 1024
+_ATTN_CHUNK = 512  # C-chunk for attention reductions (bounds fp32 temps)
+
+
+def _num_lm_tiles(vocab: int, E: int) -> int:
+    return -(-vocab // E)
+
+
+def to_mega_layout(buf: jax.Array) -> jax.Array:
+    """[L, 1, H, C, D] cache pane -> [L, C, E] kernel layout (one-time)."""
+    L, B, H, C, D = buf.shape
+    assert B == 1, "megakernel is single-stream"
+    return buf[:, 0].transpose(0, 2, 1, 3).reshape(L, C, H * D)
+
+
+def pack_gpt2_mega(params: dict, cfg) -> dict | None:
+    """Re-layout GPT-2 params into the megakernel's tile stream.
+
+    Returns None when the params are not packable (int8-quantized weights,
+    embedding width not lane-aligned). The packed pytree is computed once per
+    engine and captured by the jitted generate function.
+    """
+    E, L = cfg.n_embd, cfg.n_layer
+    b = params["blocks"]
+    if any(isinstance(b[n], dict) for n in ("attn_w", "attn_proj_w", "fc_w",
+                                            "fc_proj_w")):
+        return None  # int8 weight-quantized params: not packable (yet)
+    if E % 128 != 0:
+        return None
+    dtype = params["wte"].dtype
+
+    # Per-layer tile block: [q, k, v, proj, fc0..fc3, p0..p3] -> [L, 12, E, E]
+    attn = b["attn_w"].reshape(L, E, 3, E).transpose(0, 2, 1, 3)  # [L,3,E,E]
+    proj = b["attn_proj_w"][:, None]  # [L, 1, E, E]
+    fc = b["fc_w"].reshape(L, E, 4, E).transpose(0, 2, 1, 3)  # [L,4,E,E]
+    fcp = b["fc_proj_w"].reshape(L, 4, E, E)  # row partials  [L,4,E,E]
+    layer_tiles = jnp.concatenate([attn, proj, fc, fcp], axis=1)
+    layer_tiles = layer_tiles.reshape(L * 12, E, E)
+
+    V = cfg.vocab_size
+    n_lm = _num_lm_tiles(V, E)
+    wte_t = params["wte"].T  # [E, V]
+    wte_t = jnp.pad(wte_t, ((0, 0), (0, n_lm * E - V)))
+    lm_tiles = wte_t.reshape(E, n_lm, E).transpose(1, 0, 2)  # [n_lm, E, E]
+
+    wstack = jnp.concatenate([layer_tiles, lm_tiles.astype(dtype)], axis=0)
+
+    # Per-layer smalls as fp32 [L, 13, E] rows:
+    # 0 ln1_g, 1 ln1_b, 2 ln2_g, 3 ln2_b, 4-6 attn_b (q,k,v), 7 proj_b,
+    # 8-11 fc_b, 12 fc_proj_b
+    def rows(x, n):
+        return x.astype(jnp.float32).reshape(L, n, E)
+
+    smalls = jnp.concatenate(
+        [
+            rows(b["ln1_g"], 1),
+            rows(b["ln1_b"], 1),
+            rows(b["ln2_g"], 1),
+            rows(b["ln2_b"], 1),
+            rows(b["attn_b"], 3),
+            rows(b["attn_proj_b"], 1),
+            rows(b["fc_b"], 4),
+            rows(b["fc_proj_b"], 1),
+        ],
+        axis=1,
+    )
+    lnf = jnp.stack(
+        [params["lnf_g"].astype(jnp.float32), params["lnf_b"].astype(jnp.float32)]
+    )
+    return {"wstack": wstack, "smalls": smalls, "lnf": lnf}
+
+
+def _pick_tiles_per_slab(E: int, C: int, itemsize: int) -> int:
+    """Largest slab (1..3 tiles) that keeps the VMEM rings under budget."""
+    kv_ring = 4 * C * E * itemsize  # 2-deep ring for K and for V
+    for tps in (3, 2, 1):
+        if 2 * tps * E * E * itemsize + kv_ring <= _VMEM_BUDGET:
+            return tps
+    return 0  # does not fit: caller falls back to the XLA path
+
+
+def mega_supported(cfg, capacity: int, params: dict) -> bool:
+    """Can the megakernel run this geometry? (engine-side eligibility)"""
+    b = params.get("blocks", {})
+    if any(isinstance(b.get(n), dict) for n in ("attn_w", "fc_w")):
+        return False
+    if cfg.n_embd % 128 != 0 or capacity % 8 != 0:
+        return False
+    itemsize = jnp.dtype(params["wte"].dtype).itemsize
+    return _pick_tiles_per_slab(cfg.n_embd, capacity, itemsize) > 0
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "capacity", "interpret"))
+def gpt2_megastep(
+    packed: dict,
+    k: jax.Array,  # [L, C, E] mega-layout cache (aliased output)
+    v: jax.Array,
+    length: jax.Array,  # int32 [] — tokens already cached
+    x_emb: jax.Array,  # [1, E] token+position embedding (model dtype)
+    *,
+    cfg: Any,
+    capacity: int,
+    interpret: bool = False,
+):
+    """One full decode step. Returns (token id int32 [], new k, new v)."""
+    E, H, D, L = cfg.n_embd, cfg.n_head, cfg.head_dim, cfg.n_layer
+    C = capacity
+    V = cfg.vocab_size
+    eps = cfg.layer_norm_epsilon
+    n_lm = _num_lm_tiles(V, E)
+    n_tiles = L * 12 + n_lm
+    dtype = packed["wstack"].dtype
+    itemsize = jnp.dtype(dtype).itemsize
+    tps = _pick_tiles_per_slab(E, C, itemsize)
+    if tps == 0:
+        raise ValueError("megakernel does not fit VMEM at this capacity")
+    n_slabs = -(-n_tiles // tps)
+    scale = 1.0 / (float(D) ** 0.5)
+
+    def ln(x32, g, b_):  # x32,g,b_: [1, E] fp32
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        return (x32 - mean) * jax.lax.rsqrt(var + eps) * g + b_
+
+    def kernel(len_ref, x_ref, w_ref, k_ref, v_ref, sm_ref, lnf_ref,
+               tok_ref, ko_ref, vo_ref,
+               wbuf, kbuf, vbuf, knew, vnew, gk, gv,
+               wsem, ksem, vsem, gsem, osem):
+        cur = len_ref[0, 0]
+
+        # 0/1 head-segment selector: sel[e, h] = 1 iff e // D == h.
+        # (sel @ .) reduces lanes per head; (. @ selT) broadcasts per head.
+        e_ids = jax.lax.broadcasted_iota(jnp.int32, (E, H), 0) // D
+        h_ids = jax.lax.broadcasted_iota(jnp.int32, (E, H), 1)
+        sel = (e_ids == h_ids).astype(jnp.float32)  # [E, H]
+        selT = sel.T  # [H, E]
+
+        def wdma(slot, s):
+            lo = s * tps
+            sz = min(tps, n_tiles - lo)
+            return pltpu.make_async_copy(
+                w_ref.at[pl.ds(lo, sz)], wbuf.at[slot, pl.ds(0, sz)],
+                wsem.at[slot],
+            )
+
+        def kdma(slot, l):
+            return pltpu.make_async_copy(
+                k_ref.at[l], kbuf.at[slot], ksem.at[slot]
+            )
+
+        def vdma(slot, l):
+            return pltpu.make_async_copy(
+                v_ref.at[l], vbuf.at[slot], vsem.at[slot]
+            )
+
+        gbase = pl.multiple_of((cur // 8) * 8, 8)
+
+        def group_in(ref, buf, sem):
+            return pltpu.make_async_copy(
+                ref.at[:, pl.ds(gbase, 8), :], buf, sem
+            )
+
+        def group_out(buf, ref, sem):
+            return pltpu.make_async_copy(
+                buf, ref.at[:, pl.ds(gbase, 8), :], sem
+            )
+
+        wdma(0, 0).start()
+        kdma(0, 0).start()
+        vdma(0, 0).start()
+        gk_in = group_in(k_ref, gk, gsem.at[0])
+        gv_in = group_in(v_ref, gv, gsem.at[1])
+        gk_in.start()
+        gv_in.start()
+
+        # tile t lives in slab t//tps at offset t%tps; wait lazily, prefetch
+        # the next slab the first time a slab is touched
+        waited = [False] * n_slabs
+
+        def tile(t):
+            s = t // tps
+            if not waited[s]:
+                if s + 1 < n_slabs:
+                    wdma((s + 1) % 2, s + 1).start()
+                wdma(s % 2, s).wait()
+                waited[s] = True
+            return wbuf[s % 2, t % tps]
+
+        def mm(x_, t, b32=None):  # [1,E] @ tile(t) -> [1,E] fp32
+            y = jax.lax.dot_general(
+                x_.astype(dtype), tile(t), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if b32 is not None:
+                y = y + b32
+            return y
+
+        def seg_reduce(x32):  # [N, E] fp32 -> [N, H]: sum within head segs
+            return jax.lax.dot_general(
+                x32, sel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def seg_bcast(x32):  # [N, H] fp32 -> [N, E]
+            return jax.lax.dot_general(
+                x32, selT, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        x = x_ref[:].astype(dtype)  # [1, E] residual stream (model dtype)
+
+        for l in range(L):
+            base = l * 12
+
+            def sm(r):  # [1, E] fp32 smalls row
+                return sm_ref[l, r:r + 1]
+
+            h = ln(x.astype(jnp.float32), sm(0), sm(1)).astype(dtype)
+            q32 = mm(h, base + 0, sm(4))
+            k32 = mm(h, base + 1, sm(5))
+            v32 = mm(h, base + 2, sm(6))
+            kc16 = k32.astype(dtype)
+            vc16 = v32.astype(dtype)
+            knew[l] = kc16
+            vnew[l] = vc16
+
+            # prefetch next layer's cache panes while attending this one
+            if l + 1 < L:
+                kdma((l + 1) % 2, l + 1).start()
+                vdma((l + 1) % 2, l + 1).start()
+            kdma(l % 2, l).wait()
+            vdma(l % 2, l).wait()
+
+            # attention over the cached region, C-chunked to bound fp32
+            # temps; current token merged separately (same softmax set as
+            # _attend after its in-place write at column `cur`)
+            qf = q32.astype(dtype).astype(jnp.float32)  # [1, E] (bf16 round)
+            s_chunks = []
+            for c0 in range(0, C, _ATTN_CHUNK):
+                cw = min(_ATTN_CHUNK, C - c0)
+                kc = kbuf[l % 2, c0:c0 + cw, :].astype(jnp.float32)
+                s_chunks.append(seg_reduce(kc * qf))
+            scores = jnp.concatenate(s_chunks, axis=0) * scale  # [C, H]
+            row = jax.lax.broadcasted_iota(jnp.int32, (C, H), 0)
+            scores = jnp.where(row < cur, scores, NEG_INF)
+            s_cur = seg_reduce(
+                kc16.astype(jnp.float32) * qf
+            ) * scale  # [1, H]
+            mx = jnp.maximum(jnp.max(scores, axis=0, keepdims=True), s_cur)
+            p = jnp.exp(scores - mx)  # [C, H] fp32
+            p_cur = jnp.exp(s_cur - mx)  # [1, H]
+            denom = jnp.sum(p, axis=0, keepdims=True) + p_cur  # [1, H]
+            ao = jnp.zeros((1, E), jnp.float32)
+            for c0 in range(0, C, _ATTN_CHUNK):
+                cw = min(_ATTN_CHUNK, C - c0)
+                vc = vbuf[l % 2, c0:c0 + cw, :].astype(jnp.float32)
+                pe = seg_bcast(p[c0:c0 + cw])  # [cw, E]
+                ao = ao + jnp.sum(pe * vc, axis=0, keepdims=True)
+            ao = ao + seg_bcast(p_cur) * vc16.astype(jnp.float32)
+            ao = ao / seg_bcast(denom)  # [1, E]
+            a = ao.astype(dtype)
+
+            x = x + mm(a, base + 3, sm(7)).astype(dtype)
+
+            h2 = ln(x.astype(jnp.float32), sm(2), sm(3)).astype(dtype)
+            m32 = jnp.concatenate(
+                [mm(h2, base + 4 + i, sm(8 + i)) for i in range(4)], axis=-1
+            )  # [1, 4E] fp32
+            g32 = 0.5 * m32 * (
+                1.0
+                + jnp.tanh(0.7978845608028654 * (m32 + 0.044715 * m32 ** 3))
+            )
+            gh = g32.astype(dtype)
+            y32 = sm(12)
+            for i in range(4):
+                y32 = y32 + mm(gh[:, i * E:(i + 1) * E], base + 8 + i)
+            x = x + y32.astype(dtype)
+
+        # merge the new K/V rows into their aligned 8-row groups and write
+        # both groups back, overlapped with the LM-head tile stream
+        gk_in.wait()
+        gv_in.wait()
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (L, 8, E), 1)
+        ins = ridx == (cur - gbase)
+        gk[:] = jnp.where(ins, jnp.broadcast_to(knew[:], (L, 8, E)), gk[:])
+        gv[:] = jnp.where(ins, jnp.broadcast_to(vnew[:], (L, 8, E)), gv[:])
+        okd = group_out(gk, ko_ref, osem.at[0])
+        ovd = group_out(gv, vo_ref, osem.at[1])
+        okd.start()
+        ovd.start()
+
+        xf = ln(
+            x.astype(jnp.float32), lnf_ref[0:1], lnf_ref[1:2]
+        ).astype(dtype)  # [1, E]
+        best = jnp.float32(NEG_INF)
+        best_idx = jnp.int32(0)
+        lm_base = L * 12
+        for t in range(n_lm):
+            y = mm(xf, lm_base + t)  # [1, E] fp32 logits chunk
+            if (t + 1) * E > V:  # mask vocab padding in the last tile
+                cidx = jax.lax.broadcasted_iota(jnp.int32, (1, E), 1)
+                y = jnp.where(cidx < V - t * E, y, NEG_INF)
+            ymax = jnp.max(y)
+            yarg = jnp.argmax(y).astype(jnp.int32) + t * E
+            take = ymax > best  # strict: first max wins, as jnp.argmax
+            best_idx = jnp.where(take, yarg, best_idx)
+            best = jnp.maximum(best, ymax)
+        tok_ref[0, 0] = best_idx
+
+        okd.wait()
+        ovd.wait()
+
+    f = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # length (1,1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x_emb
+            pl.BlockSpec(memory_space=pltpu.HBM),  # wstack
+            pl.BlockSpec(memory_space=pltpu.HBM),  # k  [L, C, E]
+            pl.BlockSpec(memory_space=pltpu.HBM),  # v
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # smalls
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lnf
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # token
+            pl.BlockSpec(memory_space=pltpu.HBM),  # k out (aliased)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # v out (aliased)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((L, C, E), k.dtype),
+            jax.ShapeDtypeStruct((L, C, E), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, tps, E, E), dtype),  # weight ring
+            pltpu.VMEM((2, C, E), dtype),  # K ring
+            pltpu.VMEM((2, C, E), dtype),  # V ring
+            pltpu.VMEM((L, 1, E), dtype),  # new K rows
+            pltpu.VMEM((L, 1, E), dtype),  # new V rows
+            pltpu.VMEM((L, 8, E), dtype),  # RMW group (K)
+            pltpu.VMEM((L, 8, E), dtype),  # RMW group (V)
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={3: 1, 4: 2},
+        interpret=interpret,
+    )
+    tok, k2, v2 = f(
+        jnp.reshape(length.astype(jnp.int32), (1, 1)),
+        x_emb,
+        packed["wstack"],
+        k,
+        v,
+        packed["smalls"],
+        packed["lnf"],
+    )
+    return tok[0, 0], k2, v2
