@@ -210,8 +210,14 @@ class ContinuousBatchingEngine:
         self._chunks: Dict[int, Callable] = {}
 
     def _slot_arr(self, x) -> jax.Array:
-        """Host slot-state array -> device, sharded over "data" when meshed."""
-        a = jnp.asarray(x)
+        """Host slot-state array -> device, sharded over "data" when meshed.
+
+        Always snapshots: `jnp.asarray` on CPU zero-copy ALIASES an aligned
+        numpy buffer, and the pipelined scheduler mutates the host mirrors
+        while dispatches that consumed them are still in flight — a private
+        copy makes every dispatch see its dispatch-time values.
+        """
+        a = jnp.asarray(np.array(x))
         if self._slot_sharding is not None:
             a = jax.device_put(a, self._slot_sharding)
         return a
@@ -224,7 +230,7 @@ class ContinuousBatchingEngine:
             )
         return self._chunks[key]
 
-    def _past_blocks_bucket(self) -> int:
+    def _past_blocks_bucket(self, lengths=None, active=None) -> int:
         """Blocks needed to cover every active slot's past, bucketed to a few
         compiled sizes (full, 1/2, 1/4 of max_blocks_per_seq).
 
@@ -234,15 +240,50 @@ class ContinuousBatchingEngine:
         traffic. Bucketing recovers it at the cost of <=3 compiled shapes.
         """
         P = self.pool_cfg
-        active = self.active
+        lengths = self.lengths if lengths is None else lengths
+        active = self.active if active is None else active
         if not active.any():
             return P.max_blocks_per_seq
-        need = -(-int(self.lengths[active].max()) // P.block_size)
+        need = -(-int(lengths[active].max()) // P.block_size)
         need = max(need, 1)
         for b in (P.max_blocks_per_seq // 4, P.max_blocks_per_seq // 2):
             if b >= need:
                 return b
         return P.max_blocks_per_seq
+
+    def _admit_chunk(self, suffix, n_steps: int, n_past_blocks: int):
+        """Fused admission prefill + first decode chunk: ONE dispatch.
+
+        Each dispatch through the remote runtime costs ~tens of ms; fusing
+        the wave's prefill with the chunk that always follows it halves the
+        serving path's round-trips (prefill, chunk -> one program per wave).
+        """
+        key = ("admit_chunk", suffix, n_steps, n_past_blocks)
+        if key not in self._chunks:
+            pre = (
+                self._make_suffix_prefill(*suffix)
+                if suffix is not None
+                else self._make_prefill()
+            )
+            chk = self._make_decode_chunk(n_steps, n_past_blocks)
+
+            def fused(params, k_pool, v_pool, k_scale, v_scale, pre_args,
+                      lengths_in, active_in, last_in, true_lens, admit):
+                nxt, k_pool, v_pool, k_scale, v_scale = pre(
+                    params, k_pool, v_pool, k_scale, v_scale, *pre_args
+                )
+                last = jnp.where(admit, nxt, last_in)
+                lengths = jnp.where(admit, true_lens, lengths_in)
+                active = jnp.logical_or(active_in, admit)
+                tables = pre_args[0]
+                toks, k_pool, v_pool, k_scale, v_scale = chk(
+                    params, k_pool, v_pool, k_scale, v_scale, tables,
+                    lengths, active, last,
+                )
+                return nxt, toks, k_pool, v_pool, k_scale, v_scale
+
+            self._chunks[key] = jax.jit(fused)
+        return self._chunks[key]
 
     # ------------------------------------------------------------------
     # jitted step builders
@@ -793,9 +834,14 @@ class ContinuousBatchingEngine:
     # ------------------------------------------------------------------
     # host-side scheduler
     # ------------------------------------------------------------------
-    def _admit_wave(self, queue: List[Request]) -> int:
-        """Admit as many queued requests as slots/blocks allow, with ONE
-        batched prefill dispatch for the whole wave. Returns #admitted."""
+    def _plan_wave(self, queue: List[Request]) -> Optional[dict]:
+        """Decide an admission wave (host-side allocation only, no dispatch).
+
+        Returns None when nothing can be admitted, else a plan dict with the
+        device-ready arrays and the wave bookkeeping. The caller dispatches
+        the prefill (fused with the first decode chunk, see `run`) and then
+        commits with `_commit_wave`.
+        """
         P = self.pool_cfg
         bs = P.block_size
         # prefixes COMMITTED by earlier dispatches: only these may skip
@@ -869,7 +915,7 @@ class ContinuousBatchingEngine:
             wave.append((slot, req, ids, blocks, len(shared), n_committed))
 
         if not wave:
-            return 0
+            return None
 
         tokens = np.zeros((P.n_slots, P.prompt_bucket), np.int32)
         true_lens = np.ones((P.n_slots,), np.int32)
@@ -887,6 +933,15 @@ class ContinuousBatchingEngine:
             reused_lens[slot] = n_committed * bs
             admit[slot] = True
 
+        plan = {
+            "wave": wave,
+            "tables": tables,
+            "tokens": tokens,
+            "true_lens": true_lens,
+            "reused_lens": reused_lens,
+            "admit": admit,
+            "suffix": None,
+        }
         if reused_lens.any():
             # compute-saving path: forward ONLY the suffixes, attending over
             # the shared prefix blocks already in the pool
@@ -905,44 +960,66 @@ class ContinuousBatchingEngine:
             for slot, req, ids, blocks, n_shared, n_c in wave:
                 suf = ids[n_c * bs:][:s_bucket]
                 suffix_tokens[slot, : len(suf)] = suf
-            nxt, self.k_pool, self.v_pool, self.k_scale, self.v_scale = (
-                self._suffix_prefill(s_bucket, n_past)(
-                    self.params,
-                    self.k_pool,
-                    self.v_pool,
-                    self.k_scale,
-                    self.v_scale,
-                    self._slot_arr(tables),
-                    self._slot_arr(suffix_tokens),
-                    self._slot_arr(reused_lens),
-                    self._slot_arr(true_lens),
-                    self._slot_arr(admit),
-                )
+            plan["suffix"] = (s_bucket, n_past)
+            plan["suffix_tokens"] = suffix_tokens
+        return plan
+
+    def _prefill_args(self, plan: dict) -> tuple:
+        """(prefill_fn, device args) for a planned wave (plain or suffix)."""
+        if plan["suffix"] is not None:
+            fn = self._make_suffix_prefill(*plan["suffix"])
+            args = (
+                self._slot_arr(plan["tables"]),
+                self._slot_arr(plan["suffix_tokens"]),
+                self._slot_arr(plan["reused_lens"]),
+                self._slot_arr(plan["true_lens"]),
+                self._slot_arr(plan["admit"]),
             )
         else:
-            nxt, self.k_pool, self.v_pool, self.k_scale, self.v_scale = self._prefill(
-                self.params,
-                self.k_pool,
-                self.v_pool,
-                self.k_scale,
-                self.v_scale,
-                self._slot_arr(tables),
-                self._slot_arr(tokens),
-                self._slot_arr(true_lens),
-                self._slot_arr(admit),
-                self._slot_arr(reused_lens),
+            fn = self._make_prefill()
+            args = (
+                self._slot_arr(plan["tables"]),
+                self._slot_arr(plan["tokens"]),
+                self._slot_arr(plan["true_lens"]),
+                self._slot_arr(plan["admit"]),
+                self._slot_arr(plan["reused_lens"]),
             )
-        nxt = np.asarray(nxt)
-        for slot, req, ids, blocks, n_shared, n_c in wave:
-            self.tables[slot] = tables[slot]
+        return fn, args
+
+    def _commit_wave(self, plan: dict, queue: List[Request]) -> None:
+        """Update host mirrors for a dispatched wave (tokens arrive later:
+        `run` appends each admitted slot's first token at harvest time)."""
+        for slot, req, ids, blocks, n_shared, n_c in plan["wave"]:
+            self.tables[slot] = plan["tables"][slot]
             self.lengths[slot] = len(ids)
             self.active[slot] = True
-            self.last_token[slot] = int(nxt[slot])
             self.slot_req[slot] = req
             self.slot_blocks[slot] = blocks
-            req.out_ids.append(int(nxt[slot]))
             queue.remove(req)
-        return len(wave)
+
+    def _admit_wave(self, queue: List[Request]) -> int:
+        """Standalone (unfused) admission: plan, dispatch the batched
+        prefill, commit, and record each admitted slot's first token.
+        `run` fuses this with the first decode chunk instead; this method
+        remains the one-dispatch admission API. Returns #admitted."""
+        plan = self._plan_wave(queue)
+        if plan is None:
+            return 0
+        if plan["suffix"] is not None:
+            fn = self._suffix_prefill(*plan["suffix"])
+        else:
+            fn = self._prefill
+        _, args = self._prefill_args(plan)
+        nxt, self.k_pool, self.v_pool, self.k_scale, self.v_scale = fn(
+            self.params, self.k_pool, self.v_pool, self.k_scale,
+            self.v_scale, *args,
+        )
+        self._commit_wave(plan, queue)
+        nxt = np.asarray(nxt)
+        for slot, req, *_ in plan["wave"]:
+            self.last_token[slot] = int(nxt[slot])
+            req.out_ids.append(int(nxt[slot]))
+        return len(plan["wave"])
 
     def _retire(self, slot: int) -> None:
         req = self.slot_req[slot]
@@ -969,70 +1046,133 @@ class ContinuousBatchingEngine:
                     del self._prefix_map[key]
 
     def run(self, requests: List[Request], progress: Optional[Callable] = None):
-        """Serve all requests to completion; returns them (with out_ids)."""
+        """Serve all requests to completion; returns them (with out_ids).
+
+        Dispatch-pipelined scheduler: each admission wave's prefill is FUSED
+        with its first decode chunk (one program, one round-trip), token
+        fetches are deferred to a single `device_get` per dispatch, and when
+        active slots still need more tokens the next chunk is dispatched
+        with the device-resident last tokens BEFORE the previous chunk's
+        results are fetched — the host-side fetch + bookkeeping overlaps
+        device compute. Slots that finish (EOS / budget) inside an
+        already-dispatched chunk overshoot harmlessly: their extra tokens
+        are discarded at harvest, their zombie writes land in blocks no
+        later reader observes un-overwritten, and they retire one harvest
+        late.
+        """
         queue = list(requests)
         total_steps = 0
-        while queue or self.active.any():
-            # admit a whole wave in one dispatch
-            if queue:
-                self._admit_wave(queue)
+        chunk = self.pool_cfg.max_chunk
+        # dispatched-but-unfetched work, oldest first:
+        # (nxt_dev|None, toks_dev, snapshot of slot->req at dispatch)
+        inflight: List[tuple] = []
+        last_dev = None  # device-resident last_token after the newest chunk
+        # tokens dispatched (incl. in flight) for each slot's current request
+        dispatched = np.zeros((self.pool_cfg.n_slots,), np.int64)
 
-            if not self.active.any():
-                if queue:  # could not admit anything -> pool exhausted
-                    raise RuntimeError(
-                        "Block pool too small for the smallest pending request"
-                    )
-                break
-
-            # retire any budget-exhausted slots before stepping (frees
-            # slots/blocks for the next admission wave)
-            for slot in range(self.pool_cfg.n_slots):
-                if self.active[slot] and (
-                    self.slot_req[slot].max_new_tokens
-                    <= len(self.slot_req[slot].out_ids)
-                ):
-                    self._retire(slot)
-            if not self.active.any():
-                continue
-            # always run a full chunk (ONE compiled program): slots that
-            # exhaust their budget mid-chunk overshoot harmlessly — their
-            # writes land beyond their table (drop sentinel / clamped) and
-            # the host discards the extra tokens before retiring them
-            chunk = self.pool_cfg.max_chunk
-
-            (toks, self.k_pool, self.v_pool, self.k_scale, self.v_scale) = (
-                self._decode_chunk(chunk, self._past_blocks_bucket())(
-                    self.params,
-                    self.k_pool,
-                    self.v_pool,
-                    self.k_scale,
-                    self.v_scale,
-                    self._slot_arr(self.tables),
-                    self._slot_arr(self.lengths),
-                    self._slot_arr(self.active),
-                    self._slot_arr(self.last_token),
-                )
-            )
-            toks = np.asarray(toks)  # [chunk, B]
+        def harvest():
+            nonlocal total_steps
+            nxt_dev, toks_dev, snapshot = inflight.pop(0)
+            if nxt_dev is not None:
+                nxt, toks = jax.device_get((nxt_dev, toks_dev))
+            else:
+                nxt, toks = None, jax.device_get(toks_dev)
             total_steps += chunk
-
             for slot in range(self.pool_cfg.n_slots):
-                if not self.active[slot]:
+                req = snapshot[slot]
+                if req is None or req.done:
                     continue
-                req = self.slot_req[slot]
-                self.lengths[slot] += chunk
+                first = [int(nxt[slot])] if nxt is not None and not req.out_ids else []
                 hit_eos = False
-                for i in range(chunk):
+                for tok in first + [int(toks[i, slot]) for i in range(chunk)]:
                     if len(req.out_ids) >= req.max_new_tokens:
                         break
-                    tok = int(toks[i, slot])
                     req.out_ids.append(tok)
                     self.last_token[slot] = tok
                     if self.eos_id is not None and tok == self.eos_id:
                         hit_eos = True
                         break
                 if hit_eos or len(req.out_ids) >= req.max_new_tokens:
-                    self._retire(slot)
+                    if self.slot_req[slot] is req:  # slot not yet reused
+                        self._retire(slot)
             if progress:
                 progress(total_steps, self)
+
+        def last_in():
+            return (
+                last_dev if last_dev is not None
+                else self._slot_arr(self.last_token)
+            )
+
+        while queue or self.active.any() or inflight:
+            plan = self._plan_wave(queue) if queue else None
+            if plan is not None:
+                # fused admission prefill + first chunk, ONE dispatch
+                lengths_v = self.lengths.copy()
+                active_v = self.active.copy()
+                for slot, req, ids, *_ in plan["wave"]:
+                    lengths_v[slot] = len(ids)
+                    active_v[slot] = True
+                n_past = self._past_blocks_bucket(lengths_v, active_v)
+                _, pre_args = self._prefill_args(plan)
+                fused = self._admit_chunk(plan["suffix"], chunk, n_past)
+                lengths_arg = self._slot_arr(self.lengths)
+                active_arg = self._slot_arr(self.active)
+                last_arg = last_in()
+                self._commit_wave(plan, queue)
+                (nxt_dev, toks_dev, self.k_pool, self.v_pool, self.k_scale,
+                 self.v_scale) = fused(
+                    self.params, self.k_pool, self.v_pool, self.k_scale,
+                    self.v_scale, pre_args, lengths_arg, active_arg,
+                    last_arg, self._slot_arr(plan["true_lens"]),
+                    self._slot_arr(plan["admit"]),
+                )
+                for slot, req, ids, *_ in plan["wave"]:
+                    dispatched[slot] = 1 + chunk
+                for slot in range(self.pool_cfg.n_slots):
+                    if active_v[slot] and self.slot_req[slot] is not None \
+                            and not (plan["admit"][slot]):
+                        dispatched[slot] += chunk
+                self.lengths[active_v] = lengths_v[active_v] + chunk
+                last_dev = toks_dev[-1]
+                inflight.append((nxt_dev, toks_dev, list(self.slot_req)))
+            elif self.active.any() and any(
+                self.active[s]
+                and self.slot_req[s] is not None
+                and not self.slot_req[s].done
+                and dispatched[s] < self.slot_req[s].max_new_tokens
+                for s in range(self.pool_cfg.n_slots)
+            ):
+                # plain chunk: some active slot still needs tokens beyond
+                # what's already dispatched
+                (toks_dev, self.k_pool, self.v_pool, self.k_scale,
+                 self.v_scale) = self._decode_chunk(
+                    chunk, self._past_blocks_bucket()
+                )(
+                    self.params, self.k_pool, self.v_pool, self.k_scale,
+                    self.v_scale, self._slot_arr(self.tables),
+                    self._slot_arr(self.lengths),
+                    self._slot_arr(self.active), last_in(),
+                )
+                for s in range(self.pool_cfg.n_slots):
+                    if self.active[s]:
+                        dispatched[s] += chunk
+                        self.lengths[s] += chunk
+                last_dev = toks_dev[-1]
+                inflight.append((None, toks_dev, list(self.slot_req)))
+            elif inflight:
+                harvest()
+                continue
+            elif queue:  # nothing active, nothing in flight, queue stuck
+                raise RuntimeError(
+                    "Block pool too small for the smallest pending request"
+                )
+            else:
+                break
+            # depth-1 pipeline: keep at most one chunk queued behind the
+            # one executing; harvest (fetch + host bookkeeping) overlaps it
+            while len(inflight) > 1:
+                harvest()
+        while inflight:
+            harvest()
         return requests

@@ -343,14 +343,17 @@ def test_prefix_blocks_survive_retirement_lru(setup):
     assert len(cbe._prefix_map) == 2
 
     # wave 2 (no live holders): reuses the parked blocks -> committed skip
+    # (run() fuses admission with the first chunk: spy on _admit_chunk and
+    # check the wave went through the suffix-prefill variant)
     captured = {}
-    orig = cbe._suffix_prefill
+    orig = cbe._admit_chunk
 
-    def spy(s_bucket, n_past):
-        captured["args"] = (s_bucket, n_past)
-        return orig(s_bucket, n_past)
+    def spy(suffix, n_steps, n_past):
+        if suffix is not None:
+            captured["args"] = suffix
+        return orig(suffix, n_steps, n_past)
 
-    cbe._suffix_prefill = spy
+    cbe._admit_chunk = spy
     out2 = [Request(1, list(prefix), 4)]
     cbe.run(out2)
     assert captured, "suffix prefill path not taken"
@@ -374,3 +377,46 @@ def test_prefix_blocks_survive_retirement_lru(setup):
     assert len(cbe.allocator.cached) + len(cbe.allocator.free) >= 0
     for blk in cbe._block_prefix:
         assert blk in cbe.allocator.cached or blk in cbe.allocator.refcount
+
+
+def test_pipelined_multichunk_eos_exact(setup):
+    """The dispatch-pipelined scheduler (speculative chunk in flight) must
+    produce the same tokens as a single-chunk-per-generation config, with
+    mid-stream EOS honored and zombie overshoot tokens discarded."""
+    spec, params, eng = setup
+    prompts = [
+        "The tide rises and the tide falls.",
+        "A different prompt about mountain weather.",
+        "Short one.",
+    ]
+    ids = [eng.tokenizer.encode(p) for p in prompts]
+    n_new = 24
+
+    def run(max_chunk, eos_id):
+        cbe = ContinuousBatchingEngine(
+            spec, params,
+            PoolConfig(n_slots=2, block_size=16, n_blocks=24,
+                       max_blocks_per_seq=8, prompt_bucket=64,
+                       max_chunk=max_chunk),
+            dtype=jnp.float32, eos_id=eos_id,
+        )
+        reqs = [Request(i, list(x), n_new) for i, x in enumerate(ids)]
+        cbe.run(reqs)
+        assert all(r.done for r in reqs)
+        assert cbe.allocator.n_free == 24  # all blocks recycled
+        return [r.out_ids for r in reqs]
+
+    # multi-chunk (4 steps/chunk -> depth-1 speculation engages) vs
+    # one-chunk-per-generation; no EOS
+    assert run(4, None) == run(n_new, None)
+
+    # with an EOS id that actually occurs: pick it from the no-EOS stream so
+    # at least one request stops early
+    baseline = run(4, None)
+    eos = baseline[0][len(baseline[0]) // 2]
+    out_a = run(4, eos)
+    out_b = run(n_new, eos)
+    assert out_a == out_b
+    assert any(len(o) < n_new for o in out_a)  # someone stopped early
+    for o in out_a:
+        assert eos not in o[:-1]  # nothing after EOS
