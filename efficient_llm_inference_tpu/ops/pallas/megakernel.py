@@ -76,34 +76,73 @@ def to_mega_layout(buf: jax.Array) -> jax.Array:
 def pack_gpt2_mega(params: dict, cfg) -> dict | None:
     """Re-layout GPT-2 params into the megakernel's tile stream.
 
-    Returns None when the params are not packable (int8-quantized weights,
-    embedding width not lane-aligned). The packed pytree is computed once per
-    engine and captured by the jitted generate function.
+    Full-precision params pack into a bf16/f32 tile stack; int8
+    weight-quantized params (models/gpt2.py quantize_gpt2_weights) pack into
+    an int8 tile stack plus a per-tile [E] output-channel scale table
+    ("wscale") — the kernel dequantizes each tile on its VMEM slab, halving
+    the per-step weight stream. Returns None when the params are not
+    packable (embedding width not lane-aligned, partially-quantized pytree).
+    The packed pytree is computed once per engine and captured by the
+    jitted generate function.
     """
     E, L = cfg.n_embd, cfg.n_layer
     b = params["blocks"]
-    if any(isinstance(b[n], dict) for n in ("attn_w", "attn_proj_w", "fc_w",
-                                            "fc_proj_w")):
-        return None  # int8 weight-quantized params: not packable (yet)
+    names = ("attn_w", "attn_proj_w", "fc_w", "fc_proj_w")
+    n_quant = sum(isinstance(b[n], dict) for n in names)
+    int8 = n_quant == len(names)
+    if 0 < n_quant < len(names):
+        return None  # partially quantized: unsupported mix
+    if int8 and "lm_q" not in params:
+        return None
     if E % 128 != 0:
         return None
     dtype = params["wte"].dtype
 
+    def wv(name):  # weight values in the stream dtype
+        return b[name]["q"] if int8 else b[name]
+
     # Per-layer tile block: [q, k, v, proj, fc0..fc3, p0..p3] -> [L, 12, E, E]
-    attn = b["attn_w"].reshape(L, E, 3, E).transpose(0, 2, 1, 3)  # [L,3,E,E]
-    proj = b["attn_proj_w"][:, None]  # [L, 1, E, E]
-    fc = b["fc_w"].reshape(L, E, 4, E).transpose(0, 2, 1, 3)  # [L,4,E,E]
-    fcp = b["fc_proj_w"].reshape(L, 4, E, E)  # row partials  [L,4,E,E]
+    attn = wv("attn_w").reshape(L, E, 3, E).transpose(0, 2, 1, 3)  # [L,3,E,E]
+    proj = wv("attn_proj_w")[:, None]  # [L, 1, E, E]
+    fc = wv("fc_w").reshape(L, E, 4, E).transpose(0, 2, 1, 3)  # [L,4,E,E]
+    fcp = wv("fc_proj_w").reshape(L, 4, E, E)  # row partials  [L,4,E,E]
     layer_tiles = jnp.concatenate([attn, proj, fc, fcp], axis=1)
     layer_tiles = layer_tiles.reshape(L * 12, E, E)
 
     V = cfg.vocab_size
     n_lm = _num_lm_tiles(V, E)
-    wte_t = params["wte"].T  # [E, V]
-    wte_t = jnp.pad(wte_t, ((0, 0), (0, n_lm * E - V)))
-    lm_tiles = wte_t.reshape(E, n_lm, E).transpose(1, 0, 2)  # [n_lm, E, E]
+    if int8:
+        lm_pad = jnp.pad(params["lm_q"], ((0, 0), (0, n_lm * E - V)))
+    else:
+        lm_pad = jnp.pad(params["wte"].T, ((0, 0), (0, n_lm * E - V)))
+    lm_tiles = lm_pad.reshape(E, n_lm, E).transpose(1, 0, 2)  # [n_lm, E, E]
 
-    wstack = jnp.concatenate([layer_tiles, lm_tiles.astype(dtype)], axis=0)
+    wstack = jnp.concatenate(
+        [layer_tiles, lm_tiles.astype(layer_tiles.dtype)], axis=0
+    )
+
+    wscale = None
+    if int8:
+        # per-tile [E] output-channel scales; fc_proj row partials share
+        # their columns' scale ((x @ q) * s distributes over the row sum)
+        def sc(name, n_col_tiles):  # s: [L, 1, n_col_tiles*E]
+            return b[name]["s"].reshape(L, n_col_tiles, E)
+
+        layer_sc = jnp.concatenate(
+            [
+                sc("attn_w", 3),
+                sc("attn_proj_w", 1),
+                sc("fc_w", 4),
+                jnp.broadcast_to(sc("fc_proj_w", 1), (L, 4, E)),
+            ],
+            axis=1,
+        ).reshape(L * 12, E)
+        lm_sc = jnp.pad(
+            params["lm_s"][0], (0, n_lm * E - V), constant_values=1.0
+        ).reshape(n_lm, E)
+        wscale = jnp.concatenate(
+            [layer_sc, lm_sc], axis=0
+        ).astype(jnp.float32)
 
     # Per-layer smalls as fp32 [L, 13, E] rows:
     # 0 ln1_g, 1 ln1_b, 2 ln2_g, 3 ln2_b, 4-6 attn_b (q,k,v), 7 proj_b,
@@ -127,27 +166,43 @@ def pack_gpt2_mega(params: dict, cfg) -> dict | None:
     lnf = jnp.stack(
         [params["lnf_g"].astype(jnp.float32), params["lnf_b"].astype(jnp.float32)]
     )
-    return {"wstack": wstack, "smalls": smalls, "lnf": lnf}
+    out = {"wstack": wstack, "smalls": smalls, "lnf": lnf}
+    if wscale is not None:
+        out["wscale"] = wscale
+    return out
 
 
-def _pick_tiles_per_slab(E: int, C: int, itemsize: int) -> int:
+def _pick_tiles_per_slab(E: int, C: int, w_item: int, kv_item: int) -> int:
     """Largest slab (1..3 tiles) that keeps the VMEM rings under budget."""
-    kv_ring = 4 * C * E * itemsize  # 2-deep ring for K and for V
+    kv_ring = 4 * C * E * kv_item  # 2-deep ring for K and for V
     for tps in (3, 2, 1):
-        if 2 * tps * E * E * itemsize + kv_ring <= _VMEM_BUDGET:
+        if 2 * tps * E * E * w_item + kv_ring <= _VMEM_BUDGET:
             return tps
     return 0  # does not fit: caller falls back to the XLA path
+
+
+def _weight_itemsize(params: dict) -> int:
+    b = params.get("blocks", {})
+    if isinstance(b.get("attn_w"), dict):
+        return 1  # int8 tiles
+    return jnp.dtype(params["wte"].dtype).itemsize
 
 
 def mega_supported(cfg, capacity: int, params: dict) -> bool:
     """Can the megakernel run this geometry? (engine-side eligibility)"""
     b = params.get("blocks", {})
-    if any(isinstance(b.get(n), dict) for n in ("attn_w", "fc_w")):
+    names = ("attn_w", "attn_proj_w", "fc_w", "fc_proj_w")
+    n_quant = sum(isinstance(b.get(n), dict) for n in names)
+    if 0 < n_quant < len(names):
+        return False
+    if n_quant and "lm_q" not in params:
         return False
     if cfg.n_embd % 128 != 0 or capacity % 8 != 0:
         return False
-    itemsize = jnp.dtype(params["wte"].dtype).itemsize
-    return _pick_tiles_per_slab(cfg.n_embd, capacity, itemsize) > 0
+    kv_item = jnp.dtype(params["wte"].dtype).itemsize
+    return _pick_tiles_per_slab(
+        cfg.n_embd, capacity, _weight_itemsize(params), kv_item
+    ) > 0
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "capacity", "interpret"))
@@ -169,9 +224,12 @@ def gpt2_megastep(
     eps = cfg.layer_norm_epsilon
     n_lm = _num_lm_tiles(V, E)
     n_tiles = L * 12 + n_lm
-    dtype = packed["wstack"].dtype
-    itemsize = jnp.dtype(dtype).itemsize
-    tps = _pick_tiles_per_slab(E, C, itemsize)
+    wdtype = packed["wstack"].dtype  # int8 when weight-quantized
+    int8_w = "wscale" in packed
+    dtype = k.dtype  # compute/residual dtype (the model dtype)
+    tps = _pick_tiles_per_slab(
+        E, C, jnp.dtype(wdtype).itemsize, jnp.dtype(dtype).itemsize
+    )
     if tps == 0:
         raise ValueError("megakernel does not fit VMEM at this capacity")
     n_slabs = -(-n_tiles // tps)
@@ -182,7 +240,7 @@ def gpt2_megastep(
         var = jnp.var(x32, axis=-1, keepdims=True)
         return (x32 - mean) * jax.lax.rsqrt(var + eps) * g + b_
 
-    def kernel(len_ref, x_ref, w_ref, k_ref, v_ref, sm_ref, lnf_ref,
+    def kernel(len_ref, x_ref, w_ref, k_ref, v_ref, sm_ref, lnf_ref, ws_ref,
                tok_ref, ko_ref, vo_ref,
                wbuf, kbuf, vbuf, knew, vnew, gk, gv,
                wsem, ksem, vsem, gsem, osem):
@@ -247,10 +305,16 @@ def gpt2_megastep(
             return wbuf[s % 2, t % tps]
 
         def mm(x_, t, b32=None):  # [1,E] @ tile(t) -> [1,E] fp32
+            # int8 tiles dequantize on the VMEM slab (per-output-channel
+            # scale applied to the fp32 accumulator — mirrors models/gpt2.py
+            # _mm); the astype is a no-op for full-precision tiles
             y = jax.lax.dot_general(
-                x_.astype(dtype), tile(t), (((1,), (0,)), ((), ())),
+                x_.astype(dtype), tile(t).astype(dtype),
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            if int8_w:
+                y = y * ws_ref[t:t + 1]
             if b32 is not None:
                 y = y + b32
             return y
@@ -380,6 +444,7 @@ def gpt2_megastep(
             pl.BlockSpec(memory_space=pltpu.HBM),  # v
             pl.BlockSpec(memory_space=pltpu.VMEM),  # smalls
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lnf
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wscale [n_tiles, E]
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # token
@@ -392,7 +457,7 @@ def gpt2_megastep(
             jax.ShapeDtypeStruct((L, C, E), v.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, tps, E, E), dtype),  # weight ring
+            pltpu.VMEM((2, tps, E, E), wdtype),  # weight ring
             pltpu.VMEM((2, C, E), dtype),  # K ring
             pltpu.VMEM((2, C, E), dtype),  # V ring
             pltpu.VMEM((L, 1, E), dtype),  # new K rows
@@ -408,6 +473,9 @@ def gpt2_megastep(
         input_output_aliases={3: 1, 4: 2},
         interpret=interpret,
     )
+    wscale = packed.get("wscale")
+    if wscale is None:  # constant-folded away by XLA on the fp path
+        wscale = jnp.ones((n_tiles, E), jnp.float32)
     tok, k2, v2 = f(
         jnp.reshape(length.astype(jnp.int32), (1, 1)),
         x_emb,
@@ -416,5 +484,6 @@ def gpt2_megastep(
         v,
         packed["smalls"],
         packed["lnf"],
+        wscale,
     )
     return tok[0, 0], k2, v2

@@ -93,10 +93,6 @@ def test_engine_megakernel_token_exact(params):
 
 
 def test_mega_gating(params):
-    # int8-quantized weights are not packable
-    qparams = gpt2_mod.quantize_gpt2_weights(params)
-    assert pack_gpt2_mega(qparams, CFG) is None
-    assert not mega_supported(CFG, 48, qparams)
     # capacity must be a multiple of 8 (aligned RMW group)
     assert not mega_supported(CFG, 47, params)
     assert mega_supported(CFG, 48, params)
@@ -113,3 +109,21 @@ def test_mega_gating(params):
                       batch_size=2),
     )
     assert eng._mega_spec(48, None) is None
+
+
+def test_engine_megakernel_int8_weights_token_exact(params):
+    """int8-weight megakernel (in-kernel dequant tiles) == int8 XLA path."""
+    spec = gpt2_spec(CFG)
+    qparams = gpt2_mod.quantize_gpt2_weights(params)
+    assert pack_gpt2_mega(qparams, CFG) is not None
+    assert mega_supported(CFG, 48, qparams)
+    prompt = "the quick brown fox jumps over the lazy dog"
+    outs = {}
+    for mega in (False, True):
+        eng = InferenceEngine(
+            spec, qparams,
+            config=Config(dtype=jnp.float32, megakernel=mega, device="cpu",
+                          weight_quant="int8"),
+        )
+        outs[mega] = eng.generate_ids(prompt, "full_cache", max_new_tokens=9)
+    assert outs[True] == outs[False]
