@@ -220,26 +220,37 @@ class InferenceEngine:
         self, cap: int, sampling: Optional[SamplingParams]
     ) -> Optional[dict]:
         """Whole-step megakernel eligibility for full_cache decode
-        (greedy, batch 1, GPT-2 family, weights packable, fits VMEM)."""
-        from ..ops.pallas.megakernel import mega_supported, pack_gpt2_mega
-
+        (greedy, batch 1, GPT-2 or Llama family, weights packable, fits
+        VMEM; ops/pallas/megakernel.py and megakernel_llama.py)."""
         if not self.config.resolved_megakernel():
             return None
-        if self.model.name != "gpt2" or self.config.batch_size != 1:
+        if self.config.batch_size != 1:
             return None
         if sampling is not None and not sampling.greedy:
             return None
+        if self.model.name == "gpt2":
+            from ..ops.pallas.megakernel import mega_supported, pack_gpt2_mega
+
+            supported, pack = mega_supported, pack_gpt2_mega
+        elif self.model.name == "llama":
+            from ..ops.pallas.megakernel_llama import (
+                mega_supported as supported,
+                pack_llama_mega as pack,
+            )
+        else:
+            return None
         cap8 = -(-cap // 8) * 8  # aligned 8-row RMW group needs C % 8 == 0
-        if not mega_supported(self.model.config, cap8, self.params):
+        if not supported(self.model.config, cap8, self.params):
             return None
         if self._mega_packed is None:
-            self._mega_packed = pack_gpt2_mega(self.params, self.model.config)
+            self._mega_packed = pack(self.params, self.model.config)
         if self._mega_packed is None:
             return None
         return {
             "packed": self._mega_packed,
             "cfg": self.model.config,
             "capacity": cap8,
+            "kind": self.model.name,
             "interpret": self.config.device != "tpu",
         }
 

@@ -211,6 +211,8 @@ def make_generate(
 
 def _mega_decode_body(model: ModelSpec, max_new_tokens: int, mega: dict):
     """Decode loop over whole-step megakernel calls (greedy, batch 1)."""
+    if mega.get("kind") == "llama":
+        return _llama_mega_decode_body(model, max_new_tokens, mega)
     from ..ops.pallas.megakernel import gpt2_megastep, to_mega_layout
 
     packed = mega["packed"]
@@ -227,6 +229,53 @@ def _mega_decode_body(model: ModelSpec, max_new_tokens: int, mega: dict):
             x = (wte[tok][None] + wpe[pos][None]).astype(wte.dtype)  # [1, E]
             tok2, k, v = gpt2_megastep(
                 packed, k, v, length, x,
+                cfg=cfg, capacity=capacity, interpret=interpret,
+            )
+            tok2 = jnp.clip(tok2, 0, model.vocab_size - 1)
+            return (k, v, length + 1, tok2), tok
+
+        tok0 = jnp.clip(
+            jnp.argmax(last_logits[0]).astype(jnp.int32), 0,
+            model.vocab_size - 1,
+        )
+        init = (
+            to_mega_layout(cache["k"]),
+            to_mega_layout(cache["v"]),
+            cache["length"],
+            tok0,
+        )
+        (_, _, length, _), toks = jax.lax.scan(
+            step, init, None, length=max_new_tokens
+        )
+        return toks[None, :], {"length": length}
+
+    return decode
+
+
+def _llama_mega_decode_body(model: ModelSpec, max_new_tokens: int, mega: dict):
+    """Llama decode loop over whole-step megakernel calls (greedy, batch 1)."""
+    from ..models.llama import rope_cos_sin
+    from ..ops.pallas.megakernel_llama import llama_megastep, to_mega_layout
+
+    packed = mega["packed"]
+    cfg = mega["cfg"]
+    capacity = mega["capacity"]
+    interpret = mega.get("interpret", False)
+
+    def decode(params, cache, last_logits):
+        embed = params["embed"]
+
+        def step(carry, _):
+            k, v, length, tok = carry
+            pos = jnp.minimum(length, model.n_positions - 1)
+            x = embed[tok][None].astype(embed.dtype)  # [1, E]
+            cos, sin = rope_cos_sin(
+                pos[None, None], cfg.head_dim, cfg.rope_theta
+            )  # [1, 1, D] each
+            cos_q = jnp.tile(cos[0], (1, cfg.n_head))  # [1, Hq*D]
+            sin_q = jnp.tile(sin[0], (1, cfg.n_head))
+            tok2, k, v = llama_megastep(
+                packed, k, v, length, x, cos_q, sin_q,
                 cfg=cfg, capacity=capacity, interpret=interpret,
             )
             tok2 = jnp.clip(tok2, 0, model.vocab_size - 1)

@@ -1,0 +1,596 @@
+"""Whole-step decode megakernel for the Llama family (GQA, RoPE, SwiGLU).
+
+Same design as ops/pallas/megakernel.py (see that module's header for the
+rationale: single-stream decode is weight-bandwidth bound and the XLA step
+pays per-op dispatch overhead on top of the weight-streaming floor), adapted
+to Llama geometry. No reference counterpart — the reference's decode step is
+a full HF model forward (/root/reference/src/benchmarking/benchmarker.py:473);
+this module is the TPU-native replacement for its hot decode path on the
+north-star Llama models.
+
+What differs from the GPT-2 kernel:
+
+* Non-square weight tiles. GPT-2's [E, E] unit doesn't exist here (projection
+  widths are Hq*D, Hkv*D, I, E — all different). Every weight is cut into a
+  uniform [TR, TC] grid where TR divides every matmul input dim and TC every
+  output dim (for Llama-3.2-1B: [2048, 512] tiles, 58/layer + 251 LM tiles).
+  Output chunks accumulate over row-group tiles; per-output-channel int8
+  scales apply once per chunk after the row-group sum (same contraction
+  order as models/gpt2.py:_mm up to the documented row-partial reassociation).
+* GQA attention in compact KV lane space. The cache pane is [C, Hkv*D]; the
+  32 query heads fold onto it as GR = Hq/Hkv "rotations": q_r gathers the
+  r-th query head of each KV group into KV lane space (static 64-lane
+  slices), scores reduce per KV head via a [KW, Hkv] 0/1 segment-selector
+  matmul, and the per-rotation outputs interleave back to [1, Hq*D]. The
+  cache is never expanded to query width — no 4x HBM inflation, no
+  [C, 512]x[512, 2048] expansion matmuls.
+* RoPE in-kernel via lane rolls. rotate-half needs x[d +- D/2] within each
+  D-lane head segment; a full-lane roll by D/2 lands in-segment exactly for
+  the lanes each branch keeps, so two static roll-concats + an iota select
+  implement it with no cross-lane gather constants. cos/sin for the current
+  position arrive tiled to query width ([1, Hq*D], computed by the caller —
+  they depend only on the step's position).
+* RMSNorm (fp32 stats, cast-before-scale as models/llama.py:_rms_norm) and
+  SwiGLU (fp32 silu, product in the model dtype) replace LN/GELU.
+
+Numerics mirror models/llama.py exactly up to the same reassociation classes
+as the GPT-2 kernel (row-partial sums, C-chunked attention reductions,
+current-token softmax merge); tests/test_megakernel_llama.py asserts
+token-exact decode against the XLA path in interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+_VMEM_BUDGET = 11 * 1024 * 1024
+_ATTN_CHUNK = 512
+
+_WEIGHT_NAMES = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def _tile_geometry(cfg) -> tuple[int, int]:
+    """Uniform [TR, TC]: TR divides every matmul input dim, TC every output."""
+    E, I = cfg.hidden_size, cfg.intermediate_size
+    QW = cfg.n_head * cfg.head_dim
+    KW = cfg.n_kv_head * cfg.head_dim
+    TR = math.gcd(math.gcd(E, QW), I)
+    while TR > 2048:
+        TR //= 2
+    TC = math.gcd(math.gcd(QW, KW), math.gcd(E, I))
+    while TC > 512:
+        TC //= 2
+    return TR, TC
+
+
+def _num_lm_tiles(vocab: int, TC: int) -> int:
+    return -(-vocab // TC)
+
+
+def _layer_tile_plan(cfg, TR: int, TC: int):
+    """Per-layer (name, rows, cols) in stream order; rows/cols in tiles."""
+    E, I = cfg.hidden_size, cfg.intermediate_size
+    QW = cfg.n_head * cfg.head_dim
+    KW = cfg.n_kv_head * cfg.head_dim
+    return [
+        ("wq", E // TR, QW // TC),
+        ("wk", E // TR, KW // TC),
+        ("wv", E // TR, KW // TC),
+        ("wo", QW // TR, E // TC),
+        ("w_gate", E // TR, I // TC),
+        ("w_up", E // TR, I // TC),
+        ("w_down", I // TR, E // TC),
+    ]
+
+
+def _tiles_per_layer(cfg, TR: int, TC: int) -> int:
+    return sum(r * c for _, r, c in _layer_tile_plan(cfg, TR, TC))
+
+
+def to_mega_layout(buf: jax.Array) -> jax.Array:
+    """[L, 1, Hkv, C, D] cache pane -> [L, C, Hkv*D] kernel layout."""
+    L, B, H, C, D = buf.shape
+    assert B == 1, "megakernel is single-stream"
+    return buf[:, 0].transpose(0, 2, 1, 3).reshape(L, C, H * D)
+
+
+def _grid_tiles(w: jax.Array, TR: int, TC: int) -> jax.Array:
+    """[Rin, Rout] -> [cg*rg, TR, TC] tiles, column-group major."""
+    Rin, Rout = w.shape
+    rg, cg = Rin // TR, Rout // TC
+    return (
+        w.reshape(rg, TR, cg, TC).transpose(2, 0, 1, 3).reshape(cg * rg, TR, TC)
+    )
+
+
+def _grid_scales(s: jax.Array, rg: int, TC: int) -> jax.Array:
+    """[1, Rout] column scales -> per-tile [cg*rg, TC] (shared across rows)."""
+    cg = s.shape[-1] // TC
+    out = jnp.broadcast_to(s.reshape(cg, 1, TC), (cg, rg, TC))
+    return out.reshape(cg * rg, TC)
+
+
+def pack_llama_mega(params: dict, cfg) -> dict | None:
+    """Re-layout Llama params into the megakernel's uniform tile stream.
+
+    Returns {"wstack": [n_tiles, TR, TC], "norms": [L, 2, E] f32,
+    "lnf": [1, E] f32, "wscale": [n_tiles, TC] f32 (int8 only)} or None when
+    the params are not packable (mixed quantization, indivisible geometry).
+    """
+    E, L = cfg.hidden_size, cfg.n_layer
+    b = params["blocks"]
+    n_quant = sum(isinstance(b[n], dict) for n in _WEIGHT_NAMES)
+    int8 = n_quant == len(_WEIGHT_NAMES)
+    if 0 < n_quant < len(_WEIGHT_NAMES):
+        return None
+    if int8 and "lm_q" not in params:
+        return None
+    TR, TC = _tile_geometry(cfg)
+    plan = _layer_tile_plan(cfg, TR, TC)
+    for _, r, c in plan:
+        if r == 0 or c == 0:
+            return None
+
+    def wv(name):
+        return b[name]["q"] if int8 else b[name]
+
+    layer_tiles = jnp.concatenate(
+        [
+            jax.vmap(lambda w: _grid_tiles(w, TR, TC))(wv(name))
+            for name, _, _ in plan
+        ],
+        axis=1,
+    )  # [L, tiles_per_layer, TR, TC]
+    per_layer = layer_tiles.shape[1]
+    layer_tiles = layer_tiles.reshape(L * per_layer, TR, TC)
+
+    V = cfg.vocab_size
+    n_lm = _num_lm_tiles(V, TC)
+    if int8:
+        head = params["lm_q"]
+    elif cfg.tie_embeddings:
+        head = params["embed"].T
+    else:
+        head = params["lm_head"]
+    head = jnp.pad(head, ((0, 0), (0, n_lm * TC - V)))
+    lm_tiles = _grid_tiles(head, TR, TC)
+
+    wstack = jnp.concatenate([layer_tiles, lm_tiles.astype(layer_tiles.dtype)])
+
+    out = {
+        "wstack": wstack,
+        "norms": jnp.stack(
+            [b["ln1"].astype(jnp.float32), b["ln2"].astype(jnp.float32)], axis=1
+        ),  # [L, 2, E]
+        "lnf": params["ln_f"].astype(jnp.float32)[None],  # [1, E]
+    }
+    if int8:
+        layer_sc = jnp.concatenate(
+            [
+                jax.vmap(lambda s: _grid_scales(s, r, TC))(b[name]["s"])
+                for (name, r, _) in plan
+            ],
+            axis=1,
+        ).reshape(L * per_layer, TC)
+        lm_sc = _grid_scales(
+            jnp.pad(params["lm_s"], ((0, 0), (0, n_lm * TC - V)),
+                    constant_values=1.0),
+            E // TR, TC,
+        )
+        out["wscale"] = jnp.concatenate([layer_sc, lm_sc]).astype(jnp.float32)
+    return out
+
+
+def _pick_tiles_per_slab(
+    TR: int, TC: int, C: int, KW: int, w_item: int, kv_item: int,
+    ws_bytes: int,
+) -> int:
+    kv_ring = 4 * C * KW * kv_item  # 2-deep ring for K and for V
+    for tps in (3, 2, 1):
+        if 2 * tps * TR * TC * w_item + kv_ring + ws_bytes <= _VMEM_BUDGET:
+            return tps
+    return 0
+
+
+def _weight_itemsize(params: dict) -> int:
+    b = params.get("blocks", {})
+    if isinstance(b.get("wq"), dict):
+        return 1
+    return jnp.dtype(params["embed"].dtype).itemsize
+
+
+def mega_supported(cfg, capacity: int, params: dict) -> bool:
+    """Engine-side eligibility for the Llama megakernel."""
+    b = params.get("blocks", {})
+    n_quant = sum(isinstance(b.get(n), dict) for n in _WEIGHT_NAMES)
+    if 0 < n_quant < len(_WEIGHT_NAMES):
+        return False
+    int8 = n_quant == len(_WEIGHT_NAMES)
+    if int8 and "lm_q" not in params:
+        return False
+    if not int8 and not cfg.tie_embeddings and "lm_head" not in params:
+        return False
+    TR, TC = _tile_geometry(cfg)
+    KW = cfg.n_kv_head * cfg.head_dim
+    if TC % 128 != 0 or KW % 128 != 0 or TR % 8 != 0:
+        return False
+    if cfg.head_dim % 2 != 0 or capacity % 8 != 0:
+        return False
+    kv_item = jnp.dtype(params["embed"].dtype).itemsize
+    n_tiles = cfg.n_layer * _tiles_per_layer(cfg, TR, TC) + _num_lm_tiles(
+        cfg.vocab_size, TC
+    )
+    ws_bytes = 4 * n_tiles * TC if int8 else 0
+    return _pick_tiles_per_slab(
+        TR, TC, capacity, KW, _weight_itemsize(params), kv_item, ws_bytes
+    ) > 0
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "capacity", "interpret"))
+def llama_megastep(
+    packed: dict,
+    k: jax.Array,  # [L, C, KW] mega-layout cache (aliased output)
+    v: jax.Array,
+    length: jax.Array,  # int32 [] — tokens already cached
+    x_emb: jax.Array,  # [1, E] token embedding (model dtype)
+    cos_q: jax.Array,  # [1, Hq*D] f32 — RoPE cos at this position, tiled/head
+    sin_q: jax.Array,  # [1, Hq*D] f32
+    *,
+    cfg: Any,
+    capacity: int,
+    interpret: bool = False,
+):
+    """One full Llama decode step. Returns (token id int32 [], new k, new v)."""
+    E, I = cfg.hidden_size, cfg.intermediate_size
+    Hq, Hkv, D, L = cfg.n_head, cfg.n_kv_head, cfg.head_dim, cfg.n_layer
+    QW, KW = Hq * D, Hkv * D
+    GR = Hq // Hkv
+    C, V = capacity, cfg.vocab_size
+    eps = cfg.rms_eps
+    TR, TC = _tile_geometry(cfg)
+    plan = _layer_tile_plan(cfg, TR, TC)
+    per_layer = sum(r * c for _, r, c in plan)
+    n_lm = _num_lm_tiles(V, TC)
+    n_tiles = L * per_layer + n_lm
+    wdtype = packed["wstack"].dtype
+    int8_w = "wscale" in packed
+    dtype = k.dtype
+    tps = _pick_tiles_per_slab(
+        TR, TC, C, KW,
+        jnp.dtype(wdtype).itemsize, jnp.dtype(dtype).itemsize,
+        4 * n_tiles * TC if int8_w else 0,
+    )
+    if tps == 0:
+        raise ValueError("llama megakernel does not fit VMEM at this capacity")
+    n_slabs = -(-n_tiles // tps)
+    scale = 1.0 / math.sqrt(float(D))
+    half = D // 2
+
+    # per-layer tile base offsets by name, in stream order
+    name_off = {}
+    off = 0
+    for name, r, c in plan:
+        name_off[name] = (off, r, c)
+        off += r * c
+
+    def rms(x, g32):  # x [1, W] dtype, g32 [1, W] f32 -> [1, W] dtype
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        y = x32 * jax.lax.rsqrt(var + eps)
+        # cast-before-scale order matches models/llama.py:_rms_norm
+        return y.astype(dtype) * g32.astype(dtype)
+
+    def rot_half(x32, W):  # [1, W] f32, rotate-half within each D-lane head
+        rp = jnp.concatenate([x32[:, W - half:], x32[:, :W - half]], axis=1)
+        rm = jnp.concatenate([x32[:, half:], x32[:, :half]], axis=1)
+        d = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) % D
+        return jnp.where(d < half, -rm, rp)
+
+    def kernel(len_ref, x_ref, cq_ref, sq_ref, w_ref, k_ref, v_ref,
+               nm_ref, lnf_ref, ws_ref,
+               tok_ref, ko_ref, vo_ref,
+               wbuf, kbuf, vbuf, knew, vnew, gk, gv,
+               wsem, ksem, vsem, gsem, osem):
+        cur = len_ref[0, 0]
+
+        # 0/1 KV-head segment selector: sel[kl, h] = 1 iff kl // D == h
+        kl_ids = jax.lax.broadcasted_iota(jnp.int32, (KW, Hkv), 0) // D
+        h_ids = jax.lax.broadcasted_iota(jnp.int32, (KW, Hkv), 1)
+        sel = (kl_ids == h_ids).astype(jnp.float32)  # [KW, Hkv]
+        selT = sel.T  # [Hkv, KW]
+
+        def wdma(slot, s):
+            lo = s * tps
+            sz = min(tps, n_tiles - lo)
+            return pltpu.make_async_copy(
+                w_ref.at[pl.ds(lo, sz)], wbuf.at[slot, pl.ds(0, sz)],
+                wsem.at[slot],
+            )
+
+        def kdma(slot, l):
+            return pltpu.make_async_copy(k_ref.at[l], kbuf.at[slot],
+                                         ksem.at[slot])
+
+        def vdma(slot, l):
+            return pltpu.make_async_copy(v_ref.at[l], vbuf.at[slot],
+                                         vsem.at[slot])
+
+        gbase = pl.multiple_of((cur // 8) * 8, 8)
+
+        def group_in(ref, buf, sem):
+            return pltpu.make_async_copy(ref.at[:, pl.ds(gbase, 8), :], buf,
+                                         sem)
+
+        def group_out(buf, ref, sem):
+            return pltpu.make_async_copy(buf, ref.at[:, pl.ds(gbase, 8), :],
+                                         sem)
+
+        wdma(0, 0).start()
+        kdma(0, 0).start()
+        vdma(0, 0).start()
+        gk_in = group_in(k_ref, gk, gsem.at[0])
+        gv_in = group_in(v_ref, gv, gsem.at[1])
+        gk_in.start()
+        gv_in.start()
+
+        waited = [False] * n_slabs
+
+        def tile(t):
+            s = t // tps
+            if not waited[s]:
+                if s + 1 < n_slabs:
+                    wdma((s + 1) % 2, s + 1).start()
+                wdma(s % 2, s).wait()
+                waited[s] = True
+            return wbuf[s % 2, t % tps]
+
+        def mm_chunks(x_, base, rg, cg):
+            """[1, rg*TR] @ tiles -> list of cg [1, TC] f32 output chunks."""
+            outs = []
+            for c in range(cg):
+                acc = None
+                for g in range(rg):
+                    t = base + c * rg + g
+                    y = jax.lax.dot_general(
+                        x_[:, g * TR:(g + 1) * TR].astype(dtype),
+                        tile(t).astype(dtype),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = y if acc is None else acc + y
+                if int8_w:
+                    acc = acc * ws_ref[base + c * rg:base + c * rg + 1]
+                outs.append(acc)
+            return outs
+
+        def seg_reduce(x32):  # [N, KW] f32 -> [N, Hkv]
+            return jax.lax.dot_general(
+                x32, sel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def seg_bcast(x32):  # [N, Hkv] f32 -> [N, KW]
+            return jax.lax.dot_general(
+                x32, selT, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        cosq = cq_ref[:]  # [1, QW] f32
+        sinq = sq_ref[:]
+        cosk, sink = cosq[:, :KW], sinq[:, :KW]  # D-periodic
+
+        x = x_ref[:].astype(dtype)  # [1, E] residual stream
+
+        for l in range(L):
+            lbase = l * per_layer
+
+            h = rms(x, nm_ref[l, 0:1])
+            qo, rq, cq_ = name_off["wq"]
+            q_chunks = mm_chunks(h, lbase + qo, rq, cq_)
+            q32 = jnp.concatenate(q_chunks, axis=-1)  # [1, QW] f32
+            ko_, rk, ck = name_off["wk"]
+            k32 = jnp.concatenate(mm_chunks(h, lbase + ko_, rk, ck), axis=-1)
+            vo_, rv, cv = name_off["wv"]
+            v32 = jnp.concatenate(mm_chunks(h, lbase + vo_, rv, cv), axis=-1)
+
+            # RoPE on the bf16-rounded projections (matmul result is cast to
+            # the model dtype before apply_rope in models/llama.py)
+            qd = q32.astype(dtype).astype(jnp.float32)
+            kd = k32.astype(dtype).astype(jnp.float32)
+            q_rope = (qd * cosq + rot_half(qd, QW) * sinq).astype(dtype)
+            k_rope = (kd * cosk + rot_half(kd, KW) * sink).astype(dtype)
+            kc16 = k_rope
+            vc16 = v32.astype(dtype)
+            knew[l] = kc16
+            vnew[l] = vc16
+
+            if l + 1 < L:
+                kdma((l + 1) % 2, l + 1).start()
+                vdma((l + 1) % 2, l + 1).start()
+            kdma(l % 2, l).wait()
+            vdma(l % 2, l).wait()
+
+            # GQA attention in compact KV lane space: fold the GR query
+            # heads of each KV group onto the [., KW] pane one rotation at
+            # a time (all static slices)
+            qf = q_rope.astype(jnp.float32)  # [1, QW]
+            q_rs = [
+                jnp.concatenate(
+                    [
+                        qf[:, (kv * GR + r) * D:(kv * GR + r) * D + D]
+                        for kv in range(Hkv)
+                    ],
+                    axis=1,
+                )
+                for r in range(GR)
+            ]  # GR x [1, KW]
+            kcur32 = kc16.astype(jnp.float32)
+            vcur32 = vc16.astype(jnp.float32)
+
+            s_chunks = [[] for _ in range(GR)]
+            for c0 in range(0, C, _ATTN_CHUNK):
+                cw = min(_ATTN_CHUNK, C - c0)
+                kc = kbuf[l % 2, c0:c0 + cw, :].astype(jnp.float32)
+                for r in range(GR):
+                    s_chunks[r].append(seg_reduce(kc * q_rs[r]))
+            row = jax.lax.broadcasted_iota(jnp.int32, (C, Hkv), 0)
+            ao_rs = []
+            p_rs, pcur_rs, denom_rs = [], [], []
+            for r in range(GR):
+                scores = jnp.concatenate(s_chunks[r], axis=0) * scale
+                scores = jnp.where(row < cur, scores, NEG_INF)
+                s_cur = seg_reduce(kcur32 * q_rs[r]) * scale  # [1, Hkv]
+                mx = jnp.maximum(jnp.max(scores, axis=0, keepdims=True),
+                                 s_cur)
+                p = jnp.exp(scores - mx)  # [C, Hkv]
+                p_cur = jnp.exp(s_cur - mx)
+                denom_rs.append(jnp.sum(p, axis=0, keepdims=True) + p_cur)
+                p_rs.append(p)
+                pcur_rs.append(p_cur)
+            for r in range(GR):
+                ao = jnp.zeros((1, KW), jnp.float32)
+                for c0 in range(0, C, _ATTN_CHUNK):
+                    cw = min(_ATTN_CHUNK, C - c0)
+                    vc = vbuf[l % 2, c0:c0 + cw, :].astype(jnp.float32)
+                    pe = seg_bcast(p_rs[r][c0:c0 + cw])  # [cw, KW]
+                    ao = ao + jnp.sum(pe * vc, axis=0, keepdims=True)
+                ao = ao + seg_bcast(pcur_rs[r]) * vcur32
+                ao_rs.append(ao / seg_bcast(denom_rs[r]))
+
+            # interleave rotations back to query-head order [1, QW]
+            a32 = jnp.concatenate(
+                [
+                    ao_rs[hq % GR][:, (hq // GR) * D:(hq // GR) * D + D]
+                    for hq in range(Hq)
+                ],
+                axis=1,
+            )
+            a = a32.astype(dtype)
+
+            oo, ro, co = name_off["wo"]
+            o32 = jnp.concatenate(mm_chunks(a, lbase + oo, ro, co), axis=-1)
+            x = x + o32.astype(dtype)
+
+            h2 = rms(x, nm_ref[l, 1:2])
+            go, rgt, cgt = name_off["w_gate"]
+            g32 = jnp.concatenate(mm_chunks(h2, lbase + go, rgt, cgt),
+                                  axis=-1)  # [1, I] f32
+            uo, ru, cu = name_off["w_up"]
+            u32 = jnp.concatenate(mm_chunks(h2, lbase + uo, ru, cu), axis=-1)
+            # silu in fp32, product in the model dtype (models/llama.py)
+            gate = (g32 * jax.nn.sigmoid(g32)).astype(dtype)
+            prod = gate * u32.astype(dtype)  # [1, I] dtype
+            do, rd, cd = name_off["w_down"]
+            y32 = jnp.concatenate(mm_chunks(prod, lbase + do, rd, cd),
+                                  axis=-1)
+            x = x + y32.astype(dtype)
+
+        # merge the new K/V rows into their aligned 8-row groups; write both
+        # groups back overlapped with the LM-head tile stream
+        gk_in.wait()
+        gv_in.wait()
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (L, 8, KW), 1)
+        ins = ridx == (cur - gbase)
+        gk[:] = jnp.where(ins, jnp.broadcast_to(knew[:], (L, 8, KW)), gk[:])
+        gv[:] = jnp.where(ins, jnp.broadcast_to(vnew[:], (L, 8, KW)), gv[:])
+        okd = group_out(gk, ko_ref, osem.at[0])
+        ovd = group_out(gv, vo_ref, osem.at[1])
+        okd.start()
+        ovd.start()
+
+        xf = rms(x, lnf_ref[:])  # [1, E] dtype
+        best = jnp.float32(NEG_INF)
+        best_idx = jnp.int32(0)
+        lm_base = L * per_layer
+        rg_lm = E // TR
+        for t in range(n_lm):
+            acc = None
+            for g in range(rg_lm):
+                y = jax.lax.dot_general(
+                    xf[:, g * TR:(g + 1) * TR],
+                    tile(lm_base + t * rg_lm + g).astype(dtype),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = y if acc is None else acc + y
+            if int8_w:
+                acc = acc * ws_ref[lm_base + t * rg_lm:lm_base + t * rg_lm + 1]
+            if (t + 1) * TC > V:  # mask vocab padding in the last tile
+                cidx = jax.lax.broadcasted_iota(jnp.int32, (1, TC), 1)
+                acc = jnp.where(cidx < V - t * TC, acc, NEG_INF)
+            ymax = jnp.max(acc)
+            yarg = jnp.argmax(acc).astype(jnp.int32) + t * TC
+            take = ymax > best  # strict: first max wins, as jnp.argmax
+            best_idx = jnp.where(take, yarg, best_idx)
+            best = jnp.maximum(best, ymax)
+        tok_ref[0, 0] = best_idx
+
+        okd.wait()
+        ovd.wait()
+
+    f = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # length (1,1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x_emb
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cos_q
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sin_q
+            pl.BlockSpec(memory_space=pltpu.HBM),  # wstack
+            pl.BlockSpec(memory_space=pltpu.HBM),  # k  [L, C, KW]
+            pl.BlockSpec(memory_space=pltpu.HBM),  # v
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # norms [L, 2, E]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lnf [1, E]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wscale [n_tiles, TC]
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # token
+            pl.BlockSpec(memory_space=pltpu.HBM),  # k out (aliased)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # v out (aliased)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((L, C, KW), k.dtype),
+            jax.ShapeDtypeStruct((L, C, KW), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, tps, TR, TC), wdtype),  # weight ring
+            pltpu.VMEM((2, C, KW), dtype),  # K ring
+            pltpu.VMEM((2, C, KW), dtype),  # V ring
+            pltpu.VMEM((L, 1, KW), dtype),  # new K rows
+            pltpu.VMEM((L, 1, KW), dtype),  # new V rows
+            pltpu.VMEM((L, 8, KW), dtype),  # RMW group (K)
+            pltpu.VMEM((L, 8, KW), dtype),  # RMW group (V)
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={5: 1, 6: 2},
+        interpret=interpret,
+    )
+    wscale = packed.get("wscale")
+    if wscale is None:  # never read on the full-precision path
+        wscale = jnp.ones((1, TC), jnp.float32)
+    tok, k2, v2 = f(
+        jnp.reshape(length.astype(jnp.int32), (1, 1)),
+        x_emb,
+        cos_q.astype(jnp.float32),
+        sin_q.astype(jnp.float32),
+        packed["wstack"],
+        k,
+        v,
+        packed["norms"],
+        packed["lnf"],
+        wscale,
+    )
+    return tok[0, 0], k2, v2

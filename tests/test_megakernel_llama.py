@@ -1,0 +1,153 @@
+"""Llama whole-step decode megakernel (ops/pallas/megakernel_llama.py).
+
+Runs the kernel in Pallas interpret mode on CPU (fp32): one step must
+reproduce the XLA step's token and cache writeback, and a forced-megakernel
+engine must be token-exact against the default engine end-to-end — for both
+full-precision and int8-quantized weights.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from efficient_llm_inference_tpu.cache.kvcache import DenseKV
+from efficient_llm_inference_tpu.core.config import Config
+from efficient_llm_inference_tpu.engine.engine import InferenceEngine
+from efficient_llm_inference_tpu.models import llama as llama_mod
+from efficient_llm_inference_tpu.models.llama import (
+    LlamaConfig,
+    llama_spec,
+    rope_cos_sin,
+)
+from efficient_llm_inference_tpu.ops.pallas.megakernel_llama import (
+    llama_megastep,
+    mega_supported,
+    pack_llama_mega,
+    to_mega_layout,
+)
+
+# TR = 256, TC = 128, KW = 128 — 128-lane aligned so the engine-side
+# eligibility check accepts it; vocab 300 exercises LM-tile padding.
+CFG = LlamaConfig(
+    vocab_size=300,
+    hidden_size=256,
+    intermediate_size=512,
+    n_layer=2,
+    n_head=4,
+    n_kv_head=2,
+    n_positions=512,
+    rope_theta=10000.0,
+    tie_embeddings=True,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return llama_mod.init_llama_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+
+
+def test_llama_megastep_matches_xla_step(params):
+    packed = pack_llama_mega(params, CFG)
+    assert packed is not None
+    C = 48
+    strat = DenseKV(
+        n_layer=CFG.n_layer, n_head=CFG.n_kv_head, head_dim=CFG.head_dim,
+        capacity=C, batch=1, dtype=jnp.float32,
+    )
+    T0 = 7
+    toks = jnp.array([[3, 5, 250, 9, 1, 42, 7]], jnp.int32)
+    pos = jnp.arange(T0, dtype=jnp.int32)[None]
+    cache = strat.init()
+    logits, cache = llama_mod.llama_forward(params, CFG, toks, pos, cache, strat)
+    cache = strat.set_length(cache, T0)
+
+    tok0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    pos1 = jnp.full((1, 1), T0, jnp.int32)
+    logits1, cache1 = llama_mod.llama_forward(
+        params, CFG, tok0[:, None], pos1, cache, strat
+    )
+    tok_xla = int(jnp.argmax(logits1[0, 0]))
+
+    x_emb = params["embed"][tok0]
+    cos, sin = rope_cos_sin(pos1, CFG.head_dim, CFG.rope_theta)  # [1, 1, D]
+    cos_q = jnp.tile(cos[0], (1, CFG.n_head))
+    sin_q = jnp.tile(sin[0], (1, CFG.n_head))
+    tok_mega, k2, v2 = llama_megastep(
+        packed, to_mega_layout(cache["k"]), to_mega_layout(cache["v"]),
+        jnp.int32(T0), x_emb, cos_q, sin_q, cfg=CFG, capacity=C,
+        interpret=True,
+    )
+    assert int(tok_mega) == tok_xla
+
+    k_ref = to_mega_layout(cache1["k"])
+    v_ref = to_mega_layout(cache1["v"])
+    np.testing.assert_allclose(
+        np.asarray(k2[:, T0]), np.asarray(k_ref[:, T0]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(v2[:, T0]), np.asarray(v_ref[:, T0]), atol=1e-5
+    )
+    # prior rows untouched by the read-modify-write group
+    np.testing.assert_array_equal(
+        np.asarray(k2[:, :T0]), np.asarray(k_ref[:, :T0])
+    )
+
+
+def test_engine_llama_megakernel_token_exact(params):
+    """Forced-megakernel engine == default engine, end to end (greedy)."""
+    spec = llama_spec(CFG)
+    prompt = "the quick brown fox jumps over the lazy dog"
+    outs = {}
+    for mega in (False, True):
+        eng = InferenceEngine(
+            spec, params,
+            config=Config(dtype=jnp.float32, megakernel=mega, device="cpu"),
+        )
+        outs[mega] = eng.generate_ids(prompt, "full_cache", max_new_tokens=9)
+        if mega:
+            assert eng._mega_packed is not None
+    assert outs[True] == outs[False]
+
+
+def test_engine_llama_megakernel_int8_weights_token_exact(params):
+    """int8-weight Llama megakernel == int8 XLA path."""
+    spec = llama_spec(CFG)
+    qparams = llama_mod.quantize_llama_weights(params)
+    assert pack_llama_mega(qparams, CFG) is not None
+    assert mega_supported(CFG, 48, qparams)
+    prompt = "the quick brown fox jumps over the lazy dog"
+    outs = {}
+    for mega in (False, True):
+        eng = InferenceEngine(
+            spec, qparams,
+            config=Config(dtype=jnp.float32, megakernel=mega, device="cpu",
+                          weight_quant="int8"),
+        )
+        outs[mega] = eng.generate_ids(prompt, "full_cache", max_new_tokens=9)
+    assert outs[True] == outs[False]
+
+
+def test_llama_mega_gating(params):
+    # capacity must be a multiple of 8 (aligned RMW group)
+    assert not mega_supported(CFG, 47, params)
+    assert mega_supported(CFG, 48, params)
+    # KV lane width below 128 is rejected (Hkv * D = 64)
+    narrow = LlamaConfig(
+        vocab_size=300, hidden_size=256, intermediate_size=512, n_layer=2,
+        n_head=4, n_kv_head=1, tie_embeddings=True,
+    )
+    nparams = llama_mod.init_llama_params(
+        jax.random.PRNGKey(1), narrow, jnp.float32
+    )
+    assert not mega_supported(narrow, 48, nparams)
+    # real geometries are eligible (VMEM fit at serving capacities)
+    for cfg, cap in ((LlamaConfig.llama3_1b(), 1024),
+                     (LlamaConfig.llama3_3b(), 512)):
+        fake = {
+            "embed": jnp.zeros((1,), jnp.bfloat16),
+            "blocks": {n: None for n in
+                       ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")},
+        }
+        assert mega_supported(cfg, cap, fake)
