@@ -25,10 +25,12 @@ plain decode (1.47x).
 
 from __future__ import annotations
 
-from typing import Tuple
+import dataclasses
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..cache.kvcache import DenseKV
 from ..models.registry import ModelSpec
@@ -181,6 +183,322 @@ def make_speculative_generate(
             d_len0 = d_cache["length"] - k
             d_cache = d_strategy.set_length(d_cache, d_len0 + t_keep)
 
+            return (t_cache, d_cache, out, n_emitted)
+
+        t_cache, d_cache, out, n_emitted = jax.lax.while_loop(
+            cond, body, (t_cache, d_cache, out, jnp.ones((), jnp.int32))
+        )
+        return out, jnp.minimum(n_emitted, max_new_tokens)
+
+    return jax.jit(generate)
+
+
+# ---------------------------------------------------------------------------
+# Tree speculation (multi-draft): docs/ROADMAP.md #6.
+# ---------------------------------------------------------------------------
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+@dataclasses.dataclass(frozen=True)
+class _Topology:
+    """Static speculation-tree topology for branching factors (b_1..b_d).
+
+    Combined node numbering is BFS with the round's *current* token as node
+    0: level i (1-based) holds prod(b_1..b_i) nodes; `offs[i]` is the
+    combined index of the first level-i node; `ancestor[i, j]` is True iff
+    node j is node i or one of its ancestors (the tree attention mask).
+    """
+
+    branching: Tuple[int, ...]
+    sizes: Tuple[int, ...]  # per level, level 0 == 1 (current)
+    offs: Tuple[int, ...]
+    n_nodes: int  # includes the current token (node 0)
+    parent: Tuple[int, ...]
+    depth: Tuple[int, ...]
+    ancestor: Any  # np.ndarray [n, n] bool
+
+
+def _build_topology(branching: Tuple[int, ...]) -> _Topology:
+    sizes = [1]
+    for b in branching:
+        sizes.append(sizes[-1] * b)
+    offs = [0]
+    for s in sizes[:-1]:
+        offs.append(offs[-1] + s)
+    n = sum(sizes)
+    parent = [-1] * n
+    depth = [0] * n
+    for lvl in range(1, len(sizes)):
+        b = branching[lvl - 1]
+        for m in range(sizes[lvl]):
+            node = offs[lvl] + m
+            parent[node] = offs[lvl - 1] + m // b
+            depth[node] = lvl
+    anc = np.eye(n, dtype=bool)
+    for node in range(1, n):
+        anc[node] |= anc[parent[node]]
+    return _Topology(
+        branching=tuple(branching),
+        sizes=tuple(sizes),
+        offs=tuple(offs),
+        n_nodes=n,
+        parent=tuple(parent),
+        depth=tuple(depth),
+        ancestor=anc,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class _TreeKV:
+    """DenseKV variant whose query block carries a tree attention mask.
+
+    The block of T new tokens is written at column `length + write_off`
+    (cache["length"] stays at the round's base through every tree call) and
+    query row t may attend: (a) every prefix column < length, and (b) tree
+    column j (at absolute column length + j) iff the static ancestor mask
+    `block_mask[t, j]` allows it. Everything else mirrors DenseKV.
+    """
+
+    n_layer: int
+    n_head: int
+    head_dim: int
+    capacity: int
+    write_off: int  # static: tree columns already written this round
+    block_mask: Any  # bool [T, write_off + T] ancestor mask
+    batch: int = 1
+    dtype: Any = jnp.float32
+
+    def init(self) -> dict:
+        shape = (self.n_layer, self.batch, self.n_head, self.capacity,
+                 self.head_dim)
+        return {
+            "k": jnp.zeros(shape, self.dtype),
+            "v": jnp.zeros(shape, self.dtype),
+            "length": jnp.zeros((), jnp.int32),
+        }
+
+    def cache_layer_slices(self, cache: dict):
+        return (cache["k"], cache["v"])
+
+    def cache_with_layer_slices(self, cache: dict, new_slices, T: int) -> dict:
+        k, v = new_slices
+        return {"k": k, "v": v, "length": cache["length"]}
+
+    def set_length(self, cache: dict, length) -> dict:
+        return {**cache, "length": jnp.asarray(length, jnp.int32)}
+
+    def layer_attend(self, layer_cache, cache, q, k_new, v_new, seq_mask):
+        k_l, v_l = layer_cache
+        length = cache["length"]
+        B, Hq, T, D = q.shape
+        Hkv, C = k_l.shape[1], k_l.shape[2]
+        G = Hq // Hkv
+        col_w = length + self.write_off
+        k_l = jax.lax.dynamic_update_slice(
+            k_l, k_new.astype(k_l.dtype), (0, 0, col_w, 0)
+        )
+        v_l = jax.lax.dynamic_update_slice(
+            v_l, v_new.astype(v_l.dtype), (0, 0, col_w, 0)
+        )
+        scale = 1.0 / jnp.sqrt(jnp.float32(D))
+        qg = q.reshape(B, Hkv, G, T, D)
+        scores = jnp.einsum(
+            "bkgtd,bkcd->bkgtc", qg, k_l, preferred_element_type=jnp.float32
+        ) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, (T, C), 1)
+        block = jnp.zeros((T, C), bool)
+        block = jax.lax.dynamic_update_slice(
+            block, jnp.asarray(self.block_mask, bool), (0, length)
+        )
+        mask = (col < length) | block
+        scores = jnp.where(mask[None, None, None], scores, NEG_INF)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        out = jnp.einsum(
+            "bkgtc,bkcd->bkgtd", probs, v_l, preferred_element_type=jnp.float32
+        )
+        return out.reshape(B, Hq, T, D), (k_l, v_l)
+
+    def est_bytes(self, length: int) -> float:
+        per_tok = self.batch * self.n_head * self.head_dim
+        itemsize = jnp.dtype(self.dtype).itemsize
+        return 2.0 * self.n_layer * length * per_tok * itemsize
+
+
+def _move_rows(buf, moves):
+    """Apply [(src_col, dst_col)] row moves to a [L,B,H,C,D] cache buffer."""
+    L, B, H, C, D = buf.shape
+    for src, dst in moves:
+        row = jax.lax.dynamic_slice(
+            buf, (0, 0, 0, src, 0), (L, B, H, 1, D)
+        )
+        buf = jax.lax.dynamic_update_slice(buf, row, (0, 0, 0, dst, 0))
+    return buf
+
+
+def make_tree_speculative_generate(
+    target: ModelSpec,
+    draft: ModelSpec,
+    max_new_tokens: int,
+    branching: Tuple[int, ...] = (2, 2, 1, 1),
+    prompt_bucket: int = 128,
+):
+    """Tree speculation: the draft proposes a TOKEN TREE, the target verifies
+    every root-to-leaf path in ONE forward pass (SpecInfer-style), accepting
+    the longest path whose tokens match the target's own greedy choices.
+
+    Where linear speculation dies at the draft's first wrong guess, the tree
+    keeps going if ANY sibling matches — branching (2, 2, 1, 1) proposes 2
+    alternatives at the first two positions. The output stream is IDENTICAL
+    to plain target greedy decoding for any draft (same greedy-acceptance
+    argument as `make_speculative_generate`; property-tested with a random
+    unrelated draft). Per round: d draft forwards over tree levels + one
+    target verify over all nodes, both with static tree attention masks
+    (_TreeKV); accepted rows are compacted in place, so rollback stays a
+    pure length update plus <=d-1 row moves. Fully static shapes — one
+    compiled program for the whole generation.
+
+    Greedy only, batch 1, full acceptance emits exactly d tokens (no bonus
+    token: the level-d node's draft KV does not exist yet, exactly the
+    t_keep=k case of the linear verifier).
+    """
+    assert target.vocab_size == draft.vocab_size
+    topo = _build_topology(tuple(branching))
+    d = len(branching)
+    N = topo.n_nodes  # current + all tree nodes
+    cap = prompt_bucket + max_new_tokens + N + 1
+    anc = topo.ancestor
+
+    def _kv_kwargs(spec):
+        return dict(
+            n_layer=spec.n_layer, n_head=spec.n_kv_head,
+            head_dim=spec.head_dim, capacity=cap,
+        )
+
+    t_strategy = DenseKV(**_kv_kwargs(target))
+    d_strategy = DenseKV(**_kv_kwargs(draft))
+
+    # draft call r consumes level r-1 (rows) against everything written so
+    # far (columns: nodes 0 .. offs[r-1] + sizes[r-1])
+    d_strats = []
+    for r in range(1, d + 1):
+        lo, M = topo.offs[r - 1], topo.sizes[r - 1]
+        w = lo  # columns already written before this call
+        blk = anc[lo:lo + M, :lo + M]
+        d_strats.append(
+            _TreeKV(**_kv_kwargs(draft), write_off=w, block_mask=blk)
+        )
+    v_strategy = _TreeKV(
+        **_kv_kwargs(target), write_off=0, block_mask=anc
+    )
+
+    OUT = max_new_tokens + d
+    depth_vec = jnp.asarray(topo.depth, jnp.int32)  # [N]
+
+    def _prefill(spec, strategy, params, tokens, true_len):
+        B, Tpad = tokens.shape
+        cache = strategy.init()
+        pos = jnp.minimum(
+            jax.lax.broadcasted_iota(jnp.int32, (B, Tpad), 1),
+            spec.n_positions - 1,
+        )
+        seq_mask = jax.lax.broadcasted_iota(jnp.int32, (B, Tpad), 1) < true_len
+        logits, cache = spec.forward(params, tokens, pos, cache, strategy,
+                                     seq_mask)
+        cache = strategy.set_length(cache, true_len)
+        idx = jnp.broadcast_to((true_len - 1)[None, None, None], (B, 1, 1))
+        last = jnp.take_along_axis(logits, idx, axis=1)[:, 0]
+        return cache, jnp.argmax(last[0]).astype(jnp.int32)
+
+    def generate(t_params, d_params, tokens, true_len):
+        t_cache, first = _prefill(target, t_strategy, t_params, tokens,
+                                  true_len)
+        d_cache, _ = _prefill(draft, d_strategy, d_params, tokens, true_len)
+
+        out = jnp.zeros((OUT,), jnp.int32).at[0].set(first)
+
+        def cond(state):
+            _, _, _, n_emitted = state
+            return n_emitted < max_new_tokens
+
+        def body(state):
+            t_cache, d_cache, out, n_emitted = state
+            current = out[n_emitted - 1]
+            len0 = t_cache["length"]
+
+            # --- draft: grow the tree level by level --------------------
+            toks_all = jnp.zeros((N,), jnp.int32).at[0].set(current)
+            for r in range(1, d + 1):
+                lo, M = topo.offs[r - 1], topo.sizes[r - 1]
+                b = branching[r - 1]
+                block = jax.lax.dynamic_slice(toks_all, (lo,), (M,))[None]
+                pos = jnp.minimum(
+                    d_cache["length"] + (r - 1), draft.n_positions - 1
+                )
+                pos = jnp.full((1, M), pos, jnp.int32)
+                logits, d_cache = draft.forward(
+                    d_params, block, pos, d_cache, d_strats[r - 1], None
+                )
+                _, top = jax.lax.top_k(logits[0], b)  # [M, b]
+                toks_all = jax.lax.dynamic_update_slice(
+                    toks_all, top.reshape(-1).astype(jnp.int32),
+                    (topo.offs[r - 1] + M if r == 1 else topo.offs[r],),
+                )
+
+            # --- target: verify every node in one forward ----------------
+            pos = jnp.minimum(
+                len0 + depth_vec, target.n_positions - 1
+            )[None]
+            logits, t_cache = target.forward(
+                t_params, toks_all[None], pos, t_cache, v_strategy, None
+            )
+            g = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)  # [N]
+
+            # --- walk: longest path matching the target's greedy ---------
+            cur = jnp.zeros((), jnp.int32)  # combined node index
+            alive = jnp.ones((), bool)
+            n_acc = jnp.zeros((), jnp.int32)
+            emitted = []
+            path = []  # accepted node index per level (garbage when dead)
+            for lvl in range(1, d + 1):
+                b = branching[lvl - 1]
+                t = g[cur]  # target's token at cur's position
+                child_base = topo.offs[lvl] + (cur - topo.offs[lvl - 1]) * b
+                childs = jax.lax.dynamic_slice_in_dim(toks_all, child_base, b)
+                match = childs == t
+                found = jnp.any(match)
+                idx = jnp.argmax(match).astype(jnp.int32)
+                emitted.append(jnp.where(alive, t, 0))
+                n_acc = n_acc + jnp.where(alive & found, 1, 0)
+                cur = jnp.where(found, child_base + idx, cur)
+                alive = alive & found
+                path.append(cur)
+            emitted = jnp.stack(emitted)  # [d]
+            # accepted + correction; full acceptance emits exactly d
+            n_new = jnp.where(n_acc == d, d, n_acc + 1)
+            n_new = jnp.minimum(n_new, jnp.int32(d))
+
+            out = jax.lax.dynamic_update_slice(out, emitted, (n_emitted,))
+            n_emitted = n_emitted + n_new
+
+            # --- compact accepted rows, roll both caches back -------------
+            # keep current + accepted path nodes below level d
+            m = jnp.minimum(n_acc, d - 1) if d > 1 else jnp.zeros((), jnp.int32)
+            moves = []
+            for i in range(1, d):
+                # row of the accepted level-i node -> i-th slot after current
+                src = len0 + path[i - 1]
+                moves.append((src, len0 + i))
+            t_cache = {
+                "k": _move_rows(t_cache["k"], moves),
+                "v": _move_rows(t_cache["v"], moves),
+                "length": len0 + 1 + m,
+            }
+            d_cache = {
+                "k": _move_rows(d_cache["k"], moves),
+                "v": _move_rows(d_cache["v"], moves),
+                "length": len0 + 1 + m,
+            }
             return (t_cache, d_cache, out, n_emitted)
 
         t_cache, d_cache, out, n_emitted = jax.lax.while_loop(
