@@ -63,7 +63,9 @@ class Config:
             bigger (cached) compile.
         weight_quant: "int8" quantizes matmul weights per output channel
             (serving mode, beyond the reference; ~1.7x decode speedup at
-            batch 1). None keeps full-precision weights (token-exact vs HF).
+            batch 1); "int4" uses group-wise 4-bit weights (half the weight
+            stream again, larger quality cost — see docs/QUALITY.md). None
+            keeps full-precision weights (token-exact vs HF).
         megakernel: run eligible greedy batch-1 full_cache decode steps as
             ONE Pallas program (ops/pallas/megakernel.py; measured 599 ->
             375 us/step on GPT-2 small on v5e). None = auto (on on TPU);
@@ -79,7 +81,7 @@ class Config:
     batch_size: int = 1
     prompt_cap: int = 1024
     scan_unroll: Optional[int] = None
-    weight_quant: Optional[Literal["int8"]] = None
+    weight_quant: Optional[Literal["int8", "int4"]] = None
     megakernel: Optional[bool] = None
 
     def resolved_scan_unroll(self, n_layer: int) -> int:

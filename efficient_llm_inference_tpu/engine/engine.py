@@ -108,16 +108,21 @@ class InferenceEngine:
                 params = llama_mod.init_llama_params(
                     config.prng_key(), spec.config, config.dtype
                 )
-        if config.weight_quant == "int8":
+        if config.weight_quant in ("int8", "int4"):
             if spec.name == "gpt2":
-                params = gpt2_mod.quantize_gpt2_weights(params)
+                params = gpt2_mod.quantize_gpt2_weights(
+                    params, mode=config.weight_quant
+                )
             elif spec.name == "llama":
                 from ..models import llama as llama_mod
 
-                params = llama_mod.quantize_llama_weights(params)
+                params = llama_mod.quantize_llama_weights(
+                    params, mode=config.weight_quant
+                )
             else:
                 raise ValueError(
-                    f"weight_quant=int8 not supported for {spec.name}"
+                    f"weight_quant={config.weight_quant} not supported for "
+                    f"{spec.name}"
                 )
         if tokenizer is None:
             tokenizer = load_tokenizer(name)

@@ -100,26 +100,64 @@ def init_gpt2_params(key: jax.Array, cfg: GPT2Config, dtype=jnp.float32) -> dict
     return params
 
 
-def quantize_gpt2_weights(params: dict) -> dict:
-    """Per-output-channel symmetric int8 weight quantization (serving mode).
+def quantize_int8_weights(w):
+    """Per-output-channel symmetric int8: {"q": int8 [.., K, F], "s": f32}."""
+    w32 = jnp.asarray(w, jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(w32), axis=-2, keepdims=True) / 127.0, 1e-8)
+    return {
+        "q": jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8),
+        "s": s,
+    }
+
+
+def quantize_int4_weights(w, group: int = 128):
+    """Group-wise symmetric int4 weights: {"q4": int4, "s": f32}.
+
+    One scale per (input group, output channel) — per-channel alone is too
+    coarse at 4 bits. q4 is [.., K/G, G, F] jnp.int4 (XLA stores int4 packed
+    two-per-byte on TPU, so HBM weight traffic halves again vs int8); scale
+    math mirrors the reference's int4 KV convention (max/7, [-8, 7] clamp,
+    fp32 scales — /root/reference/src/quantization/ops.py:33-65), applied
+    along the input dim instead of per tensor.
+    """
+    K = w.shape[-2]
+    g = group if K % group == 0 else K
+    w32 = jnp.asarray(w, jnp.float32)
+    lead = w.shape[:-2]
+    wg = w32.reshape(*lead, K // g, g, w.shape[-1])
+    s = jnp.maximum(jnp.max(jnp.abs(wg), axis=-2, keepdims=True) / 7.0, 1e-8)
+    return {
+        "q4": jnp.clip(jnp.round(wg / s), -8, 7).astype(jnp.int4),
+        "s": s,
+    }
+
+
+def _int4_dot(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
+    """x [.., K] @ grouped-int4 (q [Kg, G, F], s [Kg, 1, F]) -> [.., F] f32."""
+    Kg, G, F = q.shape
+    xg = x.reshape(*x.shape[:-1], Kg, G)
+    y = jnp.einsum(
+        "...kg,kgf->...kf", xg, q.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.einsum("...kf,kf->...f", y, s[:, 0, :])
+
+
+def quantize_gpt2_weights(params: dict, mode: str = "int8") -> dict:
+    """Weight quantization for serving (mode "int8" or "int4").
 
     Beyond the reference (which only quantizes KV): batch-1 decode is
     weight-bandwidth bound, so int8 weights nearly halve step time (measured
     548 GB/s of int8 bytes through XLA's fused convert+dot on v5e — the
-    convert does NOT materialize in HBM). Returns a params pytree where every
-    large matmul weight is replaced by {"q": int8, "s": f32[1(,1), F]};
-    embeddings/norms/biases stay in the original dtype. `wte` additionally
-    gets an int8 lm-head copy (`lm_q`/`lm_s`) while the bf16 table is kept
-    for the (tiny) embedding lookups.
+    convert does NOT materialize in HBM) and int4 halves the stream again.
+    Returns a params pytree where every large matmul weight is replaced by
+    {"q": int8, "s"} (per output channel) or {"q4": int4, "s"} (group-wise,
+    quantize_int4_weights); embeddings/norms/biases stay in the original
+    dtype. `wte` additionally gets a quantized lm-head copy (`lm_q`/`lm_s`
+    or `lm_q4`/`lm_s4`) while the bf16 table is kept for the (tiny)
+    embedding lookups.
     """
-
-    def q(w):
-        w32 = jnp.asarray(w, jnp.float32)
-        s = jnp.maximum(jnp.max(jnp.abs(w32), axis=-2, keepdims=True) / 127.0, 1e-8)
-        return {
-            "q": jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8),
-            "s": s,
-        }
+    q = quantize_int8_weights if mode == "int8" else quantize_int4_weights
 
     blocks = dict(params["blocks"])
     for name in ("attn_w", "attn_proj_w", "fc_w", "fc_proj_w"):
@@ -127,7 +165,10 @@ def quantize_gpt2_weights(params: dict) -> dict:
     out = dict(params)
     out["blocks"] = blocks
     lm = q(params["wte"].T)  # [E, V]
-    out["lm_q"], out["lm_s"] = lm["q"], lm["s"]
+    if mode == "int8":
+        out["lm_q"], out["lm_s"] = lm["q"], lm["s"]
+    else:
+        out["lm_q4"], out["lm_s4"] = lm["q4"], lm["s"]
     return out
 
 
@@ -138,7 +179,9 @@ def _mm(x: jax.Array, w, b=None) -> jax.Array:
     accumulator per output channel; XLA fuses the convert into the dot (no
     dequantized copy in HBM).
     """
-    if isinstance(w, dict):
+    if isinstance(w, dict) and "q4" in w:
+        y = _int4_dot(x, w["q4"], w["s"])
+    elif isinstance(w, dict):
         y = jnp.dot(
             x, w["q"].astype(x.dtype), preferred_element_type=jnp.float32
         ) * w["s"]
@@ -234,6 +277,8 @@ def gpt2_forward(
         logits = jnp.dot(
             x, params["lm_q"].astype(x.dtype), preferred_element_type=jnp.float32
         ) * params["lm_s"]
+    elif "lm_q4" in params:  # grouped-int4 lm head
+        logits = _int4_dot(x, params["lm_q4"], params["lm_s4"])
     else:
         logits = jnp.einsum(
             "bte,ve->btv", x, wte, preferred_element_type=jnp.float32

@@ -208,6 +208,10 @@ def llama_forward(
         logits = jnp.dot(
             x, params["lm_q"].astype(x.dtype), preferred_element_type=jnp.float32
         ) * params["lm_s"]
+    elif "lm_q4" in params:  # grouped-int4 lm head
+        from .gpt2 import _int4_dot
+
+        logits = _int4_dot(x, params["lm_q4"], params["lm_s4"])
     elif cfg.tie_embeddings:
         logits = jnp.einsum(
             "bte,ve->btv", x, params["embed"], preferred_element_type=jnp.float32
@@ -219,21 +223,18 @@ def llama_forward(
     return logits, cache
 
 
-def quantize_llama_weights(params: dict) -> dict:
-    """Per-output-channel symmetric int8 weight quantization (serving mode).
+def quantize_llama_weights(params: dict, mode: str = "int8") -> dict:
+    """Weight quantization for serving (mode "int8" or "int4").
 
     Same scheme as models/gpt2.py:quantize_gpt2_weights: every matmul weight
-    becomes {"q": int8, "s": f32}; embed/norms stay full precision; the
-    lm head (tied or untied) gets an int8 copy under `lm_q`/`lm_s`.
+    becomes {"q": int8, "s"} (per output channel) or {"q4": int4, "s"}
+    (group-wise, gpt2.quantize_int4_weights); embed/norms stay full
+    precision; the lm head (tied or untied) gets a quantized copy under
+    `lm_q`/`lm_s` (int8) or `lm_q4`/`lm_s4` (int4).
     """
+    from .gpt2 import quantize_int4_weights, quantize_int8_weights
 
-    def q(w):
-        w32 = jnp.asarray(w, jnp.float32)
-        s = jnp.maximum(jnp.max(jnp.abs(w32), axis=-2, keepdims=True) / 127.0, 1e-8)
-        return {
-            "q": jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8),
-            "s": s,
-        }
+    q = quantize_int8_weights if mode == "int8" else quantize_int4_weights
 
     blocks = dict(params["blocks"])
     for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
@@ -243,7 +244,10 @@ def quantize_llama_weights(params: dict) -> dict:
     head = params["lm_head"] if "lm_head" in params else params["embed"].T
     lm = q(head)
     out.pop("lm_head", None)
-    out["lm_q"], out["lm_s"] = lm["q"], lm["s"]
+    if mode == "int8":
+        out["lm_q"], out["lm_s"] = lm["q"], lm["s"]
+    else:
+        out["lm_q4"], out["lm_s4"] = lm["q4"], lm["s"]
     return out
 
 

@@ -88,6 +88,8 @@ def pack_gpt2_mega(params: dict, cfg) -> dict | None:
     E, L = cfg.n_embd, cfg.n_layer
     b = params["blocks"]
     names = ("attn_w", "attn_proj_w", "fc_w", "fc_proj_w")
+    if any(isinstance(b[n], dict) and "q" not in b[n] for n in names):
+        return None  # int4/grouped weights: not packable (XLA path handles)
     n_quant = sum(isinstance(b[n], dict) for n in names)
     int8 = n_quant == len(names)
     if 0 < n_quant < len(names):
@@ -192,6 +194,8 @@ def mega_supported(cfg, capacity: int, params: dict) -> bool:
     """Can the megakernel run this geometry? (engine-side eligibility)"""
     b = params.get("blocks", {})
     names = ("attn_w", "attn_proj_w", "fc_w", "fc_proj_w")
+    if any(isinstance(b.get(n), dict) and "q" not in b[n] for n in names):
+        return False  # int4/grouped weights: XLA path only
     n_quant = sum(isinstance(b.get(n), dict) for n in names)
     if 0 < n_quant < len(names):
         return False

@@ -128,6 +128,8 @@ def pack_llama_mega(params: dict, cfg) -> dict | None:
     """
     E, L = cfg.hidden_size, cfg.n_layer
     b = params["blocks"]
+    if any(isinstance(b[n], dict) and "q" not in b[n] for n in _WEIGHT_NAMES):
+        return None  # int4/grouped weights: not packable (XLA path handles)
     n_quant = sum(isinstance(b[n], dict) for n in _WEIGHT_NAMES)
     int8 = n_quant == len(_WEIGHT_NAMES)
     if 0 < n_quant < len(_WEIGHT_NAMES):
@@ -211,6 +213,9 @@ def _weight_itemsize(params: dict) -> int:
 def mega_supported(cfg, capacity: int, params: dict) -> bool:
     """Engine-side eligibility for the Llama megakernel."""
     b = params.get("blocks", {})
+    if any(isinstance(b.get(n), dict) and "q" not in b[n]
+           for n in _WEIGHT_NAMES):
+        return False  # int4/grouped weights: XLA path only
     n_quant = sum(isinstance(b.get(n), dict) for n in _WEIGHT_NAMES)
     if 0 < n_quant < len(_WEIGHT_NAMES):
         return False

@@ -90,3 +90,75 @@ def test_scan_unroll_token_exact():
         outs.append(eng.generate_ids("The river flows", method="full_cache",
                                      max_new_tokens=8))
     assert outs[0] == outs[1]
+
+
+@pytest.mark.parametrize("family", ["gpt2", "llama"])
+def test_int4_weights_close_to_fp(family):
+    """Grouped int4 weights: coarser than int8 but logits stay usable."""
+    if family == "gpt2":
+        cfg = gpt2_mod.GPT2Config.tiny()
+        spec = gpt2_spec(cfg)
+        params = gpt2_mod.init_gpt2_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        qparams = gpt2_mod.quantize_gpt2_weights(params, mode="int4")
+        assert qparams["blocks"]["fc_w"]["q4"].dtype == jnp.int4
+        assert "lm_q4" in qparams and "lm_q" not in qparams
+    else:
+        cfg = llama_mod.LlamaConfig.tiny()
+        spec = llama_mod.llama_spec(cfg)
+        params = llama_mod.init_llama_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        qparams = llama_mod.quantize_llama_weights(params, mode="int4")
+        assert qparams["blocks"]["w_up"]["q4"].dtype == jnp.int4
+
+    toks = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size, (1, 16)), jnp.int32
+    )
+    fp = _logits(spec, params, toks)
+    q4 = _logits(spec, qparams, toks)
+    denom = np.abs(fp).max()
+    assert np.abs(q4 - fp).max() / denom < 0.25
+    agree = (fp.argmax(-1) == q4.argmax(-1)).mean()
+    assert agree >= 0.5, agree
+
+
+def test_int4_grouping_roundtrip():
+    """quantize_int4_weights: values clamp to [-8, 7], scales per group."""
+    w = jnp.asarray(np.random.default_rng(1).normal(size=(256, 32)), jnp.float32)
+    d = gpt2_mod.quantize_int4_weights(w, group=128)
+    assert d["q4"].shape == (2, 128, 32) and d["s"].shape == (2, 1, 32)
+    q = np.asarray(d["q4"].astype(jnp.int8))
+    assert q.min() >= -8 and q.max() <= 7
+    recon = (np.asarray(d["q4"].astype(jnp.float32)) * np.asarray(d["s"])).reshape(256, 32)
+    err = np.abs(recon - np.asarray(w)).max()
+    # max error bounded by half a quantization step per group
+    step = np.asarray(d["s"]).max()
+    assert err <= 0.5001 * step
+
+
+def test_engine_weight_quant_int4_generates_and_skips_megakernel():
+    eng = InferenceEngine.from_model_name(
+        "gpt2-tiny",
+        config=Config(
+            model_name="t", device="cpu", dtype=jnp.float32,
+            weight_quant="int4", megakernel=True,
+        ),
+    )
+    text, n = eng.generate_with_cache("Hello world.", max_new_tokens=4)
+    assert n == 4 and isinstance(text, str)
+    # int4 weights are not packable: the engine must fall back to XLA
+    assert eng._mega_spec(48, None) is None
+
+
+def test_llama_int4_megakernel_gating():
+    from efficient_llm_inference_tpu.ops.pallas.megakernel_llama import (
+        mega_supported as llama_mega_supported,
+        pack_llama_mega,
+    )
+
+    cfg = llama_mod.LlamaConfig(
+        vocab_size=300, hidden_size=256, intermediate_size=512, n_layer=2,
+        n_head=4, n_kv_head=2, tie_embeddings=True,
+    )
+    params = llama_mod.init_llama_params(jax.random.PRNGKey(2), cfg, jnp.float32)
+    q4 = llama_mod.quantize_llama_weights(params, mode="int4")
+    assert not llama_mega_supported(cfg, 48, q4)
+    assert pack_llama_mega(q4, cfg) is None
