@@ -111,33 +111,56 @@ def quantize_int8_weights(w):
 
 
 def quantize_int4_weights(w, group: int = 128):
-    """Group-wise symmetric int4 weights: {"q4": int4, "s": f32}.
+    """Group-wise symmetric int4 weights: {"q4": packed uint8, "s": f32}.
 
     One scale per (input group, output channel) — per-channel alone is too
-    coarse at 4 bits. q4 is [.., K/G, G, F] jnp.int4 (XLA stores int4 packed
-    two-per-byte on TPU, so HBM weight traffic halves again vs int8); scale
-    math mirrors the reference's int4 KV convention (max/7, [-8, 7] clamp,
-    fp32 scales — /root/reference/src/quantization/ops.py:33-65), applied
-    along the input dim instead of per tensor.
+    coarse at 4 bits. q4 is [.., K/G, G/2, F] uint8 with TWO nibbles per
+    byte: even in-group input positions in the low nibble, odd in the high
+    (so HBM weight traffic halves again vs int8). Nibble packing rather
+    than jnp.int4 because the remote TPU runtime cannot relayout S4 arrays
+    at dispatch (device_put recursion); scale math mirrors the reference's
+    int4 KV convention (max/7, [-8, 7] clamp, fp32 scales —
+    /root/reference/src/quantization/ops.py:33-65), applied along the
+    input dim instead of per tensor.
     """
     K = w.shape[-2]
     g = group if K % group == 0 else K
+    if g % 2:  # nibble pairing needs an even group
+        g = K
+    assert g % 2 == 0, f"int4 weight quant needs an even input dim, got {K}"
     w32 = jnp.asarray(w, jnp.float32)
     lead = w.shape[:-2]
     wg = w32.reshape(*lead, K // g, g, w.shape[-1])
     s = jnp.maximum(jnp.max(jnp.abs(wg), axis=-2, keepdims=True) / 7.0, 1e-8)
-    return {
-        "q4": jnp.clip(jnp.round(wg / s), -8, 7).astype(jnp.int4),
-        "s": s,
-    }
+    q = jnp.clip(jnp.round(wg / s), -8, 7).astype(jnp.int8)
+    lo = (q[..., 0::2, :] & 0xF).astype(jnp.uint8)
+    hi = (q[..., 1::2, :] & 0xF).astype(jnp.uint8)
+    return {"q4": lo | (hi << 4), "s": s}
+
+
+def _unpack_nibbles(q: jax.Array):
+    """Packed uint8 -> (even, odd) sign-extended int8 nibbles."""
+    lo = jnp.bitwise_and(q, 0xF).astype(jnp.int8)
+    hi = jnp.right_shift(q, 4).astype(jnp.int8)
+    # two's-complement sign extension of a 4-bit value: (v ^ 8) - 8
+    return (lo ^ 8) - 8, (hi ^ 8) - 8
 
 
 def _int4_dot(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
-    """x [.., K] @ grouped-int4 (q [Kg, G, F], s [Kg, 1, F]) -> [.., F] f32."""
-    Kg, G, F = q.shape
-    xg = x.reshape(*x.shape[:-1], Kg, G)
+    """x [.., K] @ packed-int4 (q [Kg, G/2, F], s [Kg, 1, F]) -> [.., F].
+
+    Splits the contraction into even/odd in-group input positions so each
+    nibble plane dots WITHOUT an interleave (x is tiny; strided-slicing it
+    is free, re-interleaving the weight tensor would materialize it).
+    """
+    Kg, Gh, F = q.shape
+    xg = x.reshape(*x.shape[:-1], Kg, 2 * Gh)
+    lo, hi = _unpack_nibbles(q)
     y = jnp.einsum(
-        "...kg,kgf->...kf", xg, q.astype(x.dtype),
+        "...kg,kgf->...kf", xg[..., 0::2], lo.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    ) + jnp.einsum(
+        "...kg,kgf->...kf", xg[..., 1::2], hi.astype(x.dtype),
         preferred_element_type=jnp.float32,
     )
     return jnp.einsum("...kf,kf->...f", y, s[:, 0, :])
@@ -151,8 +174,8 @@ def quantize_gpt2_weights(params: dict, mode: str = "int8") -> dict:
     548 GB/s of int8 bytes through XLA's fused convert+dot on v5e — the
     convert does NOT materialize in HBM) and int4 halves the stream again.
     Returns a params pytree where every large matmul weight is replaced by
-    {"q": int8, "s"} (per output channel) or {"q4": int4, "s"} (group-wise,
-    quantize_int4_weights); embeddings/norms/biases stay in the original
+    {"q": int8, "s"} (per output channel) or {"q4": packed uint8, "s"}
+    (group-wise, quantize_int4_weights); embeddings/norms/biases stay in the original
     dtype. `wte` additionally gets a quantized lm-head copy (`lm_q`/`lm_s`
     or `lm_q4`/`lm_s4`) while the bf16 table is kept for the (tiny)
     embedding lookups.

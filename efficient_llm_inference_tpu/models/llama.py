@@ -6,6 +6,12 @@ BASELINE.json north-star extension ("Llama-3-8B paged INT4 KV-cache...").
 Same stacked-layer + lax.scan layout and cache-strategy interface as
 models/gpt2.py; numerics match HF LlamaForCausalLM (rotate-half RoPE, fp32
 RMSNorm, 1/sqrt(d) attention scale).
+
+Qwen2/Qwen2.5 (the model the reference's summarization example actually
+runs, /root/reference/examples/summarization_benchmark.py:13) is served by
+this same family: identical architecture plus q/k/v projection biases
+(`LlamaConfig.qkv_bias`); numerics match HF Qwen2ForCausalLM
+(tests/test_qwen_parity.py).
 """
 
 from __future__ import annotations
@@ -35,6 +41,7 @@ class LlamaConfig:
     rms_eps: float = 1e-5
     tie_embeddings: bool = False
     scan_unroll: int = 1  # see gpt2.GPT2Config.scan_unroll
+    qkv_bias: bool = False  # Qwen2 adds bias to q/k/v projections only
 
     @property
     def head_dim(self) -> int:
@@ -81,6 +88,41 @@ class LlamaConfig:
             rope_theta=10000.0,
         )
 
+    # Qwen2/Qwen2.5 is the llama architecture + q/k/v projection biases
+    # (the reference's flagship example runs Qwen2.5-7B through
+    # AutoModelForCausalLM — /root/reference/examples/summarization_benchmark.py:13).
+    @staticmethod
+    def qwen25_7b() -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=152064, hidden_size=3584, intermediate_size=18944,
+            n_layer=28, n_head=28, n_kv_head=4, n_positions=32768,
+            rope_theta=1000000.0, rms_eps=1e-6, qkv_bias=True,
+        )
+
+    @staticmethod
+    def qwen25_15b() -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=151936, hidden_size=1536, intermediate_size=8960,
+            n_layer=28, n_head=12, n_kv_head=2, n_positions=32768,
+            rope_theta=1000000.0, rms_eps=1e-6, tie_embeddings=True,
+            qkv_bias=True,
+        )
+
+    @staticmethod
+    def qwen25_05b() -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=151936, hidden_size=896, intermediate_size=4864,
+            n_layer=24, n_head=14, n_kv_head=2, n_positions=32768,
+            rope_theta=1000000.0, rms_eps=1e-6, tie_embeddings=True,
+            qkv_bias=True,
+        )
+
+    @staticmethod
+    def qwen_tiny(vocab_size: int = 256) -> "LlamaConfig":
+        return dataclasses.replace(
+            LlamaConfig.tiny(vocab_size), qkv_bias=True, rms_eps=1e-6
+        )
+
     @staticmethod
     def by_name(name: str) -> "LlamaConfig":
         table = {
@@ -89,10 +131,16 @@ class LlamaConfig:
             "llama-3-1b": LlamaConfig.llama3_1b,
             "llama-3-3b": LlamaConfig.llama3_3b,
             "llama-tiny": LlamaConfig.tiny,
+            "qwen2.5-7b": LlamaConfig.qwen25_7b,
+            "qwen/qwen2.5-7b": LlamaConfig.qwen25_7b,
+            "qwen2.5-1.5b": LlamaConfig.qwen25_15b,
+            "qwen2.5-0.5b": LlamaConfig.qwen25_05b,
+            "qwen-tiny": LlamaConfig.qwen_tiny,
         }
-        if name not in table:
+        key = name.lower()
+        if key not in table:
             raise ValueError(f"Unknown llama variant: {name}")
-        return table[name]()
+        return table[key]()
 
 
 def init_llama_params(key: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> dict:
@@ -119,6 +167,11 @@ def init_llama_params(key: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> di
         },
         "ln_f": jnp.ones((E,), dtype),
     }
+    if cfg.qkv_bias:
+        bkeys = jax.random.split(keys[9], 3)
+        params["blocks"]["bq"] = nrm(bkeys[0], (L, Hq * D))
+        params["blocks"]["bk"] = nrm(bkeys[1], (L, Hkv * D))
+        params["blocks"]["bv"] = nrm(bkeys[2], (L, Hkv * D))
     if not cfg.tie_embeddings:
         params["lm_head"] = nrm(keys[8], (E, cfg.vocab_size))
     return params
@@ -179,9 +232,9 @@ def llama_forward(
     def layer_body(x, layer_in):
         bp, layer_cache = layer_in
         h = _rms_norm(x, bp["ln1"], cfg.rms_eps)
-        q = _mm(h, bp["wq"]).reshape(B, T, Hq, D).transpose(0, 2, 1, 3)
-        k = _mm(h, bp["wk"]).reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
-        v = _mm(h, bp["wv"]).reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
+        q = _mm(h, bp["wq"], bp.get("bq")).reshape(B, T, Hq, D).transpose(0, 2, 1, 3)
+        k = _mm(h, bp["wk"], bp.get("bk")).reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
+        v = _mm(h, bp["wv"], bp.get("bv")).reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -304,6 +357,10 @@ def params_from_hf_state_dict(state_dict, cfg: LlamaConfig, dtype=jnp.float32) -
         },
         "ln_f": g("model.norm.weight"),
     }
+    if cfg.qkv_bias:  # Qwen2 checkpoints carry q/k/v biases, same HF names
+        params["blocks"]["bq"] = stack("model.layers.{}.self_attn.q_proj.bias")
+        params["blocks"]["bk"] = stack("model.layers.{}.self_attn.k_proj.bias")
+        params["blocks"]["bv"] = stack("model.layers.{}.self_attn.v_proj.bias")
     if not cfg.tie_embeddings:
         params["lm_head"] = g("lm_head.weight", True)
     return params

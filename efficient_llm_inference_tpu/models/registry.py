@@ -73,7 +73,7 @@ def spec_with_config(spec: ModelSpec, cfg) -> ModelSpec:
 def spec_by_name(name: str) -> ModelSpec:
     if name in GPT2_SIZES:
         return gpt2_spec(GPT2_SIZES[name]())
-    if name.startswith("llama"):
+    if name.startswith("llama") or name.lower().startswith("qwen"):
         from . import llama as llama_mod
 
         return llama_mod.llama_spec(llama_mod.LlamaConfig.by_name(name))

@@ -128,6 +128,8 @@ def pack_llama_mega(params: dict, cfg) -> dict | None:
     """
     E, L = cfg.hidden_size, cfg.n_layer
     b = params["blocks"]
+    if "bq" in b:  # Qwen2-style qkv biases: not packed yet
+        return None
     if any(isinstance(b[n], dict) and "q" not in b[n] for n in _WEIGHT_NAMES):
         return None  # int4/grouped weights: not packable (XLA path handles)
     n_quant = sum(isinstance(b[n], dict) for n in _WEIGHT_NAMES)
@@ -213,6 +215,8 @@ def _weight_itemsize(params: dict) -> int:
 def mega_supported(cfg, capacity: int, params: dict) -> bool:
     """Engine-side eligibility for the Llama megakernel."""
     b = params.get("blocks", {})
+    if "bq" in b:  # Qwen2-style qkv biases: not packed yet, XLA path only
+        return False
     if any(isinstance(b.get(n), dict) and "q" not in b[n]
            for n in _WEIGHT_NAMES):
         return False  # int4/grouped weights: XLA path only

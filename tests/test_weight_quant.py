@@ -100,14 +100,14 @@ def test_int4_weights_close_to_fp(family):
         spec = gpt2_spec(cfg)
         params = gpt2_mod.init_gpt2_params(jax.random.PRNGKey(0), cfg, jnp.float32)
         qparams = gpt2_mod.quantize_gpt2_weights(params, mode="int4")
-        assert qparams["blocks"]["fc_w"]["q4"].dtype == jnp.int4
+        assert qparams["blocks"]["fc_w"]["q4"].dtype == jnp.uint8
         assert "lm_q4" in qparams and "lm_q" not in qparams
     else:
         cfg = llama_mod.LlamaConfig.tiny()
         spec = llama_mod.llama_spec(cfg)
         params = llama_mod.init_llama_params(jax.random.PRNGKey(0), cfg, jnp.float32)
         qparams = llama_mod.quantize_llama_weights(params, mode="int4")
-        assert qparams["blocks"]["w_up"]["q4"].dtype == jnp.int4
+        assert qparams["blocks"]["w_up"]["q4"].dtype == jnp.uint8
 
     toks = jnp.asarray(
         np.random.default_rng(0).integers(0, cfg.vocab_size, (1, 16)), jnp.int32
@@ -121,13 +121,16 @@ def test_int4_weights_close_to_fp(family):
 
 
 def test_int4_grouping_roundtrip():
-    """quantize_int4_weights: values clamp to [-8, 7], scales per group."""
+    """quantize_int4_weights: nibble-packed, [-8, 7] values, per-group scales."""
     w = jnp.asarray(np.random.default_rng(1).normal(size=(256, 32)), jnp.float32)
     d = gpt2_mod.quantize_int4_weights(w, group=128)
-    assert d["q4"].shape == (2, 128, 32) and d["s"].shape == (2, 1, 32)
-    q = np.asarray(d["q4"].astype(jnp.int8))
+    assert d["q4"].shape == (2, 64, 32) and d["q4"].dtype == jnp.uint8
+    assert d["s"].shape == (2, 1, 32)
+    lo, hi = gpt2_mod._unpack_nibbles(d["q4"])
+    q = np.empty((2, 128, 32), np.int8)
+    q[:, 0::2], q[:, 1::2] = np.asarray(lo), np.asarray(hi)
     assert q.min() >= -8 and q.max() <= 7
-    recon = (np.asarray(d["q4"].astype(jnp.float32)) * np.asarray(d["s"])).reshape(256, 32)
+    recon = (q.astype(np.float32) * np.asarray(d["s"])).reshape(256, 32)
     err = np.abs(recon - np.asarray(w)).max()
     # max error bounded by half a quantization step per group
     step = np.asarray(d["s"]).max()
