@@ -216,7 +216,7 @@ class InferenceEngine:
             generate = make_generate(
                 m, strategy, trim_fn, max_new, sampling, mega=mega
             )
-            built = ("cached", generate, strategy, None)
+            built = ("cached", generate, strategy, mega)
 
         self._fns[key] = built
         return built
@@ -282,12 +282,12 @@ class InferenceEngine:
         assert true_len > 0, "empty prompt"
         bucket = min(bucket_for(true_len), self.model.n_positions)
 
-        kind, fns, strategy, total_cap = self._build(
+        kind, fns, strategy, extra = self._build(
             method, bucket, max_new_tokens, kw, sampling
         )
 
         if kind == "no_cache":
-            buf = np.zeros((self.config.batch_size, total_cap), np.int32)
+            buf = np.zeros((self.config.batch_size, extra), np.int32)
             buf[0, :true_len] = ids
             gen, n_new = fns(self.params, jnp.asarray(buf), jnp.int32(true_len))
             gen, n_new = jax.device_get((gen, n_new))  # one round-trip
@@ -304,7 +304,14 @@ class InferenceEngine:
         generate = fns
         buf = np.zeros((self.config.batch_size, bucket), np.int32)
         buf[0, :true_len] = ids
-        toks, final_len = generate(self.params, jnp.asarray(buf), jnp.int32(true_len))
+        # megakernel runs: the packed tile stream is a runtime ARG (a
+        # closure-captured GiB array becomes a traced constant and blows up
+        # the compile — see make_generate)
+        params = (
+            dict(self.params, __mega_packed__=extra["packed"])
+            if isinstance(extra, dict) else self.params
+        )
+        toks, final_len = generate(params, jnp.asarray(buf), jnp.int32(true_len))
         n_new = max_new_tokens
         # one host fetch for both results: each device_get is a full
         # round-trip through the remote runtime (~tens of ms)

@@ -195,16 +195,28 @@ def make_generate(
     """
     prefill = _prefill_body(model, strategy, trim_fn)
     if mega is not None:
+        # The packed tile stream rides in as a runtime argument under
+        # "__mega_packed__" (engine attaches it) — closure-capturing GiB-scale
+        # device arrays turns them into traced constants, which ballooned the
+        # Llama-1B compile from seconds to >30 min through the remote relay.
         decode_body = _mega_decode_body(model, max_new_tokens, mega)
+
+        def generate(params, tokens, true_len):
+            params = dict(params)
+            packed = params.pop("__mega_packed__")
+            cache, last = prefill(params, tokens, true_len)
+            toks, cache = decode_body(params, packed, cache, last)
+            return toks, cache["length"]
+
     else:
         decode_body = _decode_body(
             model, strategy, trim_fn, max_new_tokens, sampling
         )
 
-    def generate(params, tokens, true_len):
-        cache, last = prefill(params, tokens, true_len)
-        toks, cache = decode_body(params, cache, last)
-        return toks, cache["length"]
+        def generate(params, tokens, true_len):
+            cache, last = prefill(params, tokens, true_len)
+            toks, cache = decode_body(params, cache, last)
+            return toks, cache["length"]
 
     return jax.jit(generate)
 
@@ -215,12 +227,11 @@ def _mega_decode_body(model: ModelSpec, max_new_tokens: int, mega: dict):
         return _llama_mega_decode_body(model, max_new_tokens, mega)
     from ..ops.pallas.megakernel import gpt2_megastep, to_mega_layout
 
-    packed = mega["packed"]
     cfg = mega["cfg"]
     capacity = mega["capacity"]
     interpret = mega.get("interpret", False)
 
-    def decode(params, cache, last_logits):
+    def decode(params, packed, cache, last_logits):
         wte, wpe = params["wte"], params["wpe"]
 
         def step(carry, _):
@@ -257,12 +268,11 @@ def _llama_mega_decode_body(model: ModelSpec, max_new_tokens: int, mega: dict):
     from ..models.llama import rope_cos_sin
     from ..ops.pallas.megakernel_llama import llama_megastep, to_mega_layout
 
-    packed = mega["packed"]
     cfg = mega["cfg"]
     capacity = mega["capacity"]
     interpret = mega.get("interpret", False)
 
-    def decode(params, cache, last_logits):
+    def decode(params, packed, cache, last_logits):
         embed = params["embed"]
 
         def step(carry, _):

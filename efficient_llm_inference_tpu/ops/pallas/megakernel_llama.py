@@ -198,10 +198,10 @@ def _pick_tiles_per_slab(
     TR: int, TC: int, C: int, KW: int, w_item: int, kv_item: int,
     ws_bytes: int,
 ) -> int:
+    """1 if the 2-deep single-tile weight ring + KV rings fit VMEM, else 0."""
     kv_ring = 4 * C * KW * kv_item  # 2-deep ring for K and for V
-    for tps in (3, 2, 1):
-        if 2 * tps * TR * TC * w_item + kv_ring + ws_bytes <= _VMEM_BUDGET:
-            return tps
+    if 2 * TR * TC * w_item + kv_ring + ws_bytes <= _VMEM_BUDGET:
+        return 1
     return 0
 
 
@@ -280,7 +280,6 @@ def llama_megastep(
     )
     if tps == 0:
         raise ValueError("llama megakernel does not fit VMEM at this capacity")
-    n_slabs = -(-n_tiles // tps)
     scale = 1.0 / math.sqrt(float(D))
     half = D // 2
 
@@ -317,12 +316,9 @@ def llama_megastep(
         sel = (kl_ids == h_ids).astype(jnp.float32)  # [KW, Hkv]
         selT = sel.T  # [Hkv, KW]
 
-        def wdma(slot, s):
-            lo = s * tps
-            sz = min(tps, n_tiles - lo)
+        def wdma(slot, t):
             return pltpu.make_async_copy(
-                w_ref.at[pl.ds(lo, sz)], wbuf.at[slot, pl.ds(0, sz)],
-                wsem.at[slot],
+                w_ref.at[t], wbuf.at[slot], wsem.at[slot]
             )
 
         def kdma(slot, l):
@@ -351,19 +347,32 @@ def llama_megastep(
         gk_in.start()
         gv_in.start()
 
-        waited = [False] * n_slabs
-
         def tile(t):
-            s = t // tps
-            if not waited[s]:
-                if s + 1 < n_slabs:
-                    wdma((s + 1) % 2, s + 1).start()
-                wdma(s % 2, s).wait()
-                waited[s] = True
-            return wbuf[s % 2, t % tps]
+            """Depth-1 pipelined read of the strictly-sequential tile stream.
+
+            Invariant: DMA for tile t is in flight in ring slot t%2 when
+            tile(t) is called (prologue starts tile 0; every call prefetches
+            t+1). Dynamic t keeps the program SIZE independent of the tile
+            count — the static-unrolled predecessor took >5 min of Mosaic
+            compile standalone at 1B scale (1179 tiles) and never finished
+            inside the jitted generation.
+            """
+            slot = jax.lax.rem(t, 2)
+            nxt = jax.lax.rem(t + 1, 2)
+
+            @pl.when(t + 1 < n_tiles)
+            def _():
+                wdma(nxt, t + 1).start()
+
+            wdma(slot, t).wait()
+            return wbuf[pl.ds(slot, 1)][0]
 
         def mm_chunks(x_, base, rg, cg):
-            """[1, rg*TR] @ tiles -> list of cg [1, TC] f32 output chunks."""
+            """[1, rg*TR] @ tiles -> list of cg [1, TC] f32 output chunks.
+
+            rg/cg are static per weight name; `base` may be dynamic (layer
+            index folds into it).
+            """
             outs = []
             for c in range(cg):
                 acc = None
@@ -377,7 +386,7 @@ def llama_megastep(
                     )
                     acc = y if acc is None else acc + y
                 if int8_w:
-                    acc = acc * ws_ref[base + c * rg:base + c * rg + 1]
+                    acc = acc * ws_ref[pl.ds(base + c * rg, 1)]
                 outs.append(acc)
             return outs
 
@@ -399,10 +408,11 @@ def llama_megastep(
 
         x = x_ref[:].astype(dtype)  # [1, E] residual stream
 
-        for l in range(L):
+        def layer_body(l, x):
             lbase = l * per_layer
+            par = jax.lax.rem(l, 2)
 
-            h = rms(x, nm_ref[l, 0:1])
+            h = rms(x, nm_ref[pl.ds(l, 1), 0, :])
             qo, rq, cq_ = name_off["wq"]
             q_chunks = mm_chunks(h, lbase + qo, rq, cq_)
             q32 = jnp.concatenate(q_chunks, axis=-1)  # [1, QW] f32
@@ -419,14 +429,17 @@ def llama_megastep(
             k_rope = (kd * cosk + rot_half(kd, KW) * sink).astype(dtype)
             kc16 = k_rope
             vc16 = v32.astype(dtype)
-            knew[l] = kc16
-            vnew[l] = vc16
+            knew[pl.ds(l, 1)] = kc16[None]
+            vnew[pl.ds(l, 1)] = vc16[None]
 
-            if l + 1 < L:
-                kdma((l + 1) % 2, l + 1).start()
-                vdma((l + 1) % 2, l + 1).start()
-            kdma(l % 2, l).wait()
-            vdma(l % 2, l).wait()
+            @pl.when(l + 1 < L)
+            def _():
+                nxt = jax.lax.rem(l + 1, 2)
+                kdma(nxt, l + 1).start()
+                vdma(nxt, l + 1).start()
+
+            kdma(par, l).wait()
+            vdma(par, l).wait()
 
             # GQA attention in compact KV lane space: fold the GR query
             # heads of each KV group onto the [., KW] pane one rotation at
@@ -448,7 +461,7 @@ def llama_megastep(
             s_chunks = [[] for _ in range(GR)]
             for c0 in range(0, C, _ATTN_CHUNK):
                 cw = min(_ATTN_CHUNK, C - c0)
-                kc = kbuf[l % 2, c0:c0 + cw, :].astype(jnp.float32)
+                kc = kbuf[pl.ds(par, 1), c0:c0 + cw, :][0].astype(jnp.float32)
                 for r in range(GR):
                     s_chunks[r].append(seg_reduce(kc * q_rs[r]))
             row = jax.lax.broadcasted_iota(jnp.int32, (C, Hkv), 0)
@@ -469,7 +482,7 @@ def llama_megastep(
                 ao = jnp.zeros((1, KW), jnp.float32)
                 for c0 in range(0, C, _ATTN_CHUNK):
                     cw = min(_ATTN_CHUNK, C - c0)
-                    vc = vbuf[l % 2, c0:c0 + cw, :].astype(jnp.float32)
+                    vc = vbuf[pl.ds(par, 1), c0:c0 + cw, :][0].astype(jnp.float32)
                     pe = seg_bcast(p_rs[r][c0:c0 + cw])  # [cw, KW]
                     ao = ao + jnp.sum(pe * vc, axis=0, keepdims=True)
                 ao = ao + seg_bcast(pcur_rs[r]) * vcur32
@@ -489,7 +502,7 @@ def llama_megastep(
             o32 = jnp.concatenate(mm_chunks(a, lbase + oo, ro, co), axis=-1)
             x = x + o32.astype(dtype)
 
-            h2 = rms(x, nm_ref[l, 1:2])
+            h2 = rms(x, nm_ref[pl.ds(l, 1), 1, :])
             go, rgt, cgt = name_off["w_gate"]
             g32 = jnp.concatenate(mm_chunks(h2, lbase + go, rgt, cgt),
                                   axis=-1)  # [1, I] f32
@@ -501,7 +514,9 @@ def llama_megastep(
             do, rd, cd = name_off["w_down"]
             y32 = jnp.concatenate(mm_chunks(prod, lbase + do, rd, cd),
                                   axis=-1)
-            x = x + y32.astype(dtype)
+            return x + y32.astype(dtype)
+
+        x = jax.lax.fori_loop(0, L, layer_body, x)
 
         # merge the new K/V rows into their aligned 8-row groups; write both
         # groups back overlapped with the LM-head tile stream
@@ -517,11 +532,12 @@ def llama_megastep(
         ovd.start()
 
         xf = rms(x, lnf_ref[:])  # [1, E] dtype
-        best = jnp.float32(NEG_INF)
-        best_idx = jnp.int32(0)
         lm_base = L * per_layer
         rg_lm = E // TR
-        for t in range(n_lm):
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (1, TC), 1)
+
+        def lm_body(t, carry):
+            best, best_idx = carry
             acc = None
             for g in range(rg_lm):
                 y = jax.lax.dot_general(
@@ -532,15 +548,17 @@ def llama_megastep(
                 )
                 acc = y if acc is None else acc + y
             if int8_w:
-                acc = acc * ws_ref[lm_base + t * rg_lm:lm_base + t * rg_lm + 1]
-            if (t + 1) * TC > V:  # mask vocab padding in the last tile
-                cidx = jax.lax.broadcasted_iota(jnp.int32, (1, TC), 1)
-                acc = jnp.where(cidx < V - t * TC, acc, NEG_INF)
+                acc = acc * ws_ref[pl.ds(lm_base + t * rg_lm, 1)]
+            # mask vocab padding in the last tile (no-op elsewhere)
+            acc = jnp.where(t * TC + cidx < V, acc, NEG_INF)
             ymax = jnp.max(acc)
             yarg = jnp.argmax(acc).astype(jnp.int32) + t * TC
             take = ymax > best  # strict: first max wins, as jnp.argmax
-            best_idx = jnp.where(take, yarg, best_idx)
-            best = jnp.maximum(best, ymax)
+            return jnp.maximum(best, ymax), jnp.where(take, yarg, best_idx)
+
+        _, best_idx = jax.lax.fori_loop(
+            0, n_lm, lm_body, (jnp.float32(NEG_INF), jnp.int32(0))
+        )
         tok_ref[0, 0] = best_idx
 
         okd.wait()
@@ -571,7 +589,7 @@ def llama_megastep(
             jax.ShapeDtypeStruct((L, C, KW), v.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, tps, TR, TC), wdtype),  # weight ring
+            pltpu.VMEM((2, TR, TC), wdtype),  # weight ring (2-deep, 1 tile)
             pltpu.VMEM((2, C, KW), dtype),  # K ring
             pltpu.VMEM((2, C, KW), dtype),  # V ring
             pltpu.VMEM((L, 1, KW), dtype),  # new K rows
