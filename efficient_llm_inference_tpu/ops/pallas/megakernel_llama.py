@@ -128,8 +128,6 @@ def pack_llama_mega(params: dict, cfg) -> dict | None:
     """
     E, L = cfg.hidden_size, cfg.n_layer
     b = params["blocks"]
-    if "bq" in b:  # Qwen2-style qkv biases: not packed yet
-        return None
     if any(isinstance(b[n], dict) and "q" not in b[n] for n in _WEIGHT_NAMES):
         return None  # int4/grouped weights: not packable (XLA path handles)
     n_quant = sum(isinstance(b[n], dict) for n in _WEIGHT_NAMES)
@@ -177,6 +175,10 @@ def pack_llama_mega(params: dict, cfg) -> dict | None:
         ),  # [L, 2, E]
         "lnf": params["ln_f"].astype(jnp.float32)[None],  # [1, E]
     }
+    if "bq" in b:  # Qwen2-style q/k/v projection biases, one row per layer
+        out["qkvb"] = jnp.concatenate(
+            [b["bq"], b["bk"], b["bv"]], axis=-1
+        ).astype(jnp.float32)  # [L, QW + 2*KW]
     if int8:
         layer_sc = jnp.concatenate(
             [
@@ -215,8 +217,6 @@ def _weight_itemsize(params: dict) -> int:
 def mega_supported(cfg, capacity: int, params: dict) -> bool:
     """Engine-side eligibility for the Llama megakernel."""
     b = params.get("blocks", {})
-    if "bq" in b:  # Qwen2-style qkv biases: not packed yet, XLA path only
-        return False
     if any(isinstance(b.get(n), dict) and "q" not in b[n]
            for n in _WEIGHT_NAMES):
         return False  # int4/grouped weights: XLA path only
@@ -239,6 +239,8 @@ def mega_supported(cfg, capacity: int, params: dict) -> bool:
         cfg.vocab_size, TC
     )
     ws_bytes = 4 * n_tiles * TC if int8 else 0
+    if "bq" in b:  # Qwen2 qkv biases live in VMEM too
+        ws_bytes += 4 * cfg.n_layer * (cfg.n_head * cfg.head_dim + 2 * KW)
     return _pick_tiles_per_slab(
         TR, TC, capacity, KW, _weight_itemsize(params), kv_item, ws_bytes
     ) > 0
@@ -272,6 +274,7 @@ def llama_megastep(
     n_tiles = L * per_layer + n_lm
     wdtype = packed["wstack"].dtype
     int8_w = "wscale" in packed
+    has_bias = "qkvb" in packed
     dtype = k.dtype
     tps = _pick_tiles_per_slab(
         TR, TC, C, KW,
@@ -304,7 +307,7 @@ def llama_megastep(
         return jnp.where(d < half, -rm, rp)
 
     def kernel(len_ref, x_ref, cq_ref, sq_ref, w_ref, k_ref, v_ref,
-               nm_ref, lnf_ref, ws_ref,
+               nm_ref, lnf_ref, ws_ref, qb_ref,
                tok_ref, ko_ref, vo_ref,
                wbuf, kbuf, vbuf, knew, vnew, gk, gv,
                wsem, ksem, vsem, gsem, osem):
@@ -420,6 +423,11 @@ def llama_megastep(
             k32 = jnp.concatenate(mm_chunks(h, lbase + ko_, rk, ck), axis=-1)
             vo_, rv, cv = name_off["wv"]
             v32 = jnp.concatenate(mm_chunks(h, lbase + vo_, rv, cv), axis=-1)
+            if has_bias:  # Qwen2: bias on the fp32 accumulator, as _mm does
+                bias = qb_ref[pl.ds(l, 1), :]  # [1, QW + 2*KW] f32
+                q32 = q32 + bias[:, :QW]
+                k32 = k32 + bias[:, QW:QW + KW]
+                v32 = v32 + bias[:, QW + KW:]
 
             # RoPE on the bf16-rounded projections (matmul result is cast to
             # the model dtype before apply_rope in models/llama.py)
@@ -577,6 +585,7 @@ def llama_megastep(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # norms [L, 2, E]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lnf [1, E]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wscale [n_tiles, TC]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # qkvb [L, QW+2KW]
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # token
@@ -608,6 +617,9 @@ def llama_megastep(
     wscale = packed.get("wscale")
     if wscale is None:  # never read on the full-precision path
         wscale = jnp.ones((1, TC), jnp.float32)
+    qkvb = packed.get("qkvb")
+    if qkvb is None:  # never read when the model has no qkv biases
+        qkvb = jnp.zeros((L, 1), jnp.float32)
     tok, k2, v2 = f(
         jnp.reshape(length.astype(jnp.int32), (1, 1)),
         x_emb,
@@ -619,5 +631,6 @@ def llama_megastep(
         packed["norms"],
         packed["lnf"],
         wscale,
+        qkvb,
     )
     return tok[0, 0], k2, v2

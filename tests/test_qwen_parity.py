@@ -106,7 +106,8 @@ def test_qwen_registry_and_engine():
     assert cfg.qkv_bias and cfg.n_kv_head == 4 and cfg.hidden_size == 3584
 
 
-def test_qwen_megakernel_gated_off():
+def test_qwen_megakernel_token_exact():
+    """The whole-step megakernel handles qkv biases (in-VMEM bias rows)."""
     from efficient_llm_inference_tpu.ops.pallas.megakernel_llama import (
         mega_supported,
         pack_llama_mega,
@@ -115,10 +116,23 @@ def test_qwen_megakernel_gated_off():
     cfg = llama_mod.LlamaConfig(
         vocab_size=300, hidden_size=256, intermediate_size=512, n_layer=2,
         n_head=4, n_kv_head=2, tie_embeddings=True, qkv_bias=True,
+        rope_theta=10000.0,
     )
     params = llama_mod.init_llama_params(jax.random.PRNGKey(0), cfg, jnp.float32)
-    assert not mega_supported(cfg, 48, params)
-    assert pack_llama_mega(params, cfg) is None
+    assert mega_supported(cfg, 48, params)
+    packed = pack_llama_mega(params, cfg)
+    assert packed is not None and "qkvb" in packed
+
+    spec = llama_mod.llama_spec(cfg)
+    prompt = "the quick brown fox jumps over the lazy dog"
+    outs = {}
+    for mega in (False, True):
+        eng = InferenceEngine(
+            spec, params,
+            config=Config(dtype=jnp.float32, megakernel=mega, device="cpu"),
+        )
+        outs[mega] = eng.generate_ids(prompt, "full_cache", max_new_tokens=9)
+    assert outs[True] == outs[False]
 
 
 def test_qwen_weight_quant_keeps_biases():
