@@ -127,3 +127,40 @@ def test_engine_megakernel_int8_weights_token_exact(params):
         )
         outs[mega] = eng.generate_ids(prompt, "full_cache", max_new_tokens=9)
     assert outs[True] == outs[False]
+
+
+def test_megastep_multi_chunk_attention():
+    """capacity > _ATTN_CHUNK (512): chunked cache walk == XLA step."""
+    cfg = gpt2_mod.GPT2Config(
+        vocab_size=300, n_positions=2048, n_embd=128, n_layer=2, n_head=2
+    )
+    params = gpt2_mod.init_gpt2_params(jax.random.PRNGKey(2), cfg, jnp.float32)
+    C = 1024  # 2 chunks of 512
+    strat = DenseKV(
+        n_layer=cfg.n_layer, n_head=cfg.n_head, head_dim=cfg.head_dim,
+        capacity=C, batch=1, dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(4)
+    T0 = 600
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, T0)), jnp.int32)
+    pos = jnp.arange(T0, dtype=jnp.int32)[None]
+    cache = strat.init()
+    logits, cache = gpt2_mod.gpt2_forward(params, cfg, toks, pos, cache, strat)
+    cache = strat.set_length(cache, T0)
+
+    tok0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    pos1 = jnp.full((1, 1), T0, jnp.int32)
+    logits1, _ = gpt2_mod.gpt2_forward(
+        params, cfg, tok0[:, None], pos1, cache, strat
+    )
+    tok_xla = int(jnp.argmax(logits1[0, 0]))
+
+    packed = pack_gpt2_mega(params, cfg)
+    x_emb = (params["wte"][tok0] + params["wpe"][pos1[:, 0]]).astype(
+        params["wte"].dtype
+    )
+    tok_mega, _, _ = gpt2_megastep(
+        packed, to_mega_layout(cache["k"]), to_mega_layout(cache["v"]),
+        jnp.int32(T0), x_emb, cfg=cfg, capacity=C, interpret=True,
+    )
+    assert int(tok_mega) == tok_xla

@@ -151,3 +151,39 @@ def test_llama_mega_gating(params):
                        ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")},
         }
         assert mega_supported(cfg, cap, fake)
+
+
+def test_llama_megastep_multi_chunk_attention(params):
+    """capacity > _ATTN_CHUNK (512): the chunked cache walk must agree with
+    the XLA step (scores/softmax merge across chunk boundaries)."""
+    C = 1024  # 2 chunks of 512
+    strat = DenseKV(
+        n_layer=CFG.n_layer, n_head=CFG.n_kv_head, head_dim=CFG.head_dim,
+        capacity=C, batch=1, dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(3)
+    T0 = 600  # past spans both chunks
+    toks = jnp.asarray(rng.integers(0, CFG.vocab_size, (1, T0)), jnp.int32)
+    pos = jnp.arange(T0, dtype=jnp.int32)[None]
+    cache = strat.init()
+    logits, cache = llama_mod.llama_forward(params, CFG, toks, pos, cache, strat)
+    cache = strat.set_length(cache, T0)
+
+    tok0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    pos1 = jnp.full((1, 1), T0, jnp.int32)
+    logits1, _ = llama_mod.llama_forward(
+        params, CFG, tok0[:, None], pos1, cache, strat
+    )
+    tok_xla = int(jnp.argmax(logits1[0, 0]))
+
+    packed = pack_llama_mega(params, CFG)
+    x_emb = params["embed"][tok0]
+    cos, sin = rope_cos_sin(pos1, CFG.head_dim, CFG.rope_theta)
+    cos_q = jnp.tile(cos[0], (1, CFG.n_head))
+    sin_q = jnp.tile(sin[0], (1, CFG.n_head))
+    tok_mega, _, _ = llama_megastep(
+        packed, to_mega_layout(cache["k"]), to_mega_layout(cache["v"]),
+        jnp.int32(T0), x_emb, cos_q, sin_q, cfg=CFG, capacity=C,
+        interpret=True,
+    )
+    assert int(tok_mega) == tok_xla
