@@ -97,6 +97,7 @@ class InferenceEngine:
             spec = spec_with_config(
                 spec, _dc.replace(spec.config, scan_unroll=unroll)
             )
+        quantized = False
         if params is None:
             if name.startswith("gpt2"):
                 params = gpt2_mod.init_gpt2_params(
@@ -105,10 +106,23 @@ class InferenceEngine:
             else:
                 from ..models import llama as llama_mod
 
-                params = llama_mod.init_llama_params(
-                    config.prng_key(), spec.config, config.dtype
-                )
-        if config.weight_quant in ("int8", "int4"):
+                big = llama_mod.param_bytes_estimate(
+                    spec.config, config.dtype
+                ) > 8 * 1024**3
+                if config.weight_quant in ("int8", "int4") and big:
+                    # full-precision weights may not fit device HBM
+                    # (Llama-3-8B is 16 GiB bf16 on a 16 GiB v5e):
+                    # init + quantize on the host, ship only quantized
+                    params = llama_mod.init_quantized_llama_params(
+                        config.prng_key(), spec.config,
+                        mode=config.weight_quant, dtype=config.dtype,
+                    )
+                    quantized = True
+                else:
+                    params = llama_mod.init_llama_params(
+                        config.prng_key(), spec.config, config.dtype
+                    )
+        if config.weight_quant in ("int8", "int4") and not quantized:
             if spec.name == "gpt2":
                 params = gpt2_mod.quantize_gpt2_weights(
                     params, mode=config.weight_quant

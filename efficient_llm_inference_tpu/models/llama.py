@@ -304,6 +304,40 @@ def quantize_llama_weights(params: dict, mode: str = "int8") -> dict:
     return out
 
 
+def param_bytes_estimate(cfg: LlamaConfig, dtype=jnp.bfloat16) -> int:
+    """Rough full-precision parameter footprint (drives host-init routing)."""
+    E, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.n_layer
+    QW = cfg.n_head * cfg.head_dim
+    KW = cfg.n_kv_head * cfg.head_dim
+    per_layer = E * QW + 2 * E * KW + QW * E + 3 * E * I
+    n = cfg.vocab_size * E + L * per_layer
+    if not cfg.tie_embeddings:
+        n += E * cfg.vocab_size
+    return n * jnp.dtype(dtype).itemsize
+
+
+def init_quantized_llama_params(
+    key: jax.Array, cfg: LlamaConfig, mode: str = "int8",
+    dtype=jnp.bfloat16,
+) -> dict:
+    """Random-init + weight-quantize ON THE HOST CPU, then place only the
+    quantized tensors on the accelerator.
+
+    Lets models whose full-precision weights exceed device HBM be served
+    from quantized weights on ONE chip — Llama-3-8B is 16 GiB bf16 (doesn't
+    fit a 16 GiB v5e) but 9.3 GiB as int8 / 5.1 GiB as grouped int4
+    (BASELINE.json config #5 names Llama-3-8B explicitly). Same PRNG
+    stream as init_llama_params (threefry is backend-deterministic), so
+    small-model results are bit-identical to quantize-after-device-init.
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = init_llama_params(key, cfg, dtype)
+        q = quantize_llama_weights(params, mode=mode)
+        del params
+    return jax.device_put(q)
+
+
 def llama_spec(cfg: LlamaConfig):
     from .registry import ModelSpec
 

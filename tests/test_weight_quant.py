@@ -165,3 +165,27 @@ def test_llama_int4_megakernel_gating():
     q4 = llama_mod.quantize_llama_weights(params, mode="int4")
     assert not llama_mega_supported(cfg, 48, q4)
     assert pack_llama_mega(q4, cfg) is None
+
+
+def test_host_quantized_init_matches_device_path():
+    """init_quantized_llama_params == init-then-quantize (same PRNG stream)."""
+    cfg = llama_mod.LlamaConfig.tiny()
+    key = jax.random.PRNGKey(5)
+    a = llama_mod.init_quantized_llama_params(key, cfg, mode="int8",
+                                              dtype=jnp.float32)
+    b = llama_mod.quantize_llama_weights(
+        llama_mod.init_llama_params(key, cfg, jnp.float32), mode="int8"
+    )
+    fa, _ = jax.tree_util.tree_flatten(a)
+    fb, _ = jax.tree_util.tree_flatten(b)
+    assert len(fa) == len(fb)
+    for x, y in zip(fa, fb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_param_bytes_estimate():
+    cfg = llama_mod.LlamaConfig.llama3_8b()
+    est = llama_mod.param_bytes_estimate(cfg)  # ~16 GiB bf16
+    assert 14 * 1024**3 < est < 18 * 1024**3
+    tiny = llama_mod.param_bytes_estimate(llama_mod.LlamaConfig.tiny())
+    assert tiny < 1024**2
