@@ -106,12 +106,14 @@ class InferenceEngine:
             else:
                 from ..models import llama as llama_mod
 
+                # device init + quantize transiently holds bf16 weights,
+                # fp32 temps, AND the quantized copy (~2.3x the bf16
+                # size) — past ~4 GiB bf16 that peak OOMs a 16 GiB chip,
+                # and Llama-3-8B (16 GiB bf16) doesn't fit at all
                 big = llama_mod.param_bytes_estimate(
                     spec.config, config.dtype
-                ) > 8 * 1024**3
+                ) > 4 * 1024**3
                 if config.weight_quant in ("int8", "int4") and big:
-                    # full-precision weights may not fit device HBM
-                    # (Llama-3-8B is 16 GiB bf16 on a 16 GiB v5e):
                     # init + quantize on the host, ship only quantized
                     params = llama_mod.init_quantized_llama_params(
                         config.prng_key(), spec.config,

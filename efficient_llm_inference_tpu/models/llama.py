@@ -335,7 +335,10 @@ def init_quantized_llama_params(
         params = init_llama_params(key, cfg, dtype)
         q = quantize_llama_weights(params, mode=mode)
         del params
-    return jax.device_put(q)
+    # explicit target: device_put with device=None is an IDENTITY for
+    # already-committed arrays, which would leave the weights on the host
+    # and silently run the whole generation on CPU
+    return jax.device_put(q, jax.devices()[0])
 
 
 def llama_spec(cfg: LlamaConfig):

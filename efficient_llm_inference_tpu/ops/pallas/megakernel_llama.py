@@ -52,7 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
-_VMEM_BUDGET = 11 * 1024 * 1024
+_VMEM_BUDGET = 40 * 1024 * 1024  # of v5e's 128 MB; leaves Mosaic headroom
 _ATTN_CHUNK = 512
 
 _WEIGHT_NAMES = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
@@ -200,9 +200,14 @@ def _pick_tiles_per_slab(
     TR: int, TC: int, C: int, KW: int, w_item: int, kv_item: int,
     ws_bytes: int,
 ) -> int:
-    """1 if the 2-deep single-tile weight ring + KV rings fit VMEM, else 0."""
+    """1 if the 2-deep single-tile weight ring + KV rings + the kernel's
+    fp32 attention temporaries fit the VMEM budget, else 0."""
     kv_ring = 4 * C * KW * kv_item  # 2-deep ring for K and for V
-    if 2 * TR * TC * w_item + kv_ring + ws_bytes <= _VMEM_BUDGET:
+    # chunked attention fp32 temps: k/v chunk loads, probability pane, and
+    # the [C, Hkv]-shaped score/prob columns (~6 chunk-sized panes is the
+    # empirical envelope)
+    attn_tmp = 6 * min(C, _ATTN_CHUNK) * KW * 4
+    if 2 * TR * TC * w_item + kv_ring + ws_bytes + attn_tmp <= _VMEM_BUDGET:
         return 1
     return 0
 
@@ -238,6 +243,11 @@ def mega_supported(cfg, capacity: int, params: dict) -> bool:
     n_tiles = cfg.n_layer * _tiles_per_layer(cfg, TR, TC) + _num_lm_tiles(
         cfg.vocab_size, TC
     )
+    # per-tile DMA issue cost (~1 us) must stay small vs the stream time:
+    # thousands of sub-256KB tiles (e.g. Qwen2.5-1.5B's gcd-forced 256x256
+    # grid = 23k tiles) would be DMA-overhead-bound — keep those on XLA
+    if n_tiles > 2048 and TR * TC * _weight_itemsize(params) < 256 * 1024:
+        return False
     ws_bytes = 4 * n_tiles * TC if int8 else 0
     if "bq" in b:  # Qwen2 qkv biases live in VMEM too
         ws_bytes += 4 * cfg.n_layer * (cfg.n_head * cfg.head_dim + 2 * KW)
