@@ -248,6 +248,11 @@ def mega_supported(cfg, capacity: int, params: dict) -> bool:
     # grid = 23k tiles) would be DMA-overhead-bound — keep those on XLA
     if n_tiles > 2048 and TR * TC * _weight_itemsize(params) < 256 * 1024:
         return False
+    # the packed tile stream DUPLICATES the matmul weights in HBM (prefill
+    # still needs the originals); past ~4 GiB the pair exceeds a 16 GiB
+    # chip alongside the params — Llama-3-8B int8 stays on XLA
+    if n_tiles * TR * TC * _weight_itemsize(params) > 4 * 1024**3:
+        return False
     ws_bytes = 4 * n_tiles * TC if int8 else 0
     if "bq" in b:  # Qwen2 qkv biases live in VMEM too
         ws_bytes += 4 * cfg.n_layer * (cfg.n_head * cfg.head_dim + 2 * KW)

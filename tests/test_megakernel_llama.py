@@ -142,15 +142,26 @@ def test_llama_mega_gating(params):
         jax.random.PRNGKey(1), narrow, jnp.float32
     )
     assert not mega_supported(narrow, 48, nparams)
-    # real geometries are eligible (VMEM fit at serving capacities)
-    for cfg, cap in ((LlamaConfig.llama3_1b(), 1024),
-                     (LlamaConfig.llama3_3b(), 512)):
-        fake = {
-            "embed": jnp.zeros((1,), jnp.bfloat16),
-            "blocks": {n: None for n in
-                       ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")},
+    # real geometries are eligible (VMEM fit at serving capacities);
+    # bf16 3B is gated by the packed-duplicate HBM bound (6.4 GiB tile
+    # stream + originals won't share a 16 GiB chip), int8 3B is in
+    names = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+    def fake(int8):
+        blocks = {
+            n: ({"q": jnp.zeros((1,), jnp.int8), "s": 1.0} if int8 else None)
+            for n in names
         }
-        assert mega_supported(cfg, cap, fake)
+        p = {"embed": jnp.zeros((1,), jnp.bfloat16), "blocks": blocks}
+        if int8:
+            p["lm_q"] = 1.0
+        return p
+
+    assert mega_supported(LlamaConfig.llama3_1b(), 1024, fake(False))
+    assert mega_supported(LlamaConfig.llama3_3b(), 512, fake(True))
+    assert not mega_supported(LlamaConfig.llama3_3b(), 512, fake(False))
+    # 8B int8: the 7 GiB packed stream next to 8.6 GiB of params is gated
+    assert not mega_supported(LlamaConfig.llama3_8b(), 320, fake(True))
 
 
 def test_llama_megastep_multi_chunk_attention(params):
