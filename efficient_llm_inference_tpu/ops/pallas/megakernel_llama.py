@@ -32,6 +32,18 @@ What differs from the GPT-2 kernel:
   they depend only on the step's position).
 * RMSNorm (fp32 stats, cast-before-scale as models/llama.py:_rms_norm) and
   SwiGLU (fp32 silu, product in the model dtype) replace LN/GELU.
+* Grouped-int4 weight tiles (beyond the int8 tier): each [TR, TC] tile is
+  stored as [TR/2, TC] int8 with row r paired with row r + TR/2 — the low
+  nibble BIASED by +8, the high nibble in two's complement — plus a
+  [TR/G, TC] per-group scale pane DMA'd alongside the tile on its own
+  ring. The low plane dots the raw biased nibbles against scale-expanded
+  panes and the +8 bias comes out as one small correction matmul per tile
+  (8 * per-group x-sums against the scale rows); the high plane uses the
+  float identity (byte - low_nibble) = 16 * signed_high (the byte's own
+  sign extends the nibble) with the /16 pre-folded into its scale rows.
+  No shifts (Mosaic cannot legalize arith.shrsi on int8 vectors), no
+  per-element sign extension. Halves pairing (not the in-group interleave
+  the XLA path packs) keeps both x-plane slices contiguous in lane space.
 
 Numerics mirror models/llama.py exactly up to the same reassociation classes
 as the GPT-2 kernel (row-partial sums, C-chunked attention reductions,
@@ -56,6 +68,60 @@ _VMEM_BUDGET = 40 * 1024 * 1024  # of v5e's 128 MB; leaves Mosaic headroom
 _ATTN_CHUNK = 512
 
 _WEIGHT_NAMES = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def _q4_group(d: dict) -> int:
+    """Group size used by models/gpt2.py:quantize_int4_weights for this dict."""
+    return 2 * d["q4"].shape[-2]
+
+
+def _q4_to_int8(d: dict) -> jax.Array:
+    """{"q4": [.., Kg, g/2, F] packed, ...} -> signed int8 [.., K, F].
+
+    Inverse of the in-group interleave packing (even in-group positions in
+    the low nibble, odd in the high — models/gpt2.py:quantize_int4_weights).
+    """
+    q4 = d["q4"]
+    lo = ((jnp.bitwise_and(q4, 0xF).astype(jnp.int8)) ^ 8) - 8
+    hi = ((jnp.right_shift(q4, 4).astype(jnp.int8)) ^ 8) - 8
+    inter = jnp.stack([lo, hi], axis=-2)  # [.., Kg, g/2, 2, F]
+    s = inter.shape
+    return inter.reshape(*s[:-4], s[-4] * s[-3] * s[-2], s[-1])
+
+
+def _pack_halves(t8: jax.Array, TR: int) -> jax.Array:
+    """[nt, TR, TC] signed int8 in [-8, 7] -> [nt, TR/2, TC] packed int8.
+
+    Kernel-private layout: tile row r pairs with row r + TR/2. The LOW
+    nibble stores the row-r value BIASED by +8 (0..15) so the kernel can
+    dot it raw and subtract an 8*sum(x)*scale correction matmul instead of
+    sign-extending per element. The HIGH nibble stores row r + TR/2 in
+    two's complement: interpreting the whole byte as int8, the identity
+    (byte - low_nibble) / 16 == signed high value
+    recovers it exactly in float — no shift (Mosaic cannot legalize
+    arith.shrsi on int8 vectors) and no sign-extension ALU. The /16 folds
+    into the pre-packed high-half scales.
+    """
+    lo_u = (t8[:, : TR // 2, :].astype(jnp.int16) + 8).astype(jnp.uint8)
+    hi_tc = (t8[:, TR // 2:, :].astype(jnp.int16) & 0xF).astype(jnp.uint8)
+    return jax.lax.bitcast_convert_type(lo_u | (hi_tc << 4), jnp.int8)
+
+
+def _weight_mode(b: dict) -> str | None:
+    """"f" | "int8" | "int4" when the block weights are uniform, else None."""
+    kinds = set()
+    for n in _WEIGHT_NAMES:
+        w = b.get(n)
+        if isinstance(w, dict):
+            if "q" in w:
+                kinds.add("int8")
+            elif "q4" in w:
+                kinds.add("int4")
+            else:
+                return None
+        else:
+            kinds.add("f")
+    return kinds.pop() if len(kinds) == 1 else None
 
 
 def _tile_geometry(cfg) -> tuple[int, int]:
@@ -122,25 +188,30 @@ def _grid_scales(s: jax.Array, rg: int, TC: int) -> jax.Array:
 def pack_llama_mega(params: dict, cfg) -> dict | None:
     """Re-layout Llama params into the megakernel's uniform tile stream.
 
-    Returns {"wstack": [n_tiles, TR, TC], "norms": [L, 2, E] f32,
-    "lnf": [1, E] f32, "wscale": [n_tiles, TC] f32 (int8 only)} or None when
-    the params are not packable (mixed quantization, indivisible geometry).
+    Returns {"wstack": [n_tiles, TR, TC] (or [n_tiles, TR/2, TC] uint8 for
+    int4), "norms": [L, 2, E] f32, "lnf": [1, E] f32, "wscale":
+    [n_tiles, TC] f32 (int8 only), "w4scale": [n_tiles, TR/G, TC] model
+    dtype (int4 only)} or None when the params are not packable (mixed
+    quantization, indivisible geometry).
     """
     E, L = cfg.hidden_size, cfg.n_layer
     b = params["blocks"]
-    if any(isinstance(b[n], dict) and "q" not in b[n] for n in _WEIGHT_NAMES):
-        return None  # int4/grouped weights: not packable (XLA path handles)
-    n_quant = sum(isinstance(b[n], dict) for n in _WEIGHT_NAMES)
-    int8 = n_quant == len(_WEIGHT_NAMES)
-    if 0 < n_quant < len(_WEIGHT_NAMES):
+    mode = _weight_mode(b)
+    if mode is None:
         return None
+    int8 = mode == "int8"
+    int4 = mode == "int4"
     if int8 and "lm_q" not in params:
+        return None
+    if int4 and "lm_q4" not in params:
         return None
     TR, TC = _tile_geometry(cfg)
     plan = _layer_tile_plan(cfg, TR, TC)
     for _, r, c in plan:
         if r == 0 or c == 0:
             return None
+    if int4:
+        return _pack_llama_mega_int4(params, cfg, TR, TC, plan)
 
     def wv(name):
         return b[name]["q"] if int8 else b[name]
@@ -196,42 +267,197 @@ def pack_llama_mega(params: dict, cfg) -> dict | None:
     return out
 
 
+def _pack_llama_mega_int4(params: dict, cfg, TR: int, TC: int, plan) -> dict | None:
+    """Grouped-int4 tile stream: biased half-paired nibbles + per-tile
+    group-scale panes (DMA'd alongside each weight tile).
+
+    The kernel reads each tile as [TR/2, TC] packed int8 (row r pairs with
+    row r + TR/2) plus a [TR/G, TC] scale pane in the model dtype. Streams
+    past ~1.5 GiB are packed on the HOST layer by layer — the device path
+    transiently materializes the full unpacked int8 tile grid (2x the int4
+    bytes), which OOMs a 16 GiB chip next to Llama-3-8B's resident params.
+    """
+    E, L = cfg.hidden_size, cfg.n_layer
+    b = params["blocks"]
+    dtype = params["embed"].dtype
+    gs = {_q4_group(b[n]) for n in _WEIGHT_NAMES} | {_q4_group(
+        {"q4": params["lm_q4"]})}
+    if len(gs) != 1:
+        return None  # kernel wants one uniform group size
+    G = gs.pop()
+    if TR % G or (TR // 2) % G or TR % 16:
+        return None
+    stream_bytes = sum(b[n]["q4"].size for n in _WEIGHT_NAMES) * 2
+    if stream_bytes > 3 * 512 * 1024**2:
+        return _pack_llama_mega_int4_host(params, cfg, TR, TC, plan, G)
+
+    def tiles_of(name):
+        w8 = _q4_to_int8(b[name])  # [L, K, F] int8
+        return jax.vmap(lambda w: _grid_tiles(w, TR, TC))(w8)
+
+    def scales_of(name):
+        s2 = b[name]["s"][..., 0, :]  # [L, K/G, F] f32
+        return jax.vmap(lambda s: _grid_tiles(s, TR // G, TC))(s2)
+
+    layer_tiles = jnp.concatenate(
+        [tiles_of(name) for name, _, _ in plan], axis=1
+    )  # [L, per_layer, TR, TC] int8
+    layer_sc = jnp.concatenate(
+        [scales_of(name) for name, _, _ in plan], axis=1
+    )  # [L, per_layer, TR/G, TC] f32
+    per_layer = layer_tiles.shape[1]
+    layer_tiles = layer_tiles.reshape(L * per_layer, TR, TC)
+    layer_sc = layer_sc.reshape(L * per_layer, TR // G, TC)
+
+    V = cfg.vocab_size
+    n_lm = _num_lm_tiles(V, TC)
+    head8 = jnp.pad(
+        _q4_to_int8({"q4": params["lm_q4"]}), ((0, 0), (0, n_lm * TC - V))
+    )  # [E, n_lm*TC] int8 (pad weight = 0)
+    head_s = jnp.pad(
+        params["lm_s4"][..., 0, :], ((0, 0), (0, n_lm * TC - V)),
+        constant_values=1.0,
+    )  # [E/G, n_lm*TC]
+    lm_tiles = _grid_tiles(head8, TR, TC)
+    lm_sc = _grid_tiles(head_s, TR // G, TC)
+
+    wstack = _pack_halves(jnp.concatenate([layer_tiles, lm_tiles]), TR)
+    w4scale = jnp.concatenate([layer_sc, lm_sc])
+    # high-half groups carry the /16 of the nibble-recovery identity
+    n_gh = (TR // G) // 2
+    w4scale = w4scale.at[:, n_gh:, :].multiply(1.0 / 16.0).astype(dtype)
+
+    out = {
+        "wstack": wstack,
+        "w4scale": w4scale,
+        "norms": jnp.stack(
+            [b["ln1"].astype(jnp.float32), b["ln2"].astype(jnp.float32)], axis=1
+        ),
+        "lnf": params["ln_f"].astype(jnp.float32)[None],
+    }
+    if "bq" in b:
+        out["qkvb"] = jnp.concatenate(
+            [b["bq"], b["bk"], b["bv"]], axis=-1
+        ).astype(jnp.float32)
+    return out
+
+
+def _pack_llama_mega_int4_host(
+    params: dict, cfg, TR: int, TC: int, plan, G: int
+) -> dict:
+    """Host (numpy) variant of the int4 tile packer for big streams.
+
+    Pulls each quantized weight to the host once, packs layer by layer,
+    and ships only the finished stream back — device HBM never holds the
+    unpacked int8 tile grid. One-time cost at engine build.
+    """
+    import numpy as np
+
+    E, L = cfg.hidden_size, cfg.n_layer
+    b = params["blocks"]
+    dtype = params["embed"].dtype
+    n_gh = (TR // G) // 2
+
+    def np_grid(w, tr):
+        Rin, Rout = w.shape
+        rg, cg = Rin // tr, Rout // TC
+        return (
+            w.reshape(rg, tr, cg, TC).transpose(2, 0, 1, 3)
+            .reshape(cg * rg, tr, TC)
+        )
+
+    def np_unpack(q4):  # [Kg, g/2, F] packed -> [K, F] int8
+        lo = ((q4 & 0xF).astype(np.int8) ^ 8) - 8
+        hi = ((q4 >> 4).astype(np.int8) ^ 8) - 8
+        inter = np.stack([lo, hi], axis=-2)  # [Kg, g/2, 2, F]
+        s = inter.shape
+        return inter.reshape(s[0] * s[1] * s[2], s[3])
+
+    def np_pack_halves(t8):
+        lo_u = (t8[:, : TR // 2].astype(np.int16) + 8).astype(np.uint8)
+        hi = (t8[:, TR // 2:].astype(np.int16) & 0xF).astype(np.uint8)
+        return (lo_u | (hi << 4)).view(np.int8)
+
+    per_layer = sum(r * c for _, r, c in plan)
+    V = cfg.vocab_size
+    n_lm = _num_lm_tiles(V, TC)
+    n_tiles = L * per_layer + n_lm * (E // TR)
+    wstack = np.empty((n_tiles, TR // 2, TC), np.int8)
+    w4scale = np.empty((n_tiles, TR // G, TC), np.float32)
+
+    off = 0
+    host_q = {n: np.asarray(b[n]["q4"]) for n in _WEIGHT_NAMES}
+    host_s = {n: np.asarray(b[n]["s"][..., 0, :]) for n in _WEIGHT_NAMES}
+    for l in range(L):
+        for name, _, _ in plan:
+            t8 = np_grid(np_unpack(host_q[name][l]), TR)
+            nt = t8.shape[0]
+            wstack[off:off + nt] = np_pack_halves(t8)
+            w4scale[off:off + nt] = np_grid(host_s[name][l], TR // G)
+            off += nt
+
+    head8 = np.pad(np_unpack(np.asarray(params["lm_q4"])),
+                   ((0, 0), (0, n_lm * TC - V)))
+    head_s = np.pad(np.asarray(params["lm_s4"][..., 0, :]),
+                    ((0, 0), (0, n_lm * TC - V)), constant_values=1.0)
+    t8 = np_grid(head8, TR)
+    wstack[off:off + t8.shape[0]] = np_pack_halves(t8)
+    w4scale[off:off + t8.shape[0]] = np_grid(head_s, TR // G)
+    assert off + t8.shape[0] == n_tiles
+
+    w4scale[:, n_gh:, :] *= 1.0 / 16.0  # nibble-recovery /16, high half
+
+    out = {
+        "wstack": jnp.asarray(wstack),
+        "w4scale": jnp.asarray(w4scale).astype(dtype),
+        "norms": jnp.stack(
+            [b["ln1"].astype(jnp.float32), b["ln2"].astype(jnp.float32)],
+            axis=1,
+        ),
+        "lnf": params["ln_f"].astype(jnp.float32)[None],
+    }
+    if "bq" in b:
+        out["qkvb"] = jnp.concatenate(
+            [b["bq"], b["bk"], b["bv"]], axis=-1
+        ).astype(jnp.float32)
+    return out
+
+
 def _pick_tiles_per_slab(
-    TR: int, TC: int, C: int, KW: int, w_item: int, kv_item: int,
-    ws_bytes: int,
+    w_slot_bytes: int, C: int, KW: int, kv_item: int, ws_bytes: int,
 ) -> int:
-    """1 if the 2-deep single-tile weight ring + KV rings + the kernel's
+    """1 if the 2-deep weight(+scale) ring + KV rings + the kernel's
     fp32 attention temporaries fit the VMEM budget, else 0."""
     kv_ring = 4 * C * KW * kv_item  # 2-deep ring for K and for V
     # chunked attention fp32 temps: k/v chunk loads, probability pane, and
     # the [C, Hkv]-shaped score/prob columns (~6 chunk-sized panes is the
     # empirical envelope)
     attn_tmp = 6 * min(C, _ATTN_CHUNK) * KW * 4
-    if 2 * TR * TC * w_item + kv_ring + ws_bytes + attn_tmp <= _VMEM_BUDGET:
+    if 2 * w_slot_bytes + kv_ring + ws_bytes + attn_tmp <= _VMEM_BUDGET:
         return 1
     return 0
 
 
-def _weight_itemsize(params: dict) -> int:
-    b = params.get("blocks", {})
-    if isinstance(b.get("wq"), dict):
-        return 1
-    return jnp.dtype(params["embed"].dtype).itemsize
+def _w_slot_bytes(mode: str, TR: int, TC: int, G: int, dt_item: int) -> int:
+    """Per-ring-slot bytes for one weight tile (+ its scale pane for int4)."""
+    if mode == "int4":
+        return (TR // 2) * TC + (TR // G) * TC * dt_item
+    if mode == "int8":
+        return TR * TC
+    return TR * TC * dt_item
 
 
 def mega_supported(cfg, capacity: int, params: dict) -> bool:
     """Engine-side eligibility for the Llama megakernel."""
     b = params.get("blocks", {})
-    if any(isinstance(b.get(n), dict) and "q" not in b[n]
-           for n in _WEIGHT_NAMES):
-        return False  # int4/grouped weights: XLA path only
-    n_quant = sum(isinstance(b.get(n), dict) for n in _WEIGHT_NAMES)
-    if 0 < n_quant < len(_WEIGHT_NAMES):
+    mode = _weight_mode(b)
+    if mode is None:
         return False
-    int8 = n_quant == len(_WEIGHT_NAMES)
-    if int8 and "lm_q" not in params:
+    if mode == "int8" and "lm_q" not in params:
         return False
-    if not int8 and not cfg.tie_embeddings and "lm_head" not in params:
+    if mode == "int4" and "lm_q4" not in params:
+        return False
+    if mode == "f" and not cfg.tie_embeddings and "lm_head" not in params:
         return False
     TR, TC = _tile_geometry(cfg)
     KW = cfg.n_kv_head * cfg.head_dim
@@ -239,25 +465,49 @@ def mega_supported(cfg, capacity: int, params: dict) -> bool:
         return False
     if cfg.head_dim % 2 != 0 or capacity % 8 != 0:
         return False
-    kv_item = jnp.dtype(params["embed"].dtype).itemsize
+    G = 0
+    if mode == "int4":
+        gs = {_q4_group(b[n]) for n in _WEIGHT_NAMES}
+        gs.add(_q4_group({"q4": params["lm_q4"]}))
+        if len(gs) != 1:
+            return False
+        G = gs.pop()
+        # halves pairing must not split a scale group, and the packed tile
+        # needs an even, 8-aligned sublane count
+        if TR % G or (TR // 2) % G or TR % 16:
+            return False
+    dt_item = jnp.dtype(params["embed"].dtype).itemsize
+    kv_item = dt_item
+    # LM head: n_lm column tiles x (E // TR) row-group tiles in the stream
     n_tiles = cfg.n_layer * _tiles_per_layer(cfg, TR, TC) + _num_lm_tiles(
         cfg.vocab_size, TC
-    )
+    ) * (cfg.hidden_size // TR)
+    slot_bytes = _w_slot_bytes(mode, TR, TC, G, dt_item)
     # per-tile DMA issue cost (~1 us) must stay small vs the stream time:
     # thousands of sub-256KB tiles (e.g. Qwen2.5-1.5B's gcd-forced 256x256
     # grid = 23k tiles) would be DMA-overhead-bound — keep those on XLA
-    if n_tiles > 2048 and TR * TC * _weight_itemsize(params) < 256 * 1024:
+    if n_tiles > 2048 and slot_bytes < 256 * 1024:
         return False
     # the packed tile stream DUPLICATES the matmul weights in HBM (prefill
     # still needs the originals); past ~4 GiB the pair exceeds a 16 GiB
-    # chip alongside the params — Llama-3-8B int8 stays on XLA
-    if n_tiles * TR * TC * _weight_itemsize(params) > 4 * 1024**3:
+    # chip alongside the params — Llama-3-8B int8 stays on XLA. At int4 the
+    # originals are half the stream's int8 equivalent, so the pair fits up
+    # to a ~5 GiB stream (Llama-3-8B int4: 4.2 GiB stream + 4.2 GiB
+    # originals + embeds ~ 9.5 GiB on a 16 GiB chip).
+    stream_cap = 5 * 1024**3 if mode == "int4" else 4 * 1024**3
+    if n_tiles * slot_bytes > stream_cap:
         return False
-    ws_bytes = 4 * n_tiles * TC if int8 else 0
+    if mode == "int8":
+        ws_bytes = 4 * n_tiles * TC
+    elif mode == "int4":
+        # in-kernel group-selector constant (low half x groups-per-half)
+        ws_bytes = (TR // 2) * ((TR // G) // 2) * 4
+    else:
+        ws_bytes = 0
     if "bq" in b:  # Qwen2 qkv biases live in VMEM too
         ws_bytes += 4 * cfg.n_layer * (cfg.n_head * cfg.head_dim + 2 * KW)
     return _pick_tiles_per_slab(
-        TR, TC, capacity, KW, _weight_itemsize(params), kv_item, ws_bytes
+        slot_bytes, capacity, KW, kv_item, ws_bytes
     ) > 0
 
 
@@ -286,15 +536,25 @@ def llama_megastep(
     plan = _layer_tile_plan(cfg, TR, TC)
     per_layer = sum(r * c for _, r, c in plan)
     n_lm = _num_lm_tiles(V, TC)
-    n_tiles = L * per_layer + n_lm
+    # the LM head streams n_lm column tiles x (E // TR) row-group tiles
+    n_tiles = L * per_layer + n_lm * (E // TR)
     wdtype = packed["wstack"].dtype
     int8_w = "wscale" in packed
+    int4_w = "w4scale" in packed
     has_bias = "qkvb" in packed
     dtype = k.dtype
+    dt_item = jnp.dtype(dtype).itemsize
+    if int4_w:
+        G = TR // packed["w4scale"].shape[1]  # uniform scale group size
+        n_gh = (TR // G) // 2  # groups per packed half-plane
+        mode = "int4"
+        ws_vmem = (TR // 2) * n_gh * 4  # group-selector constant
+    else:
+        G, n_gh = TR, 0
+        mode = "int8" if int8_w else "f"
+        ws_vmem = 4 * n_tiles * TC if int8_w else 0
     tps = _pick_tiles_per_slab(
-        TR, TC, C, KW,
-        jnp.dtype(wdtype).itemsize, jnp.dtype(dtype).itemsize,
-        4 * n_tiles * TC if int8_w else 0,
+        _w_slot_bytes(mode, TR, TC, G, dt_item), C, KW, dt_item, ws_vmem
     )
     if tps == 0:
         raise ValueError("llama megakernel does not fit VMEM at this capacity")
@@ -322,11 +582,24 @@ def llama_megastep(
         return jnp.where(d < half, -rm, rp)
 
     def kernel(len_ref, x_ref, cq_ref, sq_ref, w_ref, k_ref, v_ref,
-               nm_ref, lnf_ref, ws_ref, qb_ref,
-               tok_ref, ko_ref, vo_ref,
-               wbuf, kbuf, vbuf, knew, vnew, gk, gv,
-               wsem, ksem, vsem, gsem, osem):
+               nm_ref, lnf_ref, ws_ref, qb_ref, s4_ref,
+               tok_ref, ko_ref, vo_ref, *scr):
+        if int4_w:
+            (wbuf, sbuf, kbuf, vbuf, knew, vnew, gk, gv,
+             wsem, ssem, ksem, vsem, gsem, osem) = scr
+        else:
+            (wbuf, kbuf, vbuf, knew, vnew, gk, gv,
+             wsem, ksem, vsem, gsem, osem) = scr
+            sbuf = ssem = None
         cur = len_ref[0, 0]
+
+        if int4_w:
+            # group selector for the low-plane bias correction:
+            # gsel[r, g] = 1 iff low-half input row r belongs to group g
+            r_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (TR // 2, n_gh), 0) // G
+            g_ids = jax.lax.broadcasted_iota(jnp.int32, (TR // 2, n_gh), 1)
+            gsel = (r_ids == g_ids).astype(dtype)
 
         # 0/1 KV-head segment selector: sel[kl, h] = 1 iff kl // D == h
         kl_ids = jax.lax.broadcasted_iota(jnp.int32, (KW, Hkv), 0) // D
@@ -337,6 +610,11 @@ def llama_megastep(
         def wdma(slot, t):
             return pltpu.make_async_copy(
                 w_ref.at[t], wbuf.at[slot], wsem.at[slot]
+            )
+
+        def sdma(slot, t):
+            return pltpu.make_async_copy(
+                s4_ref.at[t], sbuf.at[slot], ssem.at[slot]
             )
 
         def kdma(slot, l):
@@ -358,6 +636,8 @@ def llama_megastep(
                                          sem)
 
         wdma(0, 0).start()
+        if int4_w:
+            sdma(0, 0).start()
         kdma(0, 0).start()
         vdma(0, 0).start()
         gk_in = group_in(k_ref, gk, gsem.at[0])
@@ -381,9 +661,56 @@ def llama_megastep(
             @pl.when(t + 1 < n_tiles)
             def _():
                 wdma(nxt, t + 1).start()
+                if int4_w:
+                    sdma(nxt, t + 1).start()
 
             wdma(slot, t).wait()
-            return wbuf[pl.ds(slot, 1)][0]
+            if int4_w:
+                sdma(slot, t).wait()
+            return slot
+
+        def tile_dot(xg, t):
+            """[1, TR] @ tile t -> [1, TC] f32 (un-scaled for int8 tiles)."""
+            slot = tile(t)
+            if not int4_w:
+                return jax.lax.dot_general(
+                    xg, wbuf[pl.ds(slot, 1)][0].astype(dtype),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            # int4: tile row r (low nibble, BIASED +8) pairs with row
+            # r + TR/2 (high nibble, two's complement). Low plane:
+            # x @ (u * s) - 8 * (per-group sums of x) @ s. High plane:
+            # (byte_f - lo_f) carries 16 * signed value (the byte's own
+            # sign extends the nibble), and the /16 is pre-folded into the
+            # high-half scale rows — no shift, no sign-extension ALU.
+            pk = wbuf[pl.ds(slot, 1)][0]  # [TR/2, TC] packed int8
+            st = sbuf[pl.ds(slot, 1)][0]  # [TR/G, TC] dtype
+            s_lo = jnp.broadcast_to(
+                st[:n_gh][:, None, :], (n_gh, G, TC)
+            ).reshape(TR // 2, TC)
+            s_hi16 = jnp.broadcast_to(  # pre-divided by 16 at pack time
+                st[n_gh:][:, None, :], (n_gh, G, TC)
+            ).reshape(TR // 2, TC)
+            lo_f = jnp.bitwise_and(pk, 0xF).astype(dtype)  # u = v + 8
+            lo_w = lo_f * s_lo
+            hi_w = (pk.astype(dtype) - lo_f) * s_hi16  # v * s, exactly
+            y = jax.lax.dot_general(
+                xg[:, : TR // 2], lo_w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                xg[:, TR // 2:], hi_w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            xs = jax.lax.dot_general(  # [1, n_gh] low-half group sums of x
+                xg[:, : TR // 2], gsel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            corr = jax.lax.dot_general(
+                xs, st[:n_gh].astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return y - 8.0 * corr
 
         def mm_chunks(x_, base, rg, cg):
             """[1, rg*TR] @ tiles -> list of cg [1, TC] f32 output chunks.
@@ -396,12 +723,7 @@ def llama_megastep(
                 acc = None
                 for g in range(rg):
                     t = base + c * rg + g
-                    y = jax.lax.dot_general(
-                        x_[:, g * TR:(g + 1) * TR].astype(dtype),
-                        tile(t).astype(dtype),
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
+                    y = tile_dot(x_[:, g * TR:(g + 1) * TR].astype(dtype), t)
                     acc = y if acc is None else acc + y
                 if int8_w:
                     acc = acc * ws_ref[pl.ds(base + c * rg, 1)]
@@ -563,11 +885,8 @@ def llama_megastep(
             best, best_idx = carry
             acc = None
             for g in range(rg_lm):
-                y = jax.lax.dot_general(
-                    xf[:, g * TR:(g + 1) * TR],
-                    tile(lm_base + t * rg_lm + g).astype(dtype),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                y = tile_dot(
+                    xf[:, g * TR:(g + 1) * TR], lm_base + t * rg_lm + g
                 )
                 acc = y if acc is None else acc + y
             if int8_w:
@@ -587,6 +906,27 @@ def llama_megastep(
         okd.wait()
         ovd.wait()
 
+    wtile_shape = (2, TR // 2, TC) if int4_w else (2, TR, TC)
+    scratch = [pltpu.VMEM(wtile_shape, wdtype)]  # weight ring (2-deep)
+    if int4_w:
+        scratch.append(pltpu.VMEM((2, TR // G, TC), dtype))  # scale ring
+    scratch += [
+        pltpu.VMEM((2, C, KW), dtype),  # K ring
+        pltpu.VMEM((2, C, KW), dtype),  # V ring
+        pltpu.VMEM((L, 1, KW), dtype),  # new K rows
+        pltpu.VMEM((L, 1, KW), dtype),  # new V rows
+        pltpu.VMEM((L, 8, KW), dtype),  # RMW group (K)
+        pltpu.VMEM((L, 8, KW), dtype),  # RMW group (V)
+        pltpu.SemaphoreType.DMA((2,)),  # wsem
+    ]
+    if int4_w:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))  # ssem
+    scratch += [
+        pltpu.SemaphoreType.DMA((2,)),  # ksem
+        pltpu.SemaphoreType.DMA((2,)),  # vsem
+        pltpu.SemaphoreType.DMA((2,)),  # gsem
+        pltpu.SemaphoreType.DMA((2,)),  # osem
+    ]
     f = pl.pallas_call(
         kernel,
         in_specs=[
@@ -601,6 +941,7 @@ def llama_megastep(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lnf [1, E]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wscale [n_tiles, TC]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # qkvb [L, QW+2KW]
+            pl.BlockSpec(memory_space=pltpu.HBM),  # w4scale stream
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # token
@@ -612,20 +953,7 @@ def llama_megastep(
             jax.ShapeDtypeStruct((L, C, KW), k.dtype),
             jax.ShapeDtypeStruct((L, C, KW), v.dtype),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, TR, TC), wdtype),  # weight ring (2-deep, 1 tile)
-            pltpu.VMEM((2, C, KW), dtype),  # K ring
-            pltpu.VMEM((2, C, KW), dtype),  # V ring
-            pltpu.VMEM((L, 1, KW), dtype),  # new K rows
-            pltpu.VMEM((L, 1, KW), dtype),  # new V rows
-            pltpu.VMEM((L, 8, KW), dtype),  # RMW group (K)
-            pltpu.VMEM((L, 8, KW), dtype),  # RMW group (V)
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         input_output_aliases={5: 1, 6: 2},
         interpret=interpret,
     )
@@ -635,6 +963,9 @@ def llama_megastep(
     qkvb = packed.get("qkvb")
     if qkvb is None:  # never read when the model has no qkv biases
         qkvb = jnp.zeros((L, 1), jnp.float32)
+    w4scale = packed.get("w4scale")
+    if w4scale is None:  # never read on non-int4 paths
+        w4scale = jnp.zeros((1, 1, 128), dtype)
     tok, k2, v2 = f(
         jnp.reshape(length.astype(jnp.int32), (1, 1)),
         x_emb,
@@ -647,5 +978,6 @@ def llama_megastep(
         packed["lnf"],
         wscale,
         qkvb,
+        w4scale,
     )
     return tok[0, 0], k2, v2

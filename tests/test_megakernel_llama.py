@@ -129,6 +129,109 @@ def test_engine_llama_megakernel_int8_weights_token_exact(params):
     assert outs[True] == outs[False]
 
 
+def test_llama_megastep_int4_matches_xla_step(params):
+    """Grouped-int4 tile stream: one megakernel step vs the XLA int4 path.
+
+    Not bit-exact (the kernel's halves-paired nibble dot reassociates the
+    f32 contraction vs models/gpt2.py:_int4_dot) — token must match and
+    cache rows agree to f32 reassociation tolerance.
+    """
+    qparams = llama_mod.quantize_llama_weights(params, "int4")
+    packed = pack_llama_mega(qparams, CFG)
+    assert packed is not None
+    assert packed["wstack"].dtype == jnp.int8
+    C = 48
+    strat = DenseKV(
+        n_layer=CFG.n_layer, n_head=CFG.n_kv_head, head_dim=CFG.head_dim,
+        capacity=C, batch=1, dtype=jnp.float32,
+    )
+    T0 = 7
+    toks = jnp.array([[3, 5, 250, 9, 1, 42, 7]], jnp.int32)
+    pos = jnp.arange(T0, dtype=jnp.int32)[None]
+    cache = strat.init()
+    logits, cache = llama_mod.llama_forward(
+        qparams, CFG, toks, pos, cache, strat
+    )
+    cache = strat.set_length(cache, T0)
+
+    tok0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    pos1 = jnp.full((1, 1), T0, jnp.int32)
+    logits1, cache1 = llama_mod.llama_forward(
+        qparams, CFG, tok0[:, None], pos1, cache, strat
+    )
+    tok_xla = int(jnp.argmax(logits1[0, 0]))
+
+    x_emb = qparams["embed"][tok0]
+    cos, sin = rope_cos_sin(pos1, CFG.head_dim, CFG.rope_theta)
+    cos_q = jnp.tile(cos[0], (1, CFG.n_head))
+    sin_q = jnp.tile(sin[0], (1, CFG.n_head))
+    tok_mega, k2, v2 = llama_megastep(
+        packed, to_mega_layout(cache["k"]), to_mega_layout(cache["v"]),
+        jnp.int32(T0), x_emb, cos_q, sin_q, cfg=CFG, capacity=C,
+        interpret=True,
+    )
+    assert int(tok_mega) == tok_xla
+
+    k_ref = to_mega_layout(cache1["k"])
+    v_ref = to_mega_layout(cache1["v"])
+    np.testing.assert_allclose(
+        np.asarray(k2[:, T0]), np.asarray(k_ref[:, T0]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(v2[:, T0]), np.asarray(v_ref[:, T0]), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(k2[:, :T0]), np.asarray(k_ref[:, :T0])
+    )
+
+
+def test_engine_llama_megakernel_int4_weights_token_exact(params):
+    """int4-weight Llama megakernel == int4 XLA path, end to end (greedy).
+
+    Deterministic fixture: the two paths differ only by f32 reassociation,
+    which does not flip any greedy argmax on this model/prompt.
+    """
+    spec = llama_spec(CFG)
+    qparams = llama_mod.quantize_llama_weights(params, "int4")
+    assert mega_supported(CFG, 48, qparams)
+    prompt = "the quick brown fox jumps over the lazy dog"
+    outs = {}
+    for mega in (False, True):
+        eng = InferenceEngine(
+            spec, qparams,
+            config=Config(dtype=jnp.float32, megakernel=mega, device="cpu",
+                          weight_quant="int4"),
+        )
+        outs[mega] = eng.generate_ids(prompt, "full_cache", max_new_tokens=9)
+        if mega:
+            assert eng._mega_packed is not None
+    assert outs[True] == outs[False]
+
+
+def test_int4_host_pack_matches_device_pack(params):
+    """The host (numpy) packer for big streams must produce the same tile
+    stream as the device packer (Llama-3-8B packs host-side to avoid the
+    transient unpacked grid OOMing next to the resident params)."""
+    from efficient_llm_inference_tpu.ops.pallas.megakernel_llama import (
+        _layer_tile_plan,
+        _pack_llama_mega_int4_host,
+        _q4_group,
+        _tile_geometry,
+    )
+
+    qparams = llama_mod.quantize_llama_weights(params, "int4")
+    dev = pack_llama_mega(qparams, CFG)
+    TR, TC = _tile_geometry(CFG)
+    host = _pack_llama_mega_int4_host(
+        qparams, CFG, TR, TC, _layer_tile_plan(CFG, TR, TC),
+        _q4_group(qparams["blocks"]["wq"]),
+    )
+    for key in dev:
+        np.testing.assert_array_equal(
+            np.asarray(dev[key]), np.asarray(host[key]), err_msg=key
+        )
+
+
 def test_llama_mega_gating(params):
     # capacity must be a multiple of 8 (aligned RMW group)
     assert not mega_supported(CFG, 47, params)
@@ -162,6 +265,23 @@ def test_llama_mega_gating(params):
     assert not mega_supported(LlamaConfig.llama3_3b(), 512, fake(False))
     # 8B int8: the 7 GiB packed stream next to 8.6 GiB of params is gated
     assert not mega_supported(LlamaConfig.llama3_8b(), 320, fake(True))
+
+    # int4: the ~3.9 GiB stream + ~4.2 GiB originals DO share a 16 GiB
+    # chip, so 8B int4 takes the kernel path (the capacity play)
+    def fake4():
+        # group 128 -> q4 panes are [.., Kg, 64, F]
+        blocks = {
+            n: {"q4": jnp.zeros((1, 1, 64, 1), jnp.uint8), "s": 1.0}
+            for n in names
+        }
+        return {
+            "embed": jnp.zeros((1,), jnp.bfloat16),
+            "blocks": blocks,
+            "lm_q4": jnp.zeros((1, 64, 1), jnp.uint8),
+        }
+
+    assert mega_supported(LlamaConfig.llama3_8b(), 320, fake4())
+    assert mega_supported(LlamaConfig.llama3_1b(), 1024, fake4())
 
 
 def test_llama_megastep_multi_chunk_attention(params):

@@ -152,6 +152,8 @@ def test_engine_weight_quant_int4_generates_and_skips_megakernel():
 
 
 def test_llama_int4_megakernel_gating():
+    """Grouped-int4 Llama weights are packable into the megakernel's
+    biased-nibble tile stream (round 2: in-kernel int4 tiles)."""
     from efficient_llm_inference_tpu.ops.pallas.megakernel_llama import (
         mega_supported as llama_mega_supported,
         pack_llama_mega,
@@ -163,8 +165,11 @@ def test_llama_int4_megakernel_gating():
     )
     params = llama_mod.init_llama_params(jax.random.PRNGKey(2), cfg, jnp.float32)
     q4 = llama_mod.quantize_llama_weights(params, mode="int4")
-    assert not llama_mega_supported(cfg, 48, q4)
-    assert pack_llama_mega(q4, cfg) is None
+    assert llama_mega_supported(cfg, 48, q4)
+    packed = pack_llama_mega(q4, cfg)
+    assert packed is not None and packed["wstack"].dtype == jnp.int8
+    # per-tile scale panes ride along the weight stream, one per tile
+    assert packed["w4scale"].shape[0] == packed["wstack"].shape[0]
 
 
 def test_host_quantized_init_matches_device_path():
