@@ -124,27 +124,52 @@ def _weight_mode(b: dict) -> str | None:
     return kinds.pop() if len(kinds) == 1 else None
 
 
-def _tile_geometry(cfg) -> tuple[int, int]:
-    """Uniform [TR, TC]: TR divides every matmul input dim, TC every output."""
+def _tile_geometry(cfg) -> tuple[int, int, int]:
+    """Uniform [TR, TC] + padded FFN width Ip.
+
+    TR divides every matmul input dim, TC every output dim. Geometries
+    whose intermediate size shares a poor gcd with the hidden size (e.g.
+    Qwen2.5-1.5B's 8960 vs 1536 -> 256x256 tiles, 23k of them) get the
+    packed stream's gate/up columns and down rows ZERO-PADDED up to the
+    next multiple of E — exact through SwiGLU (silu(0)*0 = 0 and zero
+    down-rows add nothing) and only the stream pays the pad bytes (prefill
+    keeps the unpadded originals). Adopted when it grows the tile >=2x at
+    <=15% padding (fewer, bigger DMAs beat the <=15% extra stream bytes;
+    Qwen2.5-1.5B: 256x256 -> 1536x256 at 2.9%, Qwen2.5-7B: 512x512 ->
+    1792x512 at 13.5%).
+    """
     E, I = cfg.hidden_size, cfg.intermediate_size
     QW = cfg.n_head * cfg.head_dim
     KW = cfg.n_kv_head * cfg.head_dim
-    TR = math.gcd(math.gcd(E, QW), I)
-    while TR > 2048:
-        TR //= 2
-    TC = math.gcd(math.gcd(QW, KW), math.gcd(E, I))
-    while TC > 512:
-        TC //= 2
-    return TR, TC
+
+    def geo(Ip):
+        TR = math.gcd(math.gcd(E, QW), Ip)
+        while TR > 2048:
+            TR //= 2
+        TC = math.gcd(math.gcd(QW, KW), math.gcd(E, Ip))
+        while TC > 512:
+            TC //= 2
+        return TR, TC
+
+    TR, TC = geo(I)
+    Ie = -(-I // E) * E
+    if Ie != I and (Ie - I) * 100 <= 15 * I:
+        TRp, TCp = geo(Ie)
+        if TRp * TCp >= 2 * TR * TC:
+            return TRp, TCp, Ie
+    return TR, TC, I
 
 
 def _num_lm_tiles(vocab: int, TC: int) -> int:
     return -(-vocab // TC)
 
 
-def _layer_tile_plan(cfg, TR: int, TC: int):
-    """Per-layer (name, rows, cols) in stream order; rows/cols in tiles."""
-    E, I = cfg.hidden_size, cfg.intermediate_size
+def _layer_tile_plan(cfg, TR: int, TC: int, Ip: int):
+    """Per-layer (name, rows, cols) in stream order; rows/cols in tiles.
+
+    Ip is the (possibly padded) FFN width from _tile_geometry.
+    """
+    E = cfg.hidden_size
     QW = cfg.n_head * cfg.head_dim
     KW = cfg.n_kv_head * cfg.head_dim
     return [
@@ -152,14 +177,14 @@ def _layer_tile_plan(cfg, TR: int, TC: int):
         ("wk", E // TR, KW // TC),
         ("wv", E // TR, KW // TC),
         ("wo", QW // TR, E // TC),
-        ("w_gate", E // TR, I // TC),
-        ("w_up", E // TR, I // TC),
-        ("w_down", I // TR, E // TC),
+        ("w_gate", E // TR, Ip // TC),
+        ("w_up", E // TR, Ip // TC),
+        ("w_down", Ip // TR, E // TC),
     ]
 
 
-def _tiles_per_layer(cfg, TR: int, TC: int) -> int:
-    return sum(r * c for _, r, c in _layer_tile_plan(cfg, TR, TC))
+def _tiles_per_layer(cfg, TR: int, TC: int, Ip: int) -> int:
+    return sum(r * c for _, r, c in _layer_tile_plan(cfg, TR, TC, Ip))
 
 
 def to_mega_layout(buf: jax.Array) -> jax.Array:
@@ -205,16 +230,23 @@ def pack_llama_mega(params: dict, cfg) -> dict | None:
         return None
     if int4 and "lm_q4" not in params:
         return None
-    TR, TC = _tile_geometry(cfg)
-    plan = _layer_tile_plan(cfg, TR, TC)
+    TR, TC, Ip = _tile_geometry(cfg)
+    plan = _layer_tile_plan(cfg, TR, TC, Ip)
     for _, r, c in plan:
         if r == 0 or c == 0:
             return None
     if int4:
-        return _pack_llama_mega_int4(params, cfg, TR, TC, plan)
+        return _pack_llama_mega_int4(params, cfg, TR, TC, Ip, plan)
+    I = cfg.intermediate_size
 
     def wv(name):
-        return b[name]["q"] if int8 else b[name]
+        w = b[name]["q"] if int8 else b[name]
+        if Ip != I:  # zero-pad the packed stream's FFN dims (stream only)
+            if name in ("w_gate", "w_up"):
+                w = jnp.pad(w, ((0, 0), (0, 0), (0, Ip - I)))
+            elif name == "w_down":
+                w = jnp.pad(w, ((0, 0), (0, Ip - I), (0, 0)))
+        return w
 
     layer_tiles = jnp.concatenate(
         [
@@ -251,9 +283,17 @@ def pack_llama_mega(params: dict, cfg) -> dict | None:
             [b["bq"], b["bk"], b["bv"]], axis=-1
         ).astype(jnp.float32)  # [L, QW + 2*KW]
     if int8:
+
+        def sv(name):  # per-output-channel scales, FFN cols padded with 1.0
+            s = b[name]["s"]
+            if Ip != I and name in ("w_gate", "w_up"):
+                s = jnp.pad(s, ((0, 0), (0, 0), (0, Ip - I)),
+                            constant_values=1.0)
+            return s
+
         layer_sc = jnp.concatenate(
             [
-                jax.vmap(lambda s: _grid_scales(s, r, TC))(b[name]["s"])
+                jax.vmap(lambda s: _grid_scales(s, r, TC))(sv(name))
                 for (name, r, _) in plan
             ],
             axis=1,
@@ -267,7 +307,9 @@ def pack_llama_mega(params: dict, cfg) -> dict | None:
     return out
 
 
-def _pack_llama_mega_int4(params: dict, cfg, TR: int, TC: int, plan) -> dict | None:
+def _pack_llama_mega_int4(
+    params: dict, cfg, TR: int, TC: int, Ip: int, plan
+) -> dict | None:
     """Grouped-int4 tile stream: biased half-paired nibbles + per-tile
     group-scale panes (DMA'd alongside each weight tile).
 
@@ -285,18 +327,31 @@ def _pack_llama_mega_int4(params: dict, cfg, TR: int, TC: int, plan) -> dict | N
     if len(gs) != 1:
         return None  # kernel wants one uniform group size
     G = gs.pop()
-    if TR % G or (TR // 2) % G or TR % 16:
+    I = cfg.intermediate_size
+    if TR % G or (TR // 2) % G or TR % 16 or (Ip - I) % G:
         return None
     stream_bytes = sum(b[n]["q4"].size for n in _WEIGHT_NAMES) * 2
     if stream_bytes > 3 * 512 * 1024**2:
-        return _pack_llama_mega_int4_host(params, cfg, TR, TC, plan, G)
+        return _pack_llama_mega_int4_host(params, cfg, TR, TC, Ip, plan, G)
 
     def tiles_of(name):
         w8 = _q4_to_int8(b[name])  # [L, K, F] int8
+        if Ip != I:  # stream-only FFN padding (zeros are exact)
+            if name in ("w_gate", "w_up"):
+                w8 = jnp.pad(w8, ((0, 0), (0, 0), (0, Ip - I)))
+            elif name == "w_down":
+                w8 = jnp.pad(w8, ((0, 0), (0, Ip - I), (0, 0)))
         return jax.vmap(lambda w: _grid_tiles(w, TR, TC))(w8)
 
     def scales_of(name):
         s2 = b[name]["s"][..., 0, :]  # [L, K/G, F] f32
+        if Ip != I:
+            if name in ("w_gate", "w_up"):
+                s2 = jnp.pad(s2, ((0, 0), (0, 0), (0, Ip - I)),
+                             constant_values=1.0)
+            elif name == "w_down":
+                s2 = jnp.pad(s2, ((0, 0), (0, (Ip - I) // G), (0, 0)),
+                             constant_values=1.0)
         return jax.vmap(lambda s: _grid_tiles(s, TR // G, TC))(s2)
 
     layer_tiles = jnp.concatenate(
@@ -343,7 +398,7 @@ def _pack_llama_mega_int4(params: dict, cfg, TR: int, TC: int, plan) -> dict | N
 
 
 def _pack_llama_mega_int4_host(
-    params: dict, cfg, TR: int, TC: int, plan, G: int
+    params: dict, cfg, TR: int, TC: int, Ip: int, plan, G: int
 ) -> dict:
     """Host (numpy) variant of the int4 tile packer for big streams.
 
@@ -385,15 +440,33 @@ def _pack_llama_mega_int4_host(
     wstack = np.empty((n_tiles, TR // 2, TC), np.int8)
     w4scale = np.empty((n_tiles, TR // G, TC), np.float32)
 
+    I = cfg.intermediate_size
+
+    def pad_w(name, w8):
+        if Ip != I and name in ("w_gate", "w_up"):
+            return np.pad(w8, ((0, 0), (0, Ip - I)))
+        if Ip != I and name == "w_down":
+            return np.pad(w8, ((0, Ip - I), (0, 0)))
+        return w8
+
+    def pad_s(name, s2):
+        if Ip != I and name in ("w_gate", "w_up"):
+            return np.pad(s2, ((0, 0), (0, Ip - I)), constant_values=1.0)
+        if Ip != I and name == "w_down":
+            return np.pad(s2, ((0, (Ip - I) // G), (0, 0)),
+                          constant_values=1.0)
+        return s2
+
     off = 0
     host_q = {n: np.asarray(b[n]["q4"]) for n in _WEIGHT_NAMES}
     host_s = {n: np.asarray(b[n]["s"][..., 0, :]) for n in _WEIGHT_NAMES}
     for l in range(L):
         for name, _, _ in plan:
-            t8 = np_grid(np_unpack(host_q[name][l]), TR)
+            t8 = np_grid(pad_w(name, np_unpack(host_q[name][l])), TR)
             nt = t8.shape[0]
             wstack[off:off + nt] = np_pack_halves(t8)
-            w4scale[off:off + nt] = np_grid(host_s[name][l], TR // G)
+            w4scale[off:off + nt] = np_grid(pad_s(name, host_s[name][l]),
+                                            TR // G)
             off += nt
 
     head8 = np.pad(np_unpack(np.asarray(params["lm_q4"])),
@@ -459,7 +532,7 @@ def mega_supported(cfg, capacity: int, params: dict) -> bool:
         return False
     if mode == "f" and not cfg.tie_embeddings and "lm_head" not in params:
         return False
-    TR, TC = _tile_geometry(cfg)
+    TR, TC, Ip = _tile_geometry(cfg)
     KW = cfg.n_kv_head * cfg.head_dim
     if TC % 128 != 0 or KW % 128 != 0 or TR % 8 != 0:
         return False
@@ -472,14 +545,17 @@ def mega_supported(cfg, capacity: int, params: dict) -> bool:
         if len(gs) != 1:
             return False
         G = gs.pop()
-        # halves pairing must not split a scale group, and the packed tile
-        # needs an even, 8-aligned sublane count
+        # halves pairing must not split a scale group, the packed tile
+        # needs an even, 8-aligned sublane count, and FFN stream padding
+        # must cover whole scale groups
         if TR % G or (TR // 2) % G or TR % 16:
+            return False
+        if (Ip - cfg.intermediate_size) % G:
             return False
     dt_item = jnp.dtype(params["embed"].dtype).itemsize
     kv_item = dt_item
     # LM head: n_lm column tiles x (E // TR) row-group tiles in the stream
-    n_tiles = cfg.n_layer * _tiles_per_layer(cfg, TR, TC) + _num_lm_tiles(
+    n_tiles = cfg.n_layer * _tiles_per_layer(cfg, TR, TC, Ip) + _num_lm_tiles(
         cfg.vocab_size, TC
     ) * (cfg.hidden_size // TR)
     slot_bytes = _w_slot_bytes(mode, TR, TC, G, dt_item)
@@ -526,14 +602,14 @@ def llama_megastep(
     interpret: bool = False,
 ):
     """One full Llama decode step. Returns (token id int32 [], new k, new v)."""
-    E, I = cfg.hidden_size, cfg.intermediate_size
+    E = cfg.hidden_size
     Hq, Hkv, D, L = cfg.n_head, cfg.n_kv_head, cfg.head_dim, cfg.n_layer
     QW, KW = Hq * D, Hkv * D
     GR = Hq // Hkv
     C, V = capacity, cfg.vocab_size
     eps = cfg.rms_eps
-    TR, TC = _tile_geometry(cfg)
-    plan = _layer_tile_plan(cfg, TR, TC)
+    TR, TC, Ip = _tile_geometry(cfg)  # Ip: stream-padded FFN width
+    plan = _layer_tile_plan(cfg, TR, TC, Ip)
     per_layer = sum(r * c for _, r, c in plan)
     n_lm = _num_lm_tiles(V, TC)
     # the LM head streams n_lm column tiles x (E // TR) row-group tiles

@@ -221,9 +221,9 @@ def test_int4_host_pack_matches_device_pack(params):
 
     qparams = llama_mod.quantize_llama_weights(params, "int4")
     dev = pack_llama_mega(qparams, CFG)
-    TR, TC = _tile_geometry(CFG)
+    TR, TC, Ip = _tile_geometry(CFG)
     host = _pack_llama_mega_int4_host(
-        qparams, CFG, TR, TC, _layer_tile_plan(CFG, TR, TC),
+        qparams, CFG, TR, TC, Ip, _layer_tile_plan(CFG, TR, TC, Ip),
         _q4_group(qparams["blocks"]["wq"]),
     )
     for key in dev:
@@ -282,6 +282,61 @@ def test_llama_mega_gating(params):
 
     assert mega_supported(LlamaConfig.llama3_8b(), 320, fake4())
     assert mega_supported(LlamaConfig.llama3_1b(), 1024, fake4())
+
+
+# FFN width 2944 is not a multiple of E=256: the packed stream pads it to
+# 3072 (4.3%), growing the tile 128x128 -> 256x128 (Qwen2.5-geometry path).
+PCFG = LlamaConfig(
+    vocab_size=300, hidden_size=256, intermediate_size=2944, n_layer=2,
+    n_head=4, n_kv_head=2, n_positions=512, rope_theta=10000.0,
+    tie_embeddings=True, qkv_bias=True, rms_eps=1e-6,
+)
+
+
+def test_padded_ffn_geometry():
+    from efficient_llm_inference_tpu.ops.pallas.megakernel_llama import (
+        _tile_geometry,
+    )
+
+    TR, TC, Ip = _tile_geometry(PCFG)
+    assert (TR, TC, Ip) == (256, 128, 3072)
+    # real Qwen2.5 geometries adopt padding (previously self-gated to XLA)
+    TR, TC, Ip = _tile_geometry(LlamaConfig.qwen25_15b())
+    assert (TR, TC, Ip) == (1536, 256, 9216)
+    TR, TC, Ip = _tile_geometry(LlamaConfig.qwen25_7b())
+    assert (TR, TC, Ip) == (1792, 512, 21504)
+    # multiples of E stay unpadded
+    TR, TC, Ip = _tile_geometry(LlamaConfig.llama3_1b())
+    assert (TR, TC, Ip) == (2048, 512, 8192)
+
+
+@pytest.mark.parametrize("wq", [None, "int8", "int4"])
+def test_engine_padded_ffn_megakernel_token_exact(wq):
+    """Padded-FFN tile stream == XLA path, end to end, all weight modes.
+
+    Zero pad is exact through SwiGLU: silu(0)*0 contributes nothing and
+    padded w_down rows multiply those zeros.
+    """
+    pparams = llama_mod.init_llama_params(
+        jax.random.PRNGKey(3), PCFG, jnp.float32
+    )
+    if wq:
+        pparams = llama_mod.quantize_llama_weights(pparams, wq)
+    assert mega_supported(PCFG, 48, pparams)
+    spec = llama_spec(PCFG)
+    outs = {}
+    for mega in (False, True):
+        eng = InferenceEngine(
+            spec, pparams,
+            config=Config(dtype=jnp.float32, megakernel=mega, device="cpu",
+                          weight_quant=wq),
+        )
+        outs[mega] = eng.generate_ids(
+            "padded ffn geometry check", "full_cache", max_new_tokens=8
+        )
+        if mega:
+            assert eng._mega_packed is not None
+    assert outs[True] == outs[False]
 
 
 def test_llama_megastep_multi_chunk_attention(params):
