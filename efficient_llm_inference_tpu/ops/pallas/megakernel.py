@@ -54,6 +54,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .megakernel_llama import _int4_tile_dot
+
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 # VMEM cap for the weight ring + KV ring (bytes). v5e has ~16 MiB/core;
@@ -73,6 +75,26 @@ def to_mega_layout(buf: jax.Array) -> jax.Array:
     return buf[:, 0].transpose(0, 2, 1, 3).reshape(L, C, H * D)
 
 
+_GPT2_WEIGHT_NAMES = ("attn_w", "attn_proj_w", "fc_w", "fc_proj_w")
+
+
+def _gpt2_weight_mode(b: dict) -> str | None:
+    """"f" | "int8" | "int4" when the block weights are uniform, else None."""
+    kinds = set()
+    for n in _GPT2_WEIGHT_NAMES:
+        w = b.get(n)
+        if isinstance(w, dict):
+            if "q" in w:
+                kinds.add("int8")
+            elif "q4" in w:
+                kinds.add("int4")
+            else:
+                return None
+        else:
+            kinds.add("f")
+    return kinds.pop() if len(kinds) == 1 else None
+
+
 def pack_gpt2_mega(params: dict, cfg) -> dict | None:
     """Re-layout GPT-2 params into the megakernel's tile stream.
 
@@ -80,24 +102,28 @@ def pack_gpt2_mega(params: dict, cfg) -> dict | None:
     weight-quantized params (models/gpt2.py quantize_gpt2_weights) pack into
     an int8 tile stack plus a per-tile [E] output-channel scale table
     ("wscale") — the kernel dequantizes each tile on its VMEM slab, halving
-    the per-step weight stream. Returns None when the params are not
-    packable (embedding width not lane-aligned, partially-quantized pytree).
-    The packed pytree is computed once per engine and captured by the
-    jitted generate function.
+    the per-step weight stream. Grouped-int4 params pack into half-paired
+    nibble tiles [E/2, E] plus per-tile group-scale panes ("w4scale",
+    DMA'd alongside each slab) — same scheme as megakernel_llama.py.
+    Returns None when the params are not packable (embedding width not
+    lane-aligned, partially-quantized pytree). The packed pytree is
+    computed once per engine and captured by the jitted generate function.
     """
     E, L = cfg.n_embd, cfg.n_layer
     b = params["blocks"]
-    names = ("attn_w", "attn_proj_w", "fc_w", "fc_proj_w")
-    if any(isinstance(b[n], dict) and "q" not in b[n] for n in names):
-        return None  # int4/grouped weights: not packable (XLA path handles)
-    n_quant = sum(isinstance(b[n], dict) for n in names)
-    int8 = n_quant == len(names)
-    if 0 < n_quant < len(names):
-        return None  # partially quantized: unsupported mix
+    names = _GPT2_WEIGHT_NAMES
+    mode = _gpt2_weight_mode(b)
+    if mode is None:
+        return None
+    int8 = mode == "int8"
     if int8 and "lm_q" not in params:
+        return None
+    if mode == "int4" and "lm_q4" not in params:
         return None
     if E % 128 != 0:
         return None
+    if mode == "int4":
+        return _pack_gpt2_mega_int4(params, cfg)
     dtype = params["wte"].dtype
 
     def wv(name):  # weight values in the stream dtype
@@ -146,9 +172,21 @@ def pack_gpt2_mega(params: dict, cfg) -> dict | None:
             [layer_sc, lm_sc], axis=0
         ).astype(jnp.float32)
 
-    # Per-layer smalls as fp32 [L, 13, E] rows:
-    # 0 ln1_g, 1 ln1_b, 2 ln2_g, 3 ln2_b, 4-6 attn_b (q,k,v), 7 proj_b,
-    # 8-11 fc_b, 12 fc_proj_b
+    out = {"wstack": wstack, **_gpt2_smalls(params, cfg)}
+    if wscale is not None:
+        out["wscale"] = wscale
+    return out
+
+
+def _gpt2_smalls(params: dict, cfg) -> dict:
+    """Per-layer smalls as fp32 [L, 13, E] rows + the final layer-norm.
+
+    Rows: 0 ln1_g, 1 ln1_b, 2 ln2_g, 3 ln2_b, 4-6 attn_b (q,k,v),
+    7 proj_b, 8-11 fc_b, 12 fc_proj_b.
+    """
+    E, L = cfg.n_embd, cfg.n_layer
+    b = params["blocks"]
+
     def rows(x, n):
         return x.astype(jnp.float32).reshape(L, n, E)
 
@@ -168,44 +206,115 @@ def pack_gpt2_mega(params: dict, cfg) -> dict | None:
     lnf = jnp.stack(
         [params["lnf_g"].astype(jnp.float32), params["lnf_b"].astype(jnp.float32)]
     )
-    out = {"wstack": wstack, "smalls": smalls, "lnf": lnf}
-    if wscale is not None:
-        out["wscale"] = wscale
-    return out
+    return {"smalls": smalls, "lnf": lnf}
 
 
-def _pick_tiles_per_slab(E: int, C: int, w_item: int, kv_item: int) -> int:
+def _pack_gpt2_mega_int4(params: dict, cfg) -> dict | None:
+    """Grouped-int4 GPT-2 tile stream: half-paired biased/two's-complement
+    nibbles [E/2, E] + per-tile [E/G, E] scale panes (see
+    megakernel_llama.py:_pack_halves for the nibble layout rationale)."""
+    from .megakernel_llama import _pack_halves, _q4_group, _q4_to_int8
+
+    E, L = cfg.n_embd, cfg.n_layer
+    b = params["blocks"]
+    dtype = params["wte"].dtype
+    gs = {_q4_group(b[n]) for n in _GPT2_WEIGHT_NAMES}
+    gs.add(_q4_group({"q4": params["lm_q4"]}))
+    if len(gs) != 1:
+        return None  # kernel wants one uniform group size
+    G = gs.pop()
+    if E % G or (E // 2) % G or E % 16:
+        return None
+    Gr = E // G  # scale rows per [E, E] tile
+
+    attn = _q4_to_int8(b["attn_w"]).reshape(L, E, 3, E).transpose(0, 2, 1, 3)
+    proj = _q4_to_int8(b["attn_proj_w"])[:, None]  # [L, 1, E, E]
+    fc = _q4_to_int8(b["fc_w"]).reshape(L, E, 4, E).transpose(0, 2, 1, 3)
+    fcp = _q4_to_int8(b["fc_proj_w"]).reshape(L, 4, E, E)  # row partials
+    layer_tiles = jnp.concatenate([attn, proj, fc, fcp], axis=1)
+    layer_tiles = layer_tiles.reshape(L * 12, E, E)
+
+    def sc(name, n_col):  # s [L, K/G, 1, n_col*E] -> [L, n_col, K/G, E]
+        s = b[name]["s"][..., 0, :]
+        return s.reshape(L, s.shape[1], n_col, E).transpose(0, 2, 1, 3)
+
+    # fc_proj row partials: partial i covers input rows i*E..(i+1)*E, so
+    # its scale pane is rows i*Gr..(i+1)*Gr of the [4E/G, E] table
+    fcp_sc = b["fc_proj_w"]["s"][..., 0, :].reshape(L, 4, Gr, E)
+    layer_sc = jnp.concatenate(
+        [sc("attn_w", 3), sc("attn_proj_w", 1), sc("fc_w", 4), fcp_sc],
+        axis=1,
+    ).reshape(L * 12, Gr, E)
+
+    V = cfg.vocab_size
+    n_lm = _num_lm_tiles(V, E)
+    lm8 = jnp.pad(
+        _q4_to_int8({"q4": params["lm_q4"]}), ((0, 0), (0, n_lm * E - V))
+    )  # [E, n_lm*E] (pad weight = 0)
+    lm_tiles = lm8.reshape(E, n_lm, E).transpose(1, 0, 2)
+    lm_s = jnp.pad(
+        params["lm_s4"][..., 0, :], ((0, 0), (0, n_lm * E - V)),
+        constant_values=1.0,
+    )  # [Gr, n_lm*E]
+    lm_sc = lm_s.reshape(Gr, n_lm, E).transpose(1, 0, 2)
+
+    wstack = _pack_halves(jnp.concatenate([layer_tiles, lm_tiles]), E)
+    w4scale = jnp.concatenate([layer_sc, lm_sc])
+    # high-half groups carry the /16 of the nibble-recovery identity
+    w4scale = w4scale.at[:, Gr // 2:, :].multiply(1.0 / 16.0).astype(dtype)
+    return {"wstack": wstack, "w4scale": w4scale, **_gpt2_smalls(params, cfg)}
+
+
+def _pick_tiles_per_slab(E: int, C: int, tile_bytes: int, kv_item: int) -> int:
     """Largest slab (1..3 tiles) that keeps the VMEM rings under budget."""
     kv_ring = 4 * C * E * kv_item  # 2-deep ring for K and for V
     for tps in (3, 2, 1):
-        if 2 * tps * E * E * w_item + kv_ring <= _VMEM_BUDGET:
+        if 2 * tps * tile_bytes + kv_ring <= _VMEM_BUDGET:
             return tps
     return 0  # does not fit: caller falls back to the XLA path
 
 
-def _weight_itemsize(params: dict) -> int:
-    b = params.get("blocks", {})
-    if isinstance(b.get("attn_w"), dict):
-        return 1  # int8 tiles
-    return jnp.dtype(params["wte"].dtype).itemsize
+def _tile_bytes(mode: str, E: int, G: int, dt_item: int) -> int:
+    """Per-tile ring bytes: weight tile (+ its scale pane for int4)."""
+    if mode == "int4":
+        return (E // 2) * E + (E // G) * E * dt_item
+    if mode == "int8":
+        return E * E
+    return E * E * dt_item
+
+
+def _gpt2_int4_group(params: dict) -> int:
+    """Uniform int4 group size across blocks + lm head, or 0."""
+    from .megakernel_llama import _q4_group
+
+    b = params["blocks"]
+    gs = {_q4_group(b[n]) for n in _GPT2_WEIGHT_NAMES}
+    if "lm_q4" in params:
+        gs.add(_q4_group({"q4": params["lm_q4"]}))
+    return gs.pop() if len(gs) == 1 else 0
 
 
 def mega_supported(cfg, capacity: int, params: dict) -> bool:
     """Can the megakernel run this geometry? (engine-side eligibility)"""
     b = params.get("blocks", {})
-    names = ("attn_w", "attn_proj_w", "fc_w", "fc_proj_w")
-    if any(isinstance(b.get(n), dict) and "q" not in b[n] for n in names):
-        return False  # int4/grouped weights: XLA path only
-    n_quant = sum(isinstance(b.get(n), dict) for n in names)
-    if 0 < n_quant < len(names):
+    mode = _gpt2_weight_mode(b)
+    if mode is None:
         return False
-    if n_quant and "lm_q" not in params:
+    if mode == "int8" and "lm_q" not in params:
         return False
-    if cfg.n_embd % 128 != 0 or capacity % 8 != 0:
+    if mode == "int4" and "lm_q4" not in params:
         return False
-    kv_item = jnp.dtype(params["wte"].dtype).itemsize
+    E = cfg.n_embd
+    if E % 128 != 0 or capacity % 8 != 0:
+        return False
+    dt_item = jnp.dtype(params["wte"].dtype).itemsize
+    G = 0
+    if mode == "int4":
+        G = _gpt2_int4_group(params)
+        if G == 0 or E % G or (E // 2) % G or E % 16:
+            return False
     return _pick_tiles_per_slab(
-        cfg.n_embd, capacity, _weight_itemsize(params), kv_item
+        E, capacity, _tile_bytes(mode, E, G, dt_item), dt_item
     ) > 0
 
 
@@ -230,9 +339,18 @@ def gpt2_megastep(
     n_tiles = L * 12 + n_lm
     wdtype = packed["wstack"].dtype  # int8 when weight-quantized
     int8_w = "wscale" in packed
+    int4_w = "w4scale" in packed
     dtype = k.dtype  # compute/residual dtype (the model dtype)
+    if int4_w:
+        G = E // packed["w4scale"].shape[1]
+        n_gh = (E // G) // 2  # scale groups per packed half-plane
+        mode = "int4"
+    else:
+        G, n_gh = E, 0
+        mode = "int8" if int8_w else "f"
     tps = _pick_tiles_per_slab(
-        E, C, jnp.dtype(wdtype).itemsize, jnp.dtype(dtype).itemsize
+        E, C, _tile_bytes(mode, E, G, jnp.dtype(dtype).itemsize),
+        jnp.dtype(dtype).itemsize,
     )
     if tps == 0:
         raise ValueError("megakernel does not fit VMEM at this capacity")
@@ -245,10 +363,22 @@ def gpt2_megastep(
         return (x32 - mean) * jax.lax.rsqrt(var + eps) * g + b_
 
     def kernel(len_ref, x_ref, w_ref, k_ref, v_ref, sm_ref, lnf_ref, ws_ref,
-               tok_ref, ko_ref, vo_ref,
-               wbuf, kbuf, vbuf, knew, vnew, gk, gv,
-               wsem, ksem, vsem, gsem, osem):
+               s4_ref, tok_ref, ko_ref, vo_ref, *scr):
+        if int4_w:
+            (wbuf, sbuf, kbuf, vbuf, knew, vnew, gk, gv,
+             wsem, ssem, ksem, vsem, gsem, osem) = scr
+        else:
+            (wbuf, kbuf, vbuf, knew, vnew, gk, gv,
+             wsem, ksem, vsem, gsem, osem) = scr
+            sbuf = ssem = None
         cur = len_ref[0, 0]
+
+        if int4_w:
+            # group selector for the low-plane bias correction:
+            # gsel[r, g] = 1 iff low-half input row r belongs to group g
+            r_ids = jax.lax.broadcasted_iota(jnp.int32, (E // 2, n_gh), 0) // G
+            g_ids = jax.lax.broadcasted_iota(jnp.int32, (E // 2, n_gh), 1)
+            gsel = (r_ids == g_ids).astype(dtype)
 
         # 0/1 head-segment selector: sel[e, h] = 1 iff e // D == h.
         # (sel @ .) reduces lanes per head; (. @ selT) broadcasts per head.
@@ -263,6 +393,14 @@ def gpt2_megastep(
             return pltpu.make_async_copy(
                 w_ref.at[pl.ds(lo, sz)], wbuf.at[slot, pl.ds(0, sz)],
                 wsem.at[slot],
+            )
+
+        def sdma(slot, s):
+            lo = s * tps
+            sz = min(tps, n_tiles - lo)
+            return pltpu.make_async_copy(
+                s4_ref.at[pl.ds(lo, sz)], sbuf.at[slot, pl.ds(0, sz)],
+                ssem.at[slot],
             )
 
         def kdma(slot, l):
@@ -288,6 +426,8 @@ def gpt2_megastep(
             )
 
         wdma(0, 0).start()
+        if int4_w:
+            sdma(0, 0).start()
         kdma(0, 0).start()
         vdma(0, 0).start()
         gk_in = group_in(k_ref, gk, gsem.at[0])
@@ -299,26 +439,37 @@ def gpt2_megastep(
         # the next slab the first time a slab is touched
         waited = [False] * n_slabs
 
-        def tile(t):
+        def tile_slab(t):
             s = t // tps
             if not waited[s]:
                 if s + 1 < n_slabs:
                     wdma((s + 1) % 2, s + 1).start()
+                    if int4_w:
+                        sdma((s + 1) % 2, s + 1).start()
                 wdma(s % 2, s).wait()
+                if int4_w:
+                    sdma(s % 2, s).wait()
                 waited[s] = True
-            return wbuf[s % 2, t % tps]
+            return s % 2, t % tps
 
         def mm(x_, t, b32=None):  # [1,E] @ tile(t) -> [1,E] fp32
             # int8 tiles dequantize on the VMEM slab (per-output-channel
             # scale applied to the fp32 accumulator — mirrors models/gpt2.py
             # _mm); the astype is a no-op for full-precision tiles
-            y = jax.lax.dot_general(
-                x_.astype(dtype), tile(t).astype(dtype),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if int8_w:
-                y = y * ws_ref[t:t + 1]
+            slab, off = tile_slab(t)
+            if int4_w:
+                y = _int4_tile_dot(
+                    x_.astype(dtype), wbuf[slab, off], sbuf[slab, off],
+                    gsel, E, G, n_gh, dtype,
+                )
+            else:
+                y = jax.lax.dot_general(
+                    x_.astype(dtype), wbuf[slab, off].astype(dtype),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if int8_w:
+                    y = y * ws_ref[t:t + 1]
             if b32 is not None:
                 y = y + b32
             return y
@@ -438,6 +589,27 @@ def gpt2_megastep(
         okd.wait()
         ovd.wait()
 
+    wtile_shape = (2, tps, E // 2, E) if int4_w else (2, tps, E, E)
+    scratch = [pltpu.VMEM(wtile_shape, wdtype)]  # weight ring
+    if int4_w:
+        scratch.append(pltpu.VMEM((2, tps, E // G, E), dtype))  # scale ring
+    scratch += [
+        pltpu.VMEM((2, C, E), dtype),  # K ring
+        pltpu.VMEM((2, C, E), dtype),  # V ring
+        pltpu.VMEM((L, 1, E), dtype),  # new K rows
+        pltpu.VMEM((L, 1, E), dtype),  # new V rows
+        pltpu.VMEM((L, 8, E), dtype),  # RMW group (K)
+        pltpu.VMEM((L, 8, E), dtype),  # RMW group (V)
+        pltpu.SemaphoreType.DMA((2,)),  # wsem
+    ]
+    if int4_w:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))  # ssem
+    scratch += [
+        pltpu.SemaphoreType.DMA((2,)),  # ksem
+        pltpu.SemaphoreType.DMA((2,)),  # vsem
+        pltpu.SemaphoreType.DMA((2,)),  # gsem
+        pltpu.SemaphoreType.DMA((2,)),  # osem
+    ]
     f = pl.pallas_call(
         kernel,
         in_specs=[
@@ -449,6 +621,7 @@ def gpt2_megastep(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # smalls
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lnf
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wscale [n_tiles, E]
+            pl.BlockSpec(memory_space=pltpu.HBM),  # w4scale stream
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # token
@@ -460,26 +633,16 @@ def gpt2_megastep(
             jax.ShapeDtypeStruct((L, C, E), k.dtype),
             jax.ShapeDtypeStruct((L, C, E), v.dtype),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, tps, E, E), wdtype),  # weight ring
-            pltpu.VMEM((2, C, E), dtype),  # K ring
-            pltpu.VMEM((2, C, E), dtype),  # V ring
-            pltpu.VMEM((L, 1, E), dtype),  # new K rows
-            pltpu.VMEM((L, 1, E), dtype),  # new V rows
-            pltpu.VMEM((L, 8, E), dtype),  # RMW group (K)
-            pltpu.VMEM((L, 8, E), dtype),  # RMW group (V)
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         input_output_aliases={3: 1, 4: 2},
         interpret=interpret,
     )
     wscale = packed.get("wscale")
     if wscale is None:  # constant-folded away by XLA on the fp path
         wscale = jnp.ones((n_tiles, E), jnp.float32)
+    w4scale = packed.get("w4scale")
+    if w4scale is None:  # never read on non-int4 paths
+        w4scale = jnp.zeros((1, 1, 128), dtype)
     tok, k2, v2 = f(
         jnp.reshape(length.astype(jnp.int32), (1, 1)),
         x_emb,
@@ -489,5 +652,6 @@ def gpt2_megastep(
         packed["smalls"],
         packed["lnf"],
         wscale,
+        w4scale,
     )
     return tok[0, 0], k2, v2

@@ -107,6 +107,46 @@ def _pack_halves(t8: jax.Array, TR: int) -> jax.Array:
     return jax.lax.bitcast_convert_type(lo_u | (hi_tc << 4), jnp.int8)
 
 
+def _int4_tile_dot(xg, pk, st, gsel, TR, G, n_gh, dtype):
+    """[1, TR] x one packed int4 tile -> [1, TC] f32 (in-kernel dequant).
+
+    pk [TR/2, TC] packed int8: tile row r (low nibble, BIASED +8) pairs
+    with row r + TR/2 (high nibble, two's complement). st [TR/G, TC] scale
+    pane (high rows pre-divided by 16 at pack time). Low plane:
+    x @ (u * s) - 8 * (per-group x sums) @ s. High plane: the float
+    identity (byte_f - lo_f) carries 16 * signed value — the byte's own
+    sign extends the nibble — so (byte_f - lo_f) * (s/16) dequantizes with
+    no shift (Mosaic cannot legalize arith.shrsi on int8 vectors) and no
+    per-element sign extension.
+    """
+    TC = pk.shape[-1]
+    s_lo = jnp.broadcast_to(
+        st[:n_gh][:, None, :], (n_gh, G, TC)
+    ).reshape(TR // 2, TC)
+    s_hi16 = jnp.broadcast_to(
+        st[n_gh:][:, None, :], (n_gh, G, TC)
+    ).reshape(TR // 2, TC)
+    lo_f = jnp.bitwise_and(pk, 0xF).astype(dtype)  # u = v + 8
+    lo_w = lo_f * s_lo
+    hi_w = (pk.astype(dtype) - lo_f) * s_hi16  # v * s, exactly
+    y = jax.lax.dot_general(
+        xg[:, : TR // 2], lo_w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        xg[:, TR // 2:], hi_w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    xs = jax.lax.dot_general(  # [1, n_gh] low-half group sums of x
+        xg[:, : TR // 2], gsel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    corr = jax.lax.dot_general(
+        xs, st[:n_gh].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return y - 8.0 * corr
+
+
 def _weight_mode(b: dict) -> str | None:
     """"f" | "int8" | "int4" when the block weights are uniform, else None."""
     kinds = set()
@@ -754,39 +794,10 @@ def llama_megastep(
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-            # int4: tile row r (low nibble, BIASED +8) pairs with row
-            # r + TR/2 (high nibble, two's complement). Low plane:
-            # x @ (u * s) - 8 * (per-group sums of x) @ s. High plane:
-            # (byte_f - lo_f) carries 16 * signed value (the byte's own
-            # sign extends the nibble), and the /16 is pre-folded into the
-            # high-half scale rows — no shift, no sign-extension ALU.
+            # int4: in-kernel nibble dequant (see _int4_tile_dot)
             pk = wbuf[pl.ds(slot, 1)][0]  # [TR/2, TC] packed int8
             st = sbuf[pl.ds(slot, 1)][0]  # [TR/G, TC] dtype
-            s_lo = jnp.broadcast_to(
-                st[:n_gh][:, None, :], (n_gh, G, TC)
-            ).reshape(TR // 2, TC)
-            s_hi16 = jnp.broadcast_to(  # pre-divided by 16 at pack time
-                st[n_gh:][:, None, :], (n_gh, G, TC)
-            ).reshape(TR // 2, TC)
-            lo_f = jnp.bitwise_and(pk, 0xF).astype(dtype)  # u = v + 8
-            lo_w = lo_f * s_lo
-            hi_w = (pk.astype(dtype) - lo_f) * s_hi16  # v * s, exactly
-            y = jax.lax.dot_general(
-                xg[:, : TR // 2], lo_w, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + jax.lax.dot_general(
-                xg[:, TR // 2:], hi_w, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            xs = jax.lax.dot_general(  # [1, n_gh] low-half group sums of x
-                xg[:, : TR // 2], gsel, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            corr = jax.lax.dot_general(
-                xs, st[:n_gh].astype(jnp.float32), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return y - 8.0 * corr
+            return _int4_tile_dot(xg, pk, st, gsel, TR, G, n_gh, dtype)
 
         def mm_chunks(x_, base, rg, cg):
             """[1, rg*TR] @ tiles -> list of cg [1, TC] f32 output chunks.

@@ -129,6 +129,44 @@ def test_engine_megakernel_int8_weights_token_exact(params):
     assert outs[True] == outs[False]
 
 
+def test_engine_megakernel_int4_weights_token_exact():
+    """Grouped-int4 megakernel (in-kernel nibble tiles) == int4 XLA path.
+
+    Needs E >= 256 so the halves pairing doesn't split a 128-wide scale
+    group; deterministic fixture — the paths differ only by f32
+    reassociation, which flips no greedy argmax here.
+    """
+    cfg4 = gpt2_mod.GPT2Config(
+        vocab_size=300, n_positions=256, n_embd=256, n_layer=2, n_head=2
+    )
+    params4 = gpt2_mod.init_gpt2_params(jax.random.PRNGKey(2), cfg4,
+                                        jnp.float32)
+    spec = gpt2_spec(cfg4)
+    qparams = gpt2_mod.quantize_gpt2_weights(params4, mode="int4")
+    packed = pack_gpt2_mega(qparams, cfg4)
+    assert packed is not None and packed["wstack"].dtype == jnp.int8
+    assert packed["w4scale"].shape[0] == packed["wstack"].shape[0]
+    assert mega_supported(cfg4, 48, qparams)
+    # E=128: halves pairing would split the 128-wide group -> XLA fallback
+    q128 = gpt2_mod.quantize_gpt2_weights(
+        gpt2_mod.init_gpt2_params(jax.random.PRNGKey(2), CFG, jnp.float32),
+        mode="int4",
+    )
+    assert not mega_supported(CFG, 48, q128)
+    prompt = "the quick brown fox jumps over the lazy dog"
+    outs = {}
+    for mega in (False, True):
+        eng = InferenceEngine(
+            spec, qparams,
+            config=Config(dtype=jnp.float32, megakernel=mega, device="cpu",
+                          weight_quant="int4"),
+        )
+        outs[mega] = eng.generate_ids(prompt, "full_cache", max_new_tokens=9)
+        if mega:
+            assert eng._mega_packed is not None
+    assert outs[True] == outs[False]
+
+
 def test_megastep_multi_chunk_attention():
     """capacity > _ATTN_CHUNK (512): chunked cache walk == XLA step."""
     cfg = gpt2_mod.GPT2Config(

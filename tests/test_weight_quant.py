@@ -147,7 +147,8 @@ def test_engine_weight_quant_int4_generates_and_skips_megakernel():
     )
     text, n = eng.generate_with_cache("Hello world.", max_new_tokens=4)
     assert n == 4 and isinstance(text, str)
-    # int4 weights are not packable: the engine must fall back to XLA
+    # gpt2-tiny (E=64): int4 halves pairing would split the scale group,
+    # so the engine must fall back to XLA (E >= 256 takes the kernel)
     assert eng._mega_spec(48, None) is None
 
 
