@@ -67,23 +67,39 @@ def make_speculative_generate(
     max_new_tokens: int,
     k: int = 4,
     prompt_bucket: int = 128,
+    mega: Optional[dict] = None,
+    dtype: Any = jnp.float32,
 ):
     """Build jitted (t_params, d_params, tokens [1,bucket], true_len) ->
     (out_tokens [max_new + k], n_emitted).
 
     Batch 1, greedy everywhere. Target and draft must share the tokenizer
     space (vocab ids); geometries may differ arbitrarily.
+
+    When `mega` is given (an engine._mega_spec-style dict: "packed",
+    "cfg", "kind", "interpret"), the target's k-row verify forward runs as
+    ONE whole-step Pallas pass (ops/pallas/megakernel.py:gpt2_megaverify):
+    the weight stream dominates the step, so verifying k rows costs ~one
+    decode step and the speculative win multiplies the megakernel's. The
+    packed tile stream must ride in as t_params["__mega_packed__"] (a
+    closure-captured GiB array becomes a traced constant — see
+    engine/generate.py).
     """
     assert target.vocab_size == draft.vocab_size
     cap = prompt_bucket + max_new_tokens + k + 1
+    if mega is not None:
+        assert mega.get("kind", "gpt2") == "gpt2", "mega verify: gpt2 only"
+        assert k <= 8, "mega verify block must fit one 16-row RMW window"
+        # kernel RMW needs an aligned 16-row window below capacity
+        cap = -(-cap // 8) * 8 + 8
 
     t_strategy = DenseKV(
         n_layer=target.n_layer, n_head=target.n_kv_head,
-        head_dim=target.head_dim, capacity=cap,
+        head_dim=target.head_dim, capacity=cap, dtype=dtype,
     )
     d_strategy = DenseKV(
         n_layer=draft.n_layer, n_head=draft.n_kv_head,
-        head_dim=draft.head_dim, capacity=cap,
+        head_dim=draft.head_dim, capacity=cap, dtype=dtype,
     )
     OUT = max_new_tokens + k  # emit buffer (a round may overshoot by < k)
 
@@ -190,7 +206,93 @@ def make_speculative_generate(
         )
         return out, jnp.minimum(n_emitted, max_new_tokens)
 
-    return jax.jit(generate)
+    def generate_mega(t_params, d_params, tokens, true_len):
+        from ..ops.pallas.megakernel import gpt2_megaverify, to_mega_layout
+
+        t_params = dict(t_params)
+        packed = t_params.pop("__mega_packed__")
+        cfg = mega["cfg"]
+        interpret = mega.get("interpret", False)
+
+        t_cache, first = _prefill(target, t_strategy, t_params, tokens, true_len)
+        d_cache, _ = _prefill(draft, d_strategy, d_params, tokens, true_len)
+        tk = to_mega_layout(t_cache["k"])
+        tv = to_mega_layout(t_cache["v"])
+        t_len0_all = t_cache["length"]
+        wte, wpe = t_params["wte"], t_params["wpe"]
+
+        out = jnp.zeros((OUT,), jnp.int32)
+        out = out.at[0].set(first)
+
+        def cond(state):
+            return state[5] < max_new_tokens
+
+        def body(state):
+            tk, tv, t_len, d_cache, out, n_emitted = state
+            current = out[n_emitted - 1]
+
+            def d_step(carry, _):
+                d_cache, tok = carry
+                pos = jnp.minimum(d_cache["length"], draft.n_positions - 1)
+                logits, d_cache = draft.forward(
+                    d_params, tok[None, None],
+                    pos[None, None].astype(jnp.int32),
+                    d_cache, d_strategy, None,
+                )
+                d_cache = d_strategy.set_length(d_cache, d_cache["length"] + 1)
+                nxt = _greedy(logits[0, 0])
+                return (d_cache, nxt), nxt
+
+            (d_cache, _), proposals = jax.lax.scan(
+                d_step, (d_cache, current), None, length=k
+            )
+
+            # --- target verify: ONE whole-step Pallas pass over k rows ----
+            verify_in = jnp.concatenate([current[None], proposals[:-1]])  # [k]
+            pos = jnp.minimum(
+                t_len + jnp.arange(k, dtype=jnp.int32),
+                target.n_positions - 1,
+            )
+            x = (wte[verify_in] + wpe[pos]).astype(wte.dtype)  # [k, E]
+            greedy_t, tk, tv = gpt2_megaverify(
+                packed, tk, tv, t_len, x,
+                cfg=cfg, capacity=cap, interpret=interpret,
+            )
+
+            agree = proposals == greedy_t
+            n_acc = jnp.argmin(
+                jnp.concatenate([agree, jnp.zeros((1,), bool)]).astype(jnp.int32)
+            ).astype(jnp.int32)
+            emitted = jnp.where(
+                jnp.arange(k + 1) < n_acc,
+                jnp.concatenate([proposals, jnp.zeros((1,), jnp.int32)]),
+                jnp.where(
+                    jnp.arange(k + 1) == n_acc,
+                    jnp.concatenate([greedy_t, greedy_t[-1:]]),
+                    0,
+                ),
+            )
+            n_new = jnp.where(n_acc == k, k, n_acc + 1)
+            out = jax.lax.dynamic_update_slice(out, emitted[:k], (n_emitted,))
+            n_emitted = n_emitted + n_new
+
+            # rollback = pure length update: rows beyond the accepted
+            # prefix stay masked (col < len) and are overwritten by the
+            # next round's verify rows
+            t_keep = jnp.minimum(1 + n_acc, k)
+            t_len = t_len + t_keep
+            d_len0 = d_cache["length"] - k
+            d_cache = d_strategy.set_length(d_cache, d_len0 + t_keep)
+
+            return (tk, tv, t_len, d_cache, out, n_emitted)
+
+        state = (tk, tv, t_len0_all, d_cache, out, jnp.ones((), jnp.int32))
+        tk, tv, t_len, d_cache, out, n_emitted = jax.lax.while_loop(
+            cond, body, state
+        )
+        return out, jnp.minimum(n_emitted, max_new_tokens)
+
+    return jax.jit(generate_mega if mega is not None else generate)
 
 
 # ---------------------------------------------------------------------------

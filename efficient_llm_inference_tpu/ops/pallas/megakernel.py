@@ -62,6 +62,9 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 # leave headroom for attention temporaries, smalls, and Mosaic's own use.
 _VMEM_BUDGET = 11 * 1024 * 1024
 _ATTN_CHUNK = 512  # C-chunk for attention reductions (bounds fp32 temps)
+# whole int4 scale table rides in VMEM below this size (test hook: set to
+# 0 to force the per-slab scale DMA ring)
+_S4_VMEM_MAX = 4 * 1024 * 1024
 
 
 def _num_lm_tiles(vocab: int, E: int) -> int:
@@ -341,17 +344,22 @@ def gpt2_megastep(
     int8_w = "wscale" in packed
     int4_w = "w4scale" in packed
     dtype = k.dtype  # compute/residual dtype (the model dtype)
+    s4_vmem = False
     if int4_w:
         G = E // packed["w4scale"].shape[1]
         n_gh = (E // G) // 2  # scale groups per packed half-plane
         mode = "int4"
+        # whole scale table VMEM-resident when it fits: halves the DMA
+        # issue count (per-slab scale DMAs are tiny)
+        s4_bytes = n_tiles * (E // G) * E * jnp.dtype(dtype).itemsize
+        s4_vmem = s4_bytes <= _S4_VMEM_MAX
     else:
         G, n_gh = E, 0
         mode = "int8" if int8_w else "f"
-    tps = _pick_tiles_per_slab(
-        E, C, _tile_bytes(mode, E, G, jnp.dtype(dtype).itemsize),
-        jnp.dtype(dtype).itemsize,
+    tile_b = (E // 2) * E if s4_vmem else _tile_bytes(
+        mode, E, G, jnp.dtype(dtype).itemsize
     )
+    tps = _pick_tiles_per_slab(E, C, tile_b, jnp.dtype(dtype).itemsize)
     if tps == 0:
         raise ValueError("megakernel does not fit VMEM at this capacity")
     n_slabs = -(-n_tiles // tps)
@@ -364,7 +372,7 @@ def gpt2_megastep(
 
     def kernel(len_ref, x_ref, w_ref, k_ref, v_ref, sm_ref, lnf_ref, ws_ref,
                s4_ref, tok_ref, ko_ref, vo_ref, *scr):
-        if int4_w:
+        if int4_w and not s4_vmem:
             (wbuf, sbuf, kbuf, vbuf, knew, vnew, gk, gv,
              wsem, ssem, ksem, vsem, gsem, osem) = scr
         else:
@@ -426,7 +434,7 @@ def gpt2_megastep(
             )
 
         wdma(0, 0).start()
-        if int4_w:
+        if int4_w and not s4_vmem:
             sdma(0, 0).start()
         kdma(0, 0).start()
         vdma(0, 0).start()
@@ -444,10 +452,10 @@ def gpt2_megastep(
             if not waited[s]:
                 if s + 1 < n_slabs:
                     wdma((s + 1) % 2, s + 1).start()
-                    if int4_w:
+                    if int4_w and not s4_vmem:
                         sdma((s + 1) % 2, s + 1).start()
                 wdma(s % 2, s).wait()
-                if int4_w:
+                if int4_w and not s4_vmem:
                     sdma(s % 2, s).wait()
                 waited[s] = True
             return s % 2, t % tps
@@ -458,8 +466,9 @@ def gpt2_megastep(
             # _mm); the astype is a no-op for full-precision tiles
             slab, off = tile_slab(t)
             if int4_w:
+                st = s4_ref[t] if s4_vmem else sbuf[slab, off]
                 y = _int4_tile_dot(
-                    x_.astype(dtype), wbuf[slab, off], sbuf[slab, off],
+                    x_.astype(dtype), wbuf[slab, off], st,
                     gsel, E, G, n_gh, dtype,
                 )
             else:
@@ -591,7 +600,7 @@ def gpt2_megastep(
 
     wtile_shape = (2, tps, E // 2, E) if int4_w else (2, tps, E, E)
     scratch = [pltpu.VMEM(wtile_shape, wdtype)]  # weight ring
-    if int4_w:
+    if int4_w and not s4_vmem:
         scratch.append(pltpu.VMEM((2, tps, E // G, E), dtype))  # scale ring
     scratch += [
         pltpu.VMEM((2, C, E), dtype),  # K ring
@@ -602,7 +611,7 @@ def gpt2_megastep(
         pltpu.VMEM((L, 8, E), dtype),  # RMW group (V)
         pltpu.SemaphoreType.DMA((2,)),  # wsem
     ]
-    if int4_w:
+    if int4_w and not s4_vmem:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))  # ssem
     scratch += [
         pltpu.SemaphoreType.DMA((2,)),  # ksem
@@ -621,7 +630,10 @@ def gpt2_megastep(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # smalls
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lnf
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wscale [n_tiles, E]
-            pl.BlockSpec(memory_space=pltpu.HBM),  # w4scale stream
+            pl.BlockSpec(  # w4scale: VMEM-resident unless ring mode
+                memory_space=pltpu.HBM
+                if (int4_w and not s4_vmem) else pltpu.VMEM
+            ),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # token
@@ -655,3 +667,375 @@ def gpt2_megastep(
         w4scale,
     )
     return tok[0, 0], k2, v2
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "capacity", "interpret"))
+def gpt2_megaverify(
+    packed: dict,
+    k: jax.Array,  # [L, C, E] mega-layout cache (aliased output)
+    v: jax.Array,
+    length: jax.Array,  # int32 [] — tokens already cached
+    x_emb: jax.Array,  # [R, E] token+position embeddings of the verify rows
+    *,
+    cfg: Any,
+    capacity: int,
+    interpret: bool = False,
+):
+    """Verify R draft rows in ONE weight-streaming pass (greedy).
+
+    Row t carries the t-th verify token (position cur + t); its K/V rows
+    are written into the cache and the per-row greedy argmax over the LM
+    head comes back as [R] int32. The weight stream dominates the step, so
+    verifying R rows costs ~one decode step — this is what makes
+    speculative decoding (engine/speculative.py) compose with the
+    megakernel: k draft tokens verified for the price of one step.
+
+    Row t attends to cache columns < cur plus verify rows j <= t (the
+    in-block causal set — identical to the XLA verify forward's mask).
+    Requires R <= 8 and capacity >= roundup8(cur + R) + 8: the cache
+    writeback uses a 16-row aligned read-modify-write window.
+    """
+    E, H, D, L = cfg.n_embd, cfg.n_head, cfg.head_dim, cfg.n_layer
+    C = capacity
+    V = cfg.vocab_size
+    eps = cfg.layer_norm_epsilon
+    R = x_emb.shape[0]
+    assert R <= 8, "verify block must fit one 16-row RMW window"
+    n_lm = _num_lm_tiles(V, E)
+    n_tiles = L * 12 + n_lm
+    wdtype = packed["wstack"].dtype
+    int8_w = "wscale" in packed
+    int4_w = "w4scale" in packed
+    dtype = k.dtype
+    s4_vmem = False
+    if int4_w:
+        G = E // packed["w4scale"].shape[1]
+        n_gh = (E // G) // 2
+        mode = "int4"
+        s4_bytes = n_tiles * (E // G) * E * jnp.dtype(dtype).itemsize
+        s4_vmem = s4_bytes <= _S4_VMEM_MAX
+    else:
+        G, n_gh = E, 0
+        mode = "int8" if int8_w else "f"
+    tile_b = (E // 2) * E if s4_vmem else _tile_bytes(
+        mode, E, G, jnp.dtype(dtype).itemsize
+    )
+    tps = _pick_tiles_per_slab(E, C, tile_b, jnp.dtype(dtype).itemsize)
+    if tps == 0:
+        raise ValueError("megakernel does not fit VMEM at this capacity")
+    n_slabs = -(-n_tiles // tps)
+    scale = 1.0 / (float(D) ** 0.5)
+
+    def ln(x32, g, b_):  # row-wise LN, [R, E] fp32
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        return (x32 - mean) * jax.lax.rsqrt(var + eps) * g + b_
+
+    def kernel(len_ref, x_ref, w_ref, k_ref, v_ref, sm_ref, lnf_ref, ws_ref,
+               s4_ref, tok_ref, ko_ref, vo_ref, *scr):
+        if int4_w and not s4_vmem:
+            (wbuf, sbuf, kbuf, vbuf, knew, vnew, gk, gv,
+             wsem, ssem, ksem, vsem, gsem, osem) = scr
+        else:
+            (wbuf, kbuf, vbuf, knew, vnew, gk, gv,
+             wsem, ksem, vsem, gsem, osem) = scr
+            sbuf = ssem = None
+        cur = len_ref[0, 0]
+
+        if int4_w:
+            r_ids = jax.lax.broadcasted_iota(jnp.int32, (E // 2, n_gh), 0) // G
+            g_ids = jax.lax.broadcasted_iota(jnp.int32, (E // 2, n_gh), 1)
+            gsel = (r_ids == g_ids).astype(dtype)
+
+        e_ids = jax.lax.broadcasted_iota(jnp.int32, (E, H), 0) // D
+        h_ids = jax.lax.broadcasted_iota(jnp.int32, (E, H), 1)
+        sel = (e_ids == h_ids).astype(jnp.float32)  # [E, H]
+        selT = sel.T
+
+        def wdma(slot, s):
+            lo = s * tps
+            sz = min(tps, n_tiles - lo)
+            return pltpu.make_async_copy(
+                w_ref.at[pl.ds(lo, sz)], wbuf.at[slot, pl.ds(0, sz)],
+                wsem.at[slot],
+            )
+
+        def sdma(slot, s):
+            lo = s * tps
+            sz = min(tps, n_tiles - lo)
+            return pltpu.make_async_copy(
+                s4_ref.at[pl.ds(lo, sz)], sbuf.at[slot, pl.ds(0, sz)],
+                ssem.at[slot],
+            )
+
+        def kdma(slot, l):
+            return pltpu.make_async_copy(
+                k_ref.at[l], kbuf.at[slot], ksem.at[slot]
+            )
+
+        def vdma(slot, l):
+            return pltpu.make_async_copy(
+                v_ref.at[l], vbuf.at[slot], vsem.at[slot]
+            )
+
+        gbase = pl.multiple_of((cur // 8) * 8, 8)
+
+        def group_in(ref, buf, sem):
+            return pltpu.make_async_copy(
+                ref.at[:, pl.ds(gbase, 16), :], buf, sem
+            )
+
+        def group_out(buf, ref, sem):
+            return pltpu.make_async_copy(
+                buf, ref.at[:, pl.ds(gbase, 16), :], sem
+            )
+
+        wdma(0, 0).start()
+        if int4_w and not s4_vmem:
+            sdma(0, 0).start()
+        kdma(0, 0).start()
+        vdma(0, 0).start()
+        gk_in = group_in(k_ref, gk, gsem.at[0])
+        gv_in = group_in(v_ref, gv, gsem.at[1])
+        gk_in.start()
+        gv_in.start()
+
+        waited = [False] * n_slabs
+
+        def tile_slab(t):
+            s = t // tps
+            if not waited[s]:
+                if s + 1 < n_slabs:
+                    wdma((s + 1) % 2, s + 1).start()
+                    if int4_w and not s4_vmem:
+                        sdma((s + 1) % 2, s + 1).start()
+                wdma(s % 2, s).wait()
+                if int4_w and not s4_vmem:
+                    sdma(s % 2, s).wait()
+                waited[s] = True
+            return s % 2, t % tps
+
+        def mm(x_, t, b32=None):  # [R, E] @ tile(t) -> [R, E] fp32
+            slab, off = tile_slab(t)
+            if int4_w:
+                st = s4_ref[t] if s4_vmem else sbuf[slab, off]
+                y = _int4_tile_dot(
+                    x_.astype(dtype), wbuf[slab, off], st,
+                    gsel, E, G, n_gh, dtype,
+                )
+            else:
+                y = jax.lax.dot_general(
+                    x_.astype(dtype), wbuf[slab, off].astype(dtype),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if int8_w:
+                    y = y * ws_ref[t:t + 1]
+            if b32 is not None:
+                y = y + b32
+            return y
+
+        def seg_reduce(x32):  # [N, E] fp32 -> [N, H]
+            return jax.lax.dot_general(
+                x32, sel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def seg_bcast(x32):  # [N, H] fp32 -> [N, E]
+            return jax.lax.dot_general(
+                x32, selT, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        x = x_ref[:].astype(dtype)  # [R, E] residual stream
+
+        for l in range(L):
+            base = l * 12
+
+            def sm(r):
+                return sm_ref[l, r:r + 1]
+
+            h = ln(x.astype(jnp.float32), sm(0), sm(1)).astype(dtype)
+            q32 = mm(h, base + 0, sm(4))
+            k32 = mm(h, base + 1, sm(5))
+            v32 = mm(h, base + 2, sm(6))
+            kc16 = k32.astype(dtype)  # [R, E]
+            vc16 = v32.astype(dtype)
+            knew[l] = kc16
+            vnew[l] = vc16
+
+            if l + 1 < L:
+                kdma((l + 1) % 2, l + 1).start()
+                vdma((l + 1) % 2, l + 1).start()
+            kdma(l % 2, l).wait()
+            vdma(l % 2, l).wait()
+
+            qf = q32.astype(dtype).astype(jnp.float32)  # [R, E]
+            kf = kc16.astype(jnp.float32)
+            vf = vc16.astype(jnp.float32)
+            row = jax.lax.broadcasted_iota(jnp.int32, (C, H), 0)
+            a_rows = []
+            for r in range(R):
+                qr = qf[r:r + 1]  # [1, E]
+                s_chunks = []
+                for c0 in range(0, C, _ATTN_CHUNK):
+                    cw = min(_ATTN_CHUNK, C - c0)
+                    kc = kbuf[l % 2, c0:c0 + cw, :].astype(jnp.float32)
+                    s_chunks.append(seg_reduce(kc * qr))
+                scores = jnp.concatenate(s_chunks, axis=0) * scale  # [C, H]
+                scores = jnp.where(row < cur, scores, NEG_INF)
+                # in-block causal keys: verify rows j <= r (incl. self)
+                s_new = [
+                    seg_reduce(kf[j:j + 1] * qr) * scale for j in range(r + 1)
+                ]  # (r+1) x [1, H]
+                mx = jnp.max(scores, axis=0, keepdims=True)
+                for sn in s_new:
+                    mx = jnp.maximum(mx, sn)
+                p = jnp.exp(scores - mx)  # [C, H]
+                p_new = [jnp.exp(sn - mx) for sn in s_new]
+                denom = jnp.sum(p, axis=0, keepdims=True)
+                for pn in p_new:
+                    denom = denom + pn
+                ao = jnp.zeros((1, E), jnp.float32)
+                for c0 in range(0, C, _ATTN_CHUNK):
+                    cw = min(_ATTN_CHUNK, C - c0)
+                    vc = vbuf[l % 2, c0:c0 + cw, :].astype(jnp.float32)
+                    pe = seg_bcast(p[c0:c0 + cw])
+                    ao = ao + jnp.sum(pe * vc, axis=0, keepdims=True)
+                for j, pn in enumerate(p_new):
+                    ao = ao + seg_bcast(pn) * vf[j:j + 1]
+                a_rows.append(ao / seg_bcast(denom))
+            a = jnp.concatenate(a_rows, axis=0).astype(dtype)  # [R, E]
+
+            x = x + mm(a, base + 3, sm(7)).astype(dtype)
+
+            h2 = ln(x.astype(jnp.float32), sm(2), sm(3)).astype(dtype)
+            m32 = jnp.concatenate(
+                [mm(h2, base + 4 + i, sm(8 + i)) for i in range(4)], axis=-1
+            )  # [R, 4E] fp32
+            g32 = 0.5 * m32 * (
+                1.0
+                + jnp.tanh(0.7978845608028654 * (m32 + 0.044715 * m32 ** 3))
+            )
+            gh = g32.astype(dtype)
+            y32 = sm(12)
+            for i in range(4):
+                y32 = y32 + mm(gh[:, i * E:(i + 1) * E], base + 8 + i)
+            x = x + y32.astype(dtype)
+
+        # insert the R new K/V rows into the 16-row aligned window
+        gk_in.wait()
+        gv_in.wait()
+        off = cur - gbase  # 0..7, so off + R <= 16
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (L, 16, E), 1)
+        gkv = gk[:]
+        gvv = gv[:]
+        for r in range(R):
+            ins = ridx == off + r
+            gkv = jnp.where(
+                ins, jnp.broadcast_to(knew[:, r:r + 1, :], (L, 16, E)), gkv
+            )
+            gvv = jnp.where(
+                ins, jnp.broadcast_to(vnew[:, r:r + 1, :], (L, 16, E)), gvv
+            )
+        gk[:] = gkv
+        gv[:] = gvv
+        okd = group_out(gk, ko_ref, osem.at[0])
+        ovd = group_out(gv, vo_ref, osem.at[1])
+        okd.start()
+        ovd.start()
+
+        xf = ln(
+            x.astype(jnp.float32), lnf_ref[0:1], lnf_ref[1:2]
+        ).astype(dtype)  # [R, E]
+        big = jnp.int32(2 ** 30)
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (R, E), 1)
+        best = jnp.full((R, 1), NEG_INF, jnp.float32)
+        best_idx = jnp.zeros((R, 1), jnp.int32)
+        lm_base = L * 12
+        for t in range(n_lm):
+            y = mm(xf, lm_base + t)  # [R, E] fp32 logits chunk
+            if (t + 1) * E > V:
+                y = jnp.where(cidx < V - t * E, y, NEG_INF)
+            ymax = jnp.max(y, axis=1, keepdims=True)  # [R, 1]
+            # first-max-wins within the tile, as jnp.argmax
+            cand = jnp.min(
+                jnp.where(y == ymax, cidx, big), axis=1, keepdims=True
+            ) + t * E
+            take = ymax > best  # strict: earlier tiles win ties
+            best_idx = jnp.where(take, cand, best_idx)
+            best = jnp.maximum(best, ymax)
+        tok_ref[:] = jnp.broadcast_to(best_idx, (R, 128))
+
+        okd.wait()
+        ovd.wait()
+
+    wtile_shape = (2, tps, E // 2, E) if int4_w else (2, tps, E, E)
+    scratch = [pltpu.VMEM(wtile_shape, wdtype)]
+    if int4_w and not s4_vmem:
+        scratch.append(pltpu.VMEM((2, tps, E // G, E), dtype))
+    scratch += [
+        pltpu.VMEM((2, C, E), dtype),  # K ring
+        pltpu.VMEM((2, C, E), dtype),  # V ring
+        pltpu.VMEM((L, R, E), dtype),  # new K rows
+        pltpu.VMEM((L, R, E), dtype),  # new V rows
+        pltpu.VMEM((L, 16, E), dtype),  # RMW window (K)
+        pltpu.VMEM((L, 16, E), dtype),  # RMW window (V)
+        pltpu.SemaphoreType.DMA((2,)),  # wsem
+    ]
+    if int4_w and not s4_vmem:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))  # ssem
+    scratch += [
+        pltpu.SemaphoreType.DMA((2,)),  # ksem
+        pltpu.SemaphoreType.DMA((2,)),  # vsem
+        pltpu.SemaphoreType.DMA((2,)),  # gsem
+        pltpu.SemaphoreType.DMA((2,)),  # osem
+    ]
+    f = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # length (1,1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x_emb [R, E]
+            pl.BlockSpec(memory_space=pltpu.HBM),  # wstack
+            pl.BlockSpec(memory_space=pltpu.HBM),  # k
+            pl.BlockSpec(memory_space=pltpu.HBM),  # v
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # smalls
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lnf
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wscale
+            pl.BlockSpec(  # w4scale
+                memory_space=pltpu.HBM
+                if (int4_w and not s4_vmem) else pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tokens [R, 128]
+            pl.BlockSpec(memory_space=pltpu.HBM),  # k out (aliased)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # v out (aliased)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((L, C, E), k.dtype),
+            jax.ShapeDtypeStruct((L, C, E), v.dtype),
+        ],
+        scratch_shapes=scratch,
+        input_output_aliases={3: 1, 4: 2},
+        interpret=interpret,
+    )
+    wscale = packed.get("wscale")
+    if wscale is None:
+        wscale = jnp.ones((n_tiles, E), jnp.float32)
+    w4scale = packed.get("w4scale")
+    if w4scale is None:
+        w4scale = jnp.zeros((1, 1, 128), dtype)
+    toks, k2, v2 = f(
+        jnp.reshape(length.astype(jnp.int32), (1, 1)),
+        x_emb,
+        packed["wstack"],
+        k,
+        v,
+        packed["smalls"],
+        packed["lnf"],
+        wscale,
+        w4scale,
+    )
+    return toks[:, 0], k2, v2

@@ -69,6 +69,10 @@ _ATTN_CHUNK = 512
 
 _WEIGHT_NAMES = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
+# test hook: force the per-tile scale-pane DMA ring even when the whole
+# scale table would fit VMEM (the big-model path, e.g. Llama-3-8B)
+_S4_RING_ONLY = False
+
 
 def _q4_group(d: dict) -> int:
     """Group size used by models/gpt2.py:quantize_int4_weights for this dict."""
@@ -660,17 +664,28 @@ def llama_megastep(
     has_bias = "qkvb" in packed
     dtype = k.dtype
     dt_item = jnp.dtype(dtype).itemsize
+    s4_vmem = False
     if int4_w:
         G = TR // packed["w4scale"].shape[1]  # uniform scale group size
         n_gh = (TR // G) // 2  # groups per packed half-plane
         mode = "int4"
-        ws_vmem = (TR // 2) * n_gh * 4  # group-selector constant
+        gsel_bytes = (TR // 2) * n_gh * 4  # group-selector constant
+        # Prefer the WHOLE scale stream resident in VMEM: per-tile scale
+        # panes are tiny (tens of KB) and their DMAs double the per-step
+        # issue count; when the full [n_tiles, TR/G, TC] table fits the
+        # budget next to everything else, index it directly instead.
+        s4_bytes = n_tiles * (TR // G) * TC * dt_item
+        s4_vmem = not _S4_RING_ONLY and _pick_tiles_per_slab(
+            (TR // 2) * TC, C, KW, dt_item, gsel_bytes + s4_bytes
+        ) > 0
+        ws_vmem = gsel_bytes + (s4_bytes if s4_vmem else 0)
     else:
         G, n_gh = TR, 0
         mode = "int8" if int8_w else "f"
         ws_vmem = 4 * n_tiles * TC if int8_w else 0
     tps = _pick_tiles_per_slab(
-        _w_slot_bytes(mode, TR, TC, G, dt_item), C, KW, dt_item, ws_vmem
+        (TR // 2) * TC if s4_vmem else _w_slot_bytes(mode, TR, TC, G, dt_item),
+        C, KW, dt_item, ws_vmem,
     )
     if tps == 0:
         raise ValueError("llama megakernel does not fit VMEM at this capacity")
@@ -700,7 +715,7 @@ def llama_megastep(
     def kernel(len_ref, x_ref, cq_ref, sq_ref, w_ref, k_ref, v_ref,
                nm_ref, lnf_ref, ws_ref, qb_ref, s4_ref,
                tok_ref, ko_ref, vo_ref, *scr):
-        if int4_w:
+        if int4_w and not s4_vmem:
             (wbuf, sbuf, kbuf, vbuf, knew, vnew, gk, gv,
              wsem, ssem, ksem, vsem, gsem, osem) = scr
         else:
@@ -752,7 +767,7 @@ def llama_megastep(
                                          sem)
 
         wdma(0, 0).start()
-        if int4_w:
+        if int4_w and not s4_vmem:
             sdma(0, 0).start()
         kdma(0, 0).start()
         vdma(0, 0).start()
@@ -777,11 +792,11 @@ def llama_megastep(
             @pl.when(t + 1 < n_tiles)
             def _():
                 wdma(nxt, t + 1).start()
-                if int4_w:
+                if int4_w and not s4_vmem:
                     sdma(nxt, t + 1).start()
 
             wdma(slot, t).wait()
-            if int4_w:
+            if int4_w and not s4_vmem:
                 sdma(slot, t).wait()
             return slot
 
@@ -796,7 +811,10 @@ def llama_megastep(
                 )
             # int4: in-kernel nibble dequant (see _int4_tile_dot)
             pk = wbuf[pl.ds(slot, 1)][0]  # [TR/2, TC] packed int8
-            st = sbuf[pl.ds(slot, 1)][0]  # [TR/G, TC] dtype
+            if s4_vmem:  # whole scale table VMEM-resident
+                st = s4_ref[pl.ds(t, 1)][0]  # [TR/G, TC] dtype
+            else:
+                st = sbuf[pl.ds(slot, 1)][0]
             return _int4_tile_dot(xg, pk, st, gsel, TR, G, n_gh, dtype)
 
         def mm_chunks(x_, base, rg, cg):
@@ -995,7 +1013,7 @@ def llama_megastep(
 
     wtile_shape = (2, TR // 2, TC) if int4_w else (2, TR, TC)
     scratch = [pltpu.VMEM(wtile_shape, wdtype)]  # weight ring (2-deep)
-    if int4_w:
+    if int4_w and not s4_vmem:
         scratch.append(pltpu.VMEM((2, TR // G, TC), dtype))  # scale ring
     scratch += [
         pltpu.VMEM((2, C, KW), dtype),  # K ring
@@ -1006,7 +1024,7 @@ def llama_megastep(
         pltpu.VMEM((L, 8, KW), dtype),  # RMW group (V)
         pltpu.SemaphoreType.DMA((2,)),  # wsem
     ]
-    if int4_w:
+    if int4_w and not s4_vmem:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))  # ssem
     scratch += [
         pltpu.SemaphoreType.DMA((2,)),  # ksem
@@ -1028,7 +1046,10 @@ def llama_megastep(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lnf [1, E]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wscale [n_tiles, TC]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # qkvb [L, QW+2KW]
-            pl.BlockSpec(memory_space=pltpu.HBM),  # w4scale stream
+            pl.BlockSpec(  # w4scale: VMEM-resident unless ring mode
+                memory_space=pltpu.HBM
+                if (int4_w and not s4_vmem) else pltpu.VMEM
+            ),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # token

@@ -208,6 +208,52 @@ def test_engine_llama_megakernel_int4_weights_token_exact(params):
     assert outs[True] == outs[False]
 
 
+def test_int4_scale_ring_mode_matches(params, monkeypatch):
+    """Forced scale-pane DMA ring (the big-model path) == VMEM-table mode.
+
+    Small configs always pick the VMEM-resident scale table; Llama-3-8B's
+    117 MB table takes the per-tile ring — keep that path exercised.
+    """
+    import efficient_llm_inference_tpu.ops.pallas.megakernel_llama as mk
+
+    qparams = llama_mod.quantize_llama_weights(params, "int4")
+    packed = pack_llama_mega(qparams, CFG)
+    strat = DenseKV(
+        n_layer=CFG.n_layer, n_head=CFG.n_kv_head, head_dim=CFG.head_dim,
+        capacity=56, batch=1, dtype=jnp.float32,
+    )
+    T0 = 5
+    toks = jnp.array([[3, 5, 250, 9, 1]], jnp.int32)
+    pos = jnp.arange(T0, dtype=jnp.int32)[None]
+    cache = strat.init()
+    logits, cache = llama_mod.llama_forward(
+        qparams, CFG, toks, pos, cache, strat
+    )
+    cache = strat.set_length(cache, T0)
+    tok0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    pos1 = jnp.full((1, 1), T0, jnp.int32)
+    x_emb = qparams["embed"][tok0]
+    cos, sin = rope_cos_sin(pos1, CFG.head_dim, CFG.rope_theta)
+    cos_q = jnp.tile(cos[0], (1, CFG.n_head))
+    sin_q = jnp.tile(sin[0], (1, CFG.n_head))
+
+    def step(capacity):
+        cache56 = to_mega_layout(cache["k"]), to_mega_layout(cache["v"])
+        return llama_megastep(
+            packed, cache56[0][:, :capacity], cache56[1][:, :capacity],
+            jnp.int32(T0), x_emb, cos_q, sin_q, cfg=CFG, capacity=capacity,
+            interpret=True,
+        )
+
+    tok_vmem, k_a, v_a = step(56)
+    monkeypatch.setattr(mk, "_S4_RING_ONLY", True)
+    # different static capacity -> fresh trace under the forced ring
+    tok_ring, k_b, v_b = step(48)
+    assert int(tok_vmem) == int(tok_ring)
+    np.testing.assert_array_equal(np.asarray(k_a[:, :48]), np.asarray(k_b))
+    np.testing.assert_array_equal(np.asarray(v_a[:, :48]), np.asarray(v_b))
+
+
 def test_int4_host_pack_matches_device_pack(params):
     """The host (numpy) packer for big streams must produce the same tile
     stream as the device packer (Llama-3-8B packs host-side to avoid the

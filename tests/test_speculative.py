@@ -90,3 +90,57 @@ def test_self_draft_helper_matches_target_greedy(setup):
     buf[0, : len(ids)] = ids
     out, n = gen(t_params, dparams, jnp.asarray(buf), jnp.int32(len(ids)))
     assert np.asarray(out)[:n_new].tolist() == plain
+
+
+def test_mega_verify_spec_matches_target_greedy():
+    """Megakernel k-row verify (gpt2_megaverify) inside the speculative
+    loop == plain greedy, exactly (fp32, interpret mode) — for both
+    full-precision and int8 weight tiles, and with an unrelated draft so
+    rejected rows + rollback-by-length are exercised."""
+    from efficient_llm_inference_tpu.engine.speculative import make_self_draft
+    from efficient_llm_inference_tpu.ops.pallas.megakernel import (
+        pack_gpt2_mega,
+    )
+
+    cfg = gpt2_mod.GPT2Config(
+        vocab_size=300, n_positions=256, n_embd=128, n_layer=2, n_head=2
+    )
+    params = gpt2_mod.init_gpt2_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    spec = gpt2_spec(cfg)
+    d_cfg = gpt2_mod.GPT2Config(
+        vocab_size=300, n_positions=256, n_embd=16, n_layer=1, n_head=2
+    )
+    d_params = gpt2_mod.init_gpt2_params(
+        jax.random.PRNGKey(7), d_cfg, jnp.float32
+    )
+
+    prompt = "the quick brown fox jumps over the lazy dog"
+    n_new = 20
+    for wq in (None, "int8"):
+        tparams = (
+            gpt2_mod.quantize_gpt2_weights(params) if wq else params
+        )
+        eng = InferenceEngine(
+            spec, tparams,
+            config=Config(model_name="t", device="cpu", dtype=jnp.float32,
+                          weight_quant=wq),
+        )
+        ids = eng.tokenizer.encode(prompt)
+        ref = eng.generate_ids(prompt, "full_cache", n_new)[-n_new:]
+        mega = {"packed": pack_gpt2_mega(tparams, cfg), "cfg": cfg,
+                "kind": "gpt2", "interpret": True}
+        assert mega["packed"] is not None
+        for draft_pair in (
+            make_self_draft(spec, tparams, 1),
+            (gpt2_spec(d_cfg), d_params),
+        ):
+            dspec, dparams = draft_pair
+            gen = make_speculative_generate(
+                spec, dspec, n_new, k=4, prompt_bucket=64, mega=mega
+            )
+            buf = np.zeros((1, 64), np.int32)
+            buf[0, : len(ids)] = ids
+            tp = dict(tparams, __mega_packed__=mega["packed"])
+            out, n = gen(tp, dparams, jnp.asarray(buf), jnp.int32(len(ids)))
+            got = np.asarray(out)[: int(n)].tolist()
+            assert got == ref, (wq, got, ref)
