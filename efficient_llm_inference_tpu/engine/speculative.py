@@ -88,7 +88,7 @@ def make_speculative_generate(
     assert target.vocab_size == draft.vocab_size
     cap = prompt_bucket + max_new_tokens + k + 1
     if mega is not None:
-        assert mega.get("kind", "gpt2") == "gpt2", "mega verify: gpt2 only"
+        assert mega.get("kind", "gpt2") in ("gpt2", "llama")
         assert k <= 8, "mega verify block must fit one 16-row RMW window"
         # kernel RMW needs an aligned 16-row window below capacity
         cap = -(-cap // 8) * 8 + 8
@@ -207,7 +207,16 @@ def make_speculative_generate(
         return out, jnp.minimum(n_emitted, max_new_tokens)
 
     def generate_mega(t_params, d_params, tokens, true_len):
-        from ..ops.pallas.megakernel import gpt2_megaverify, to_mega_layout
+        from ..ops.pallas.megakernel import to_mega_layout
+
+        kind = mega.get("kind", "gpt2")
+        if kind == "gpt2":
+            from ..ops.pallas.megakernel import gpt2_megaverify as _verify
+        else:
+            from ..models.llama import rope_cos_sin
+            from ..ops.pallas.megakernel_llama import (
+                llama_megaverify as _verify,
+            )
 
         t_params = dict(t_params)
         packed = t_params.pop("__mega_packed__")
@@ -219,7 +228,10 @@ def make_speculative_generate(
         tk = to_mega_layout(t_cache["k"])
         tv = to_mega_layout(t_cache["v"])
         t_len0_all = t_cache["length"]
-        wte, wpe = t_params["wte"], t_params["wpe"]
+        if kind == "gpt2":
+            wte, wpe = t_params["wte"], t_params["wpe"]
+        else:
+            embed = t_params["embed"]
 
         out = jnp.zeros((OUT,), jnp.int32)
         out = out.at[0].set(first)
@@ -253,11 +265,23 @@ def make_speculative_generate(
                 t_len + jnp.arange(k, dtype=jnp.int32),
                 target.n_positions - 1,
             )
-            x = (wte[verify_in] + wpe[pos]).astype(wte.dtype)  # [k, E]
-            greedy_t, tk, tv = gpt2_megaverify(
-                packed, tk, tv, t_len, x,
-                cfg=cfg, capacity=cap, interpret=interpret,
-            )
+            if kind == "gpt2":
+                x = (wte[verify_in] + wpe[pos]).astype(wte.dtype)  # [k, E]
+                greedy_t, tk, tv = _verify(
+                    packed, tk, tv, t_len, x,
+                    cfg=cfg, capacity=cap, interpret=interpret,
+                )
+            else:
+                x = embed[verify_in].astype(embed.dtype)  # [k, E]
+                cos, sin = rope_cos_sin(
+                    pos[None], cfg.head_dim, cfg.rope_theta
+                )  # [1, k, D]
+                cos_q = jnp.tile(cos[0], (1, cfg.n_head))  # [k, Hq*D]
+                sin_q = jnp.tile(sin[0], (1, cfg.n_head))
+                greedy_t, tk, tv = _verify(
+                    packed, tk, tv, t_len, x, cos_q, sin_q,
+                    cfg=cfg, capacity=cap, interpret=interpret,
+                )
 
             agree = proposals == greedy_t
             n_acc = jnp.argmin(

@@ -632,20 +632,27 @@ def mega_supported(cfg, capacity: int, params: dict) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "capacity", "interpret"))
-def llama_megastep(
+def _llama_megapass(
     packed: dict,
     k: jax.Array,  # [L, C, KW] mega-layout cache (aliased output)
     v: jax.Array,
     length: jax.Array,  # int32 [] — tokens already cached
-    x_emb: jax.Array,  # [1, E] token embedding (model dtype)
-    cos_q: jax.Array,  # [1, Hq*D] f32 — RoPE cos at this position, tiled/head
-    sin_q: jax.Array,  # [1, Hq*D] f32
+    x_emb: jax.Array,  # [R, E] token embeddings (model dtype)
+    cos_q: jax.Array,  # [R, Hq*D] f32 — RoPE cos per row position, tiled/head
+    sin_q: jax.Array,  # [R, Hq*D] f32
     *,
     cfg: Any,
     capacity: int,
     interpret: bool = False,
 ):
-    """One full Llama decode step. Returns (token id int32 [], new k, new v)."""
+    """R-row whole-step pass. Returns (token ids int32 [R], new k, new v).
+
+    R == 1 is the decode step (llama_megastep); R > 1 is the speculative
+    verify pass (llama_megaverify): row t attends to cache columns < cur
+    plus rows j <= t of the block (in-block causal), all R K/V rows land
+    in the cache, and the per-row greedy argmax comes back. R > 1 needs
+    capacity >= roundup8(cur + R) + 8 (16-row aligned RMW window).
+    """
     E = cfg.hidden_size
     Hq, Hkv, D, L = cfg.n_head, cfg.n_kv_head, cfg.head_dim, cfg.n_layer
     QW, KW = Hq * D, Hkv * D
@@ -664,6 +671,9 @@ def llama_megastep(
     has_bias = "qkvb" in packed
     dtype = k.dtype
     dt_item = jnp.dtype(dtype).itemsize
+    R = x_emb.shape[0]
+    assert R <= 8, "pass must fit one 16-row RMW window"
+    W_RMW = 8 if R == 1 else 16
     s4_vmem = False
     if int4_w:
         G = TR // packed["w4scale"].shape[1]  # uniform scale group size
@@ -699,14 +709,14 @@ def llama_megastep(
         name_off[name] = (off, r, c)
         off += r * c
 
-    def rms(x, g32):  # x [1, W] dtype, g32 [1, W] f32 -> [1, W] dtype
+    def rms(x, g32):  # x [N, W] dtype, g32 [1, W] f32 -> [N, W] dtype
         x32 = x.astype(jnp.float32)
         var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
         y = x32 * jax.lax.rsqrt(var + eps)
         # cast-before-scale order matches models/llama.py:_rms_norm
         return y.astype(dtype) * g32.astype(dtype)
 
-    def rot_half(x32, W):  # [1, W] f32, rotate-half within each D-lane head
+    def rot_half(x32, W):  # [N, W] f32, rotate-half within each D-lane head
         rp = jnp.concatenate([x32[:, W - half:], x32[:, :W - half]], axis=1)
         rm = jnp.concatenate([x32[:, half:], x32[:, :half]], axis=1)
         d = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) % D
@@ -759,12 +769,14 @@ def llama_megastep(
         gbase = pl.multiple_of((cur // 8) * 8, 8)
 
         def group_in(ref, buf, sem):
-            return pltpu.make_async_copy(ref.at[:, pl.ds(gbase, 8), :], buf,
-                                         sem)
+            return pltpu.make_async_copy(
+                ref.at[:, pl.ds(gbase, W_RMW), :], buf, sem
+            )
 
         def group_out(buf, ref, sem):
-            return pltpu.make_async_copy(buf, ref.at[:, pl.ds(gbase, 8), :],
-                                         sem)
+            return pltpu.make_async_copy(
+                buf, ref.at[:, pl.ds(gbase, W_RMW), :], sem
+            )
 
         wdma(0, 0).start()
         if int4_w and not s4_vmem:
@@ -801,7 +813,7 @@ def llama_megastep(
             return slot
 
         def tile_dot(xg, t):
-            """[1, TR] @ tile t -> [1, TC] f32 (un-scaled for int8 tiles)."""
+            """[R, TR] @ tile t -> [R, TC] f32 (un-scaled for int8 tiles)."""
             slot = tile(t)
             if not int4_w:
                 return jax.lax.dot_general(
@@ -818,7 +830,7 @@ def llama_megastep(
             return _int4_tile_dot(xg, pk, st, gsel, TR, G, n_gh, dtype)
 
         def mm_chunks(x_, base, rg, cg):
-            """[1, rg*TR] @ tiles -> list of cg [1, TC] f32 output chunks.
+            """[R, rg*TR] @ tiles -> list of cg [R, TC] f32 output chunks.
 
             rg/cg are static per weight name; `base` may be dynamic (layer
             index folds into it).
@@ -847,11 +859,11 @@ def llama_megastep(
                 preferred_element_type=jnp.float32,
             )
 
-        cosq = cq_ref[:]  # [1, QW] f32
+        cosq = cq_ref[:]  # [R, QW] f32
         sinq = sq_ref[:]
         cosk, sink = cosq[:, :KW], sinq[:, :KW]  # D-periodic
 
-        x = x_ref[:].astype(dtype)  # [1, E] residual stream
+        x = x_ref[:].astype(dtype)  # [R, E] residual stream
 
         def layer_body(l, x):
             lbase = l * per_layer
@@ -893,60 +905,75 @@ def llama_megastep(
 
             # GQA attention in compact KV lane space: fold the GR query
             # heads of each KV group onto the [., KW] pane one rotation at
-            # a time (all static slices)
-            qf = q_rope.astype(jnp.float32)  # [1, QW]
-            q_rs = [
-                jnp.concatenate(
-                    [
-                        qf[:, (kv * GR + r) * D:(kv * GR + r) * D + D]
-                        for kv in range(Hkv)
-                    ],
-                    axis=1,
-                )
-                for r in range(GR)
-            ]  # GR x [1, KW]
-            kcur32 = kc16.astype(jnp.float32)
+            # a time (all static slices). R > 1 (verify pass) loops rows:
+            # row t additionally attends block rows j <= t (the in-block
+            # causal set — K/V of those rows are in kc16/vc16 registers).
+            qf_all = q_rope.astype(jnp.float32)  # [R, QW]
+            kcur32 = kc16.astype(jnp.float32)  # [R, KW]
             vcur32 = vc16.astype(jnp.float32)
-
-            s_chunks = [[] for _ in range(GR)]
-            for c0 in range(0, C, _ATTN_CHUNK):
-                cw = min(_ATTN_CHUNK, C - c0)
-                kc = kbuf[pl.ds(par, 1), c0:c0 + cw, :][0].astype(jnp.float32)
-                for r in range(GR):
-                    s_chunks[r].append(seg_reduce(kc * q_rs[r]))
             row = jax.lax.broadcasted_iota(jnp.int32, (C, Hkv), 0)
-            ao_rs = []
-            p_rs, pcur_rs, denom_rs = [], [], []
-            for r in range(GR):
-                scores = jnp.concatenate(s_chunks[r], axis=0) * scale
-                scores = jnp.where(row < cur, scores, NEG_INF)
-                s_cur = seg_reduce(kcur32 * q_rs[r]) * scale  # [1, Hkv]
-                mx = jnp.maximum(jnp.max(scores, axis=0, keepdims=True),
-                                 s_cur)
-                p = jnp.exp(scores - mx)  # [C, Hkv]
-                p_cur = jnp.exp(s_cur - mx)
-                denom_rs.append(jnp.sum(p, axis=0, keepdims=True) + p_cur)
-                p_rs.append(p)
-                pcur_rs.append(p_cur)
-            for r in range(GR):
-                ao = jnp.zeros((1, KW), jnp.float32)
+            a_rows = []
+            for t in range(R):
+                qf = qf_all[t:t + 1]  # [1, QW]
+                q_rs = [
+                    jnp.concatenate(
+                        [
+                            qf[:, (kv * GR + r) * D:(kv * GR + r) * D + D]
+                            for kv in range(Hkv)
+                        ],
+                        axis=1,
+                    )
+                    for r in range(GR)
+                ]  # GR x [1, KW]
+
+                s_chunks = [[] for _ in range(GR)]
                 for c0 in range(0, C, _ATTN_CHUNK):
                     cw = min(_ATTN_CHUNK, C - c0)
-                    vc = vbuf[pl.ds(par, 1), c0:c0 + cw, :][0].astype(jnp.float32)
-                    pe = seg_bcast(p_rs[r][c0:c0 + cw])  # [cw, KW]
-                    ao = ao + jnp.sum(pe * vc, axis=0, keepdims=True)
-                ao = ao + seg_bcast(pcur_rs[r]) * vcur32
-                ao_rs.append(ao / seg_bcast(denom_rs[r]))
+                    kc = kbuf[pl.ds(par, 1), c0:c0 + cw, :][0].astype(
+                        jnp.float32)
+                    for r in range(GR):
+                        s_chunks[r].append(seg_reduce(kc * q_rs[r]))
+                ao_rs = []
+                p_rs, pnew_rs, denom_rs = [], [], []
+                for r in range(GR):
+                    scores = jnp.concatenate(s_chunks[r], axis=0) * scale
+                    scores = jnp.where(row < cur, scores, NEG_INF)
+                    s_new = [
+                        seg_reduce(kcur32[j:j + 1] * q_rs[r]) * scale
+                        for j in range(t + 1)
+                    ]  # (t+1) x [1, Hkv]
+                    mx = jnp.max(scores, axis=0, keepdims=True)
+                    for sn in s_new:
+                        mx = jnp.maximum(mx, sn)
+                    p = jnp.exp(scores - mx)  # [C, Hkv]
+                    p_new = [jnp.exp(sn - mx) for sn in s_new]
+                    denom = jnp.sum(p, axis=0, keepdims=True)
+                    for pn in p_new:
+                        denom = denom + pn
+                    denom_rs.append(denom)
+                    p_rs.append(p)
+                    pnew_rs.append(p_new)
+                for r in range(GR):
+                    ao = jnp.zeros((1, KW), jnp.float32)
+                    for c0 in range(0, C, _ATTN_CHUNK):
+                        cw = min(_ATTN_CHUNK, C - c0)
+                        vc = vbuf[pl.ds(par, 1), c0:c0 + cw, :][0].astype(
+                            jnp.float32)
+                        pe = seg_bcast(p_rs[r][c0:c0 + cw])  # [cw, KW]
+                        ao = ao + jnp.sum(pe * vc, axis=0, keepdims=True)
+                    for j, pn in enumerate(pnew_rs[r]):
+                        ao = ao + seg_bcast(pn) * vcur32[j:j + 1]
+                    ao_rs.append(ao / seg_bcast(denom_rs[r]))
 
-            # interleave rotations back to query-head order [1, QW]
-            a32 = jnp.concatenate(
-                [
-                    ao_rs[hq % GR][:, (hq // GR) * D:(hq // GR) * D + D]
-                    for hq in range(Hq)
-                ],
-                axis=1,
-            )
-            a = a32.astype(dtype)
+                # interleave rotations back to query-head order [1, QW]
+                a_rows.append(jnp.concatenate(
+                    [
+                        ao_rs[hq % GR][:, (hq // GR) * D:(hq // GR) * D + D]
+                        for hq in range(Hq)
+                    ],
+                    axis=1,
+                ))
+            a = jnp.concatenate(a_rows, axis=0).astype(dtype)  # [R, QW]
 
             oo, ro, co = name_off["wo"]
             o32 = jnp.concatenate(mm_chunks(a, lbase + oo, ro, co), axis=-1)
@@ -968,26 +995,39 @@ def llama_megastep(
 
         x = jax.lax.fori_loop(0, L, layer_body, x)
 
-        # merge the new K/V rows into their aligned 8-row groups; write both
+        # merge the new K/V rows into their aligned RMW window; write both
         # groups back overlapped with the LM-head tile stream
         gk_in.wait()
         gv_in.wait()
-        ridx = jax.lax.broadcasted_iota(jnp.int32, (L, 8, KW), 1)
-        ins = ridx == (cur - gbase)
-        gk[:] = jnp.where(ins, jnp.broadcast_to(knew[:], (L, 8, KW)), gk[:])
-        gv[:] = jnp.where(ins, jnp.broadcast_to(vnew[:], (L, 8, KW)), gv[:])
+        off = cur - gbase  # 0..7, so off + R <= W_RMW
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (L, W_RMW, KW), 1)
+        gkv = gk[:]
+        gvv = gv[:]
+        for r in range(R):
+            ins = ridx == off + r
+            gkv = jnp.where(
+                ins,
+                jnp.broadcast_to(knew[:, r:r + 1, :], (L, W_RMW, KW)), gkv,
+            )
+            gvv = jnp.where(
+                ins,
+                jnp.broadcast_to(vnew[:, r:r + 1, :], (L, W_RMW, KW)), gvv,
+            )
+        gk[:] = gkv
+        gv[:] = gvv
         okd = group_out(gk, ko_ref, osem.at[0])
         ovd = group_out(gv, vo_ref, osem.at[1])
         okd.start()
         ovd.start()
 
-        xf = rms(x, lnf_ref[:])  # [1, E] dtype
+        xf = rms(x, lnf_ref[:])  # [R, E] dtype
         lm_base = L * per_layer
         rg_lm = E // TR
-        cidx = jax.lax.broadcasted_iota(jnp.int32, (1, TC), 1)
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (R, TC), 1)
+        big = jnp.int32(2 ** 30)
 
         def lm_body(t, carry):
-            best, best_idx = carry
+            best, best_idx = carry  # [R, 1] f32 / int32
             acc = None
             for g in range(rg_lm):
                 y = tile_dot(
@@ -998,15 +1038,20 @@ def llama_megastep(
                 acc = acc * ws_ref[pl.ds(lm_base + t * rg_lm, 1)]
             # mask vocab padding in the last tile (no-op elsewhere)
             acc = jnp.where(t * TC + cidx < V, acc, NEG_INF)
-            ymax = jnp.max(acc)
-            yarg = jnp.argmax(acc).astype(jnp.int32) + t * TC
-            take = ymax > best  # strict: first max wins, as jnp.argmax
-            return jnp.maximum(best, ymax), jnp.where(take, yarg, best_idx)
+            ymax = jnp.max(acc, axis=1, keepdims=True)  # [R, 1]
+            # first-max-wins within the tile, as jnp.argmax
+            cand = jnp.min(
+                jnp.where(acc == ymax, cidx, big), axis=1, keepdims=True
+            ) + t * TC
+            take = ymax > best  # strict: earlier tiles win ties
+            return jnp.maximum(best, ymax), jnp.where(take, cand, best_idx)
 
         _, best_idx = jax.lax.fori_loop(
-            0, n_lm, lm_body, (jnp.float32(NEG_INF), jnp.int32(0))
+            0, n_lm, lm_body,
+            (jnp.full((R, 1), NEG_INF, jnp.float32),
+             jnp.zeros((R, 1), jnp.int32)),
         )
-        tok_ref[0, 0] = best_idx
+        tok_ref[:] = jnp.broadcast_to(best_idx, (R, 128))
 
         okd.wait()
         ovd.wait()
@@ -1018,10 +1063,10 @@ def llama_megastep(
     scratch += [
         pltpu.VMEM((2, C, KW), dtype),  # K ring
         pltpu.VMEM((2, C, KW), dtype),  # V ring
-        pltpu.VMEM((L, 1, KW), dtype),  # new K rows
-        pltpu.VMEM((L, 1, KW), dtype),  # new V rows
-        pltpu.VMEM((L, 8, KW), dtype),  # RMW group (K)
-        pltpu.VMEM((L, 8, KW), dtype),  # RMW group (V)
+        pltpu.VMEM((L, R, KW), dtype),  # new K rows
+        pltpu.VMEM((L, R, KW), dtype),  # new V rows
+        pltpu.VMEM((L, W_RMW, KW), dtype),  # RMW window (K)
+        pltpu.VMEM((L, W_RMW, KW), dtype),  # RMW window (V)
         pltpu.SemaphoreType.DMA((2,)),  # wsem
     ]
     if int4_w and not s4_vmem:
@@ -1052,12 +1097,12 @@ def llama_megastep(
             ),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # token
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tokens [R, 128]
             pl.BlockSpec(memory_space=pltpu.HBM),  # k out (aliased)
             pl.BlockSpec(memory_space=pltpu.HBM),  # v out (aliased)
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((R, 128), jnp.int32),
             jax.ShapeDtypeStruct((L, C, KW), k.dtype),
             jax.ShapeDtypeStruct((L, C, KW), v.dtype),
         ],
@@ -1088,4 +1133,37 @@ def llama_megastep(
         qkvb,
         w4scale,
     )
-    return tok[0, 0], k2, v2
+    return tok[:, 0], k2, v2
+
+
+def llama_megastep(
+    packed: dict, k, v, length, x_emb, cos_q, sin_q,
+    *, cfg: Any, capacity: int, interpret: bool = False,
+):
+    """One full Llama decode step. Returns (token id int32 [], new k, new v).
+
+    The single-row case of _llama_megapass (see its docstring for the
+    kernel design).
+    """
+    toks, k2, v2 = _llama_megapass(
+        packed, k, v, length, x_emb, cos_q, sin_q,
+        cfg=cfg, capacity=capacity, interpret=interpret,
+    )
+    return toks[0], k2, v2
+
+
+def llama_megaverify(
+    packed: dict, k, v, length, x_emb, cos_q, sin_q,
+    *, cfg: Any, capacity: int, interpret: bool = False,
+):
+    """Verify R draft rows in ONE weight-streaming pass (greedy).
+
+    Row t carries the t-th verify token at position length + t; all R K/V
+    rows land in the cache and per-row greedy argmax comes back as [R]
+    int32. Requires R <= 8 and capacity >= roundup8(length + R) + 8 (the
+    cache writeback uses a 16-row aligned read-modify-write window).
+    """
+    return _llama_megapass(
+        packed, k, v, length, x_emb, cos_q, sin_q,
+        cfg=cfg, capacity=capacity, interpret=interpret,
+    )

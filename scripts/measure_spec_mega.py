@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="gpt2")
     ap.add_argument("--wq", default="none", choices=["int8", "int4", "none"])
     ap.add_argument("--k", type=int, default=4)
     ap.add_argument("--draft-layers", type=int, default=1)
@@ -40,8 +41,8 @@ def main() -> None:
 
     enable_compilation_cache()
     wq = None if args.wq == "none" else args.wq
-    cfg = Config(model_name="gpt2", weight_quant=wq, megakernel=True)
-    eng = InferenceEngine.from_model_name("gpt2", config=cfg)
+    cfg = Config(model_name=args.model, weight_quant=wq, megakernel=True)
+    eng = InferenceEngine.from_model_name(args.model, config=cfg)
     spec = eng.model
     dtype = cfg.dtype
 

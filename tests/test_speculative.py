@@ -144,3 +144,49 @@ def test_mega_verify_spec_matches_target_greedy():
             out, n = gen(tp, dparams, jnp.asarray(buf), jnp.int32(len(ids)))
             got = np.asarray(out)[: int(n)].tolist()
             assert got == ref, (wq, got, ref)
+
+
+def test_llama_mega_verify_spec_matches_target_greedy():
+    """Llama k-row verify megakernel inside the speculative loop == plain
+    greedy (fp32, interpret) — full-precision, int8, and int4 tiles."""
+    from efficient_llm_inference_tpu.engine.speculative import make_self_draft
+    from efficient_llm_inference_tpu.models import llama as llama_mod
+    from efficient_llm_inference_tpu.models.llama import LlamaConfig, llama_spec
+    from efficient_llm_inference_tpu.ops.pallas.megakernel_llama import (
+        pack_llama_mega,
+    )
+
+    cfg = LlamaConfig(
+        vocab_size=300, hidden_size=256, intermediate_size=512, n_layer=2,
+        n_head=4, n_kv_head=2, n_positions=512, rope_theta=10000.0,
+        tie_embeddings=True,
+    )
+    params = llama_mod.init_llama_params(jax.random.PRNGKey(0), cfg,
+                                         jnp.float32)
+    spec = llama_spec(cfg)
+    prompt = "the quick brown fox jumps over the lazy dog"
+    n_new = 18
+    for wq in (None, "int8", "int4"):
+        tparams = (
+            llama_mod.quantize_llama_weights(params, wq) if wq else params
+        )
+        eng = InferenceEngine(
+            spec, tparams,
+            config=Config(model_name="l", device="cpu", dtype=jnp.float32,
+                          weight_quant=wq),
+        )
+        ids = eng.tokenizer.encode(prompt)
+        ref = eng.generate_ids(prompt, "full_cache", n_new)[-n_new:]
+        mega = {"packed": pack_llama_mega(tparams, cfg), "cfg": cfg,
+                "kind": "llama", "interpret": True}
+        assert mega["packed"] is not None
+        dspec, dparams = make_self_draft(spec, tparams, 1)
+        gen = make_speculative_generate(
+            spec, dspec, n_new, k=4, prompt_bucket=64, mega=mega
+        )
+        buf = np.zeros((1, 64), np.int32)
+        buf[0, : len(ids)] = ids
+        tp = dict(tparams, __mega_packed__=mega["packed"])
+        out, n = gen(tp, dparams, jnp.asarray(buf), jnp.int32(len(ids)))
+        got = np.asarray(out)[: int(n)].tolist()
+        assert got == ref, (wq, got, ref)
