@@ -7,4 +7,7 @@ from .generate import (  # noqa: F401
     make_prefill,
 )
 from .generate import SamplingParams, sample_token  # noqa: F401
-from .speculative import make_speculative_generate  # noqa: F401
+from .speculative import (  # noqa: F401
+    make_ngram_speculative_generate,
+    make_speculative_generate,
+)

@@ -14,13 +14,22 @@ rounds, each round = one scanned draft burst + one k-token target verify,
 with both caches rolled back to the accepted prefix (static-shape buffers
 make rollback a pure length update).
 
+Three proposal sources, one acceptance rule (exact greedy equivalence for
+ANY proposals): a draft model (make_speculative_generate), a token tree
+(make_tree_speculative_generate), and draft-free prompt-lookup n-gram
+matching (make_ngram_speculative_generate). Each can verify through the
+XLA forward or through the k-row verify MEGAKERNEL (mega=..., one
+weight-streaming Pallas pass per round — ops/pallas/megakernel.py
+gpt2_megaverify / megakernel_llama.py llama_megaverify).
+
 Numerics caveat: the identity is exact in fp32 (property-tested). Under
 bf16 the verify pass computes logits with [k, E] matmul shapes while plain
 decoding uses [1, E], so accumulation order differs and near-tie argmax
 positions can flip — the same benign drift class as XLA-vs-torch fp32
 differences, not a scheduling bug. Measured on one v5e chip: k=4 with a
 3-layer truncated draft reaches ~958 tok/s single-stream vs ~650 for
-plain decode (1.47x).
+plain decode (1.47x); see docs/BENCHMARKS.md for the megakernel-verify
+numbers.
 """
 
 from __future__ import annotations
@@ -317,6 +326,221 @@ def make_speculative_generate(
         return out, jnp.minimum(n_emitted, max_new_tokens)
 
     return jax.jit(generate_mega if mega is not None else generate)
+
+
+# ---------------------------------------------------------------------------
+# Prompt-lookup (n-gram) speculation: draft-free proposals.
+# ---------------------------------------------------------------------------
+
+
+def make_ngram_speculative_generate(
+    target: ModelSpec,
+    max_new_tokens: int,
+    k: int = 8,
+    ngram: int = 2,
+    prompt_bucket: int = 128,
+    mega: Optional[dict] = None,
+    dtype: Any = jnp.float32,
+):
+    """Prompt-lookup decoding: proposals are mined from the sequence itself.
+
+    Each round finds the most recent earlier position whose trailing
+    `ngram` tokens match the current tail and proposes the k tokens that
+    followed it — ZERO draft-model cost (one vectorized match over the
+    static sequence buffer). Greedy acceptance keeps the output stream
+    identical to plain target greedy decoding for ANY proposal source, so
+    correctness is unconditional; the match heuristic only sets the
+    acceptance rate (high on repetitive text — the classic
+    prompt-lookup / assisted-generation trick).
+
+    With `mega` (engine._mega_spec-style dict), the k-row verify runs as
+    one whole-step Pallas pass (gpt2_megaverify / llama_megaverify): a
+    round then costs ~ONE decode step for up to k accepted tokens.
+    Returns jitted (t_params, tokens [1, bucket], true_len) ->
+    (out_tokens [max_new + k], n_emitted); with mega, pass the packed
+    stream as t_params["__mega_packed__"].
+    """
+    cap = prompt_bucket + max_new_tokens + k + 1
+    kind = (mega or {}).get("kind", "gpt2")
+    if mega is not None:
+        assert kind in ("gpt2", "llama")
+        assert k <= 8, "mega verify block must fit one 16-row RMW window"
+        cap = -(-cap // 8) * 8 + 8
+    S = cap  # sequence buffer: prompt + emitted tokens
+
+    t_strategy = DenseKV(
+        n_layer=target.n_layer, n_head=target.n_kv_head,
+        head_dim=target.head_dim, capacity=cap, dtype=dtype,
+    )
+    OUT = max_new_tokens + k
+
+    def _prefill(params, tokens, true_len):
+        B, Tpad = tokens.shape
+        cache = t_strategy.init()
+        pos = jnp.minimum(
+            jax.lax.broadcasted_iota(jnp.int32, (B, Tpad), 1),
+            target.n_positions - 1,
+        )
+        seq_mask = jax.lax.broadcasted_iota(jnp.int32, (B, Tpad), 1) < true_len
+        logits, cache = target.forward(
+            params, tokens, pos, cache, t_strategy, seq_mask
+        )
+        cache = t_strategy.set_length(cache, true_len)
+        idx = jnp.broadcast_to((true_len - 1)[None, None, None], (B, 1, 1))
+        last = jnp.take_along_axis(logits, idx, axis=1)[:, 0]
+        return cache, jnp.argmax(last[0]).astype(jnp.int32)
+
+    def _propose(seq, L):
+        """k proposals for positions L..L+k-1 from the latest n-gram match.
+
+        Falls back to repeating the last token when no earlier match
+        exists (any proposal is correct; acceptance just drops).
+        """
+        idx = jnp.arange(S, dtype=jnp.int32)
+        valid = (idx >= ngram - 1) & (idx < L - 1)
+        match = jnp.ones((S,), bool)
+        for j in range(ngram):
+            # seq[p - j] == seq[L - 1 - j]
+            shifted = jnp.roll(seq, j)
+            match = match & (shifted == seq[L - 1 - j])
+        match = match & valid
+        q = jnp.max(jnp.where(match, idx, -1))  # latest match, -1 if none
+        found = q >= 0
+        base = jnp.where(found, q + 1, jnp.int32(0))
+        cont = jax.lax.dynamic_slice(seq, (base,), (k,))
+        return jnp.where(found, cont, jnp.full((k,), seq[L - 1], jnp.int32))
+
+    def _accept_and_emit(proposals, greedy_t, out, n_emitted):
+        agree = proposals == greedy_t
+        n_acc = jnp.argmin(
+            jnp.concatenate([agree, jnp.zeros((1,), bool)]).astype(jnp.int32)
+        ).astype(jnp.int32)
+        emitted = jnp.where(
+            jnp.arange(k + 1) < n_acc,
+            jnp.concatenate([proposals, jnp.zeros((1,), jnp.int32)]),
+            jnp.where(
+                jnp.arange(k + 1) == n_acc,
+                jnp.concatenate([greedy_t, greedy_t[-1:]]),
+                0,
+            ),
+        )
+        n_new = jnp.where(n_acc == k, k, n_acc + 1)
+        out = jax.lax.dynamic_update_slice(out, emitted[:k], (n_emitted,))
+        return emitted, n_new, n_acc, out
+
+    def _init_seq(tokens, true_len, first):
+        seq = jnp.zeros((S,), jnp.int32)
+        w = min(S, tokens.shape[1])
+        seq = jax.lax.dynamic_update_slice(seq, tokens[0, :w], (0,))
+        return jax.lax.dynamic_update_slice(seq, first[None], (true_len,))
+
+    if mega is None:
+
+        def generate(t_params, tokens, true_len):
+            t_cache, first = _prefill(t_params, tokens, true_len)
+            out = jnp.zeros((OUT,), jnp.int32).at[0].set(first)
+            seq = _init_seq(tokens, true_len, first)
+
+            def cond(state):
+                return state[3] < max_new_tokens
+
+            def body(state):
+                t_cache, seq, out, n_emitted = state
+                L = true_len + n_emitted
+                proposals = _propose(seq, L)
+                verify_in = jax.lax.dynamic_slice(seq, (L - 1,), (1,))
+                verify_in = jnp.concatenate([verify_in, proposals[:-1]])[None]
+                t_len0 = t_cache["length"]
+                pos = jnp.minimum(
+                    t_len0 + jnp.arange(k, dtype=jnp.int32),
+                    target.n_positions - 1,
+                )[None]
+                logits, t_cache = target.forward(
+                    t_params, verify_in, pos, t_cache, t_strategy, None
+                )
+                t_cache = t_strategy.set_length(t_cache, t_len0 + k)
+                greedy_t = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+                emitted, n_new, n_acc, out = _accept_and_emit(
+                    proposals, greedy_t, out, n_emitted
+                )
+                seq = jax.lax.dynamic_update_slice(seq, emitted[:k], (L,))
+                n_emitted = n_emitted + n_new
+                t_keep = jnp.minimum(1 + n_acc, k)
+                t_cache = t_strategy.set_length(t_cache, t_len0 + t_keep)
+                return (t_cache, seq, out, n_emitted)
+
+            state = (t_cache, seq, out, jnp.ones((), jnp.int32))
+            _, _, out, n_emitted = jax.lax.while_loop(cond, body, state)
+            return out, jnp.minimum(n_emitted, max_new_tokens)
+
+        return jax.jit(generate)
+
+    from ..ops.pallas.megakernel import to_mega_layout
+
+    if kind == "gpt2":
+        from ..ops.pallas.megakernel import gpt2_megaverify as _verify
+    else:
+        from ..models.llama import rope_cos_sin
+        from ..ops.pallas.megakernel_llama import llama_megaverify as _verify
+
+    def generate_mega(t_params, tokens, true_len):
+        t_params = dict(t_params)
+        packed = t_params.pop("__mega_packed__")
+        cfg = mega["cfg"]
+        interpret = mega.get("interpret", False)
+
+        t_cache, first = _prefill(t_params, tokens, true_len)
+        tk = to_mega_layout(t_cache["k"])
+        tv = to_mega_layout(t_cache["v"])
+        out = jnp.zeros((OUT,), jnp.int32).at[0].set(first)
+        seq = _init_seq(tokens, true_len, first)
+
+        def cond(state):
+            return state[5] < max_new_tokens
+
+        def body(state):
+            tk, tv, t_len, seq, out, n_emitted = state
+            L = true_len + n_emitted
+            proposals = _propose(seq, L)
+            verify_in = jax.lax.dynamic_slice(seq, (L - 1,), (1,))
+            verify_in = jnp.concatenate([verify_in, proposals[:-1]])  # [k]
+            pos = jnp.minimum(
+                t_len + jnp.arange(k, dtype=jnp.int32),
+                target.n_positions - 1,
+            )
+            if kind == "gpt2":
+                x = (t_params["wte"][verify_in]
+                     + t_params["wpe"][pos]).astype(dtype)
+                greedy_t, tk, tv = _verify(
+                    packed, tk, tv, t_len, x,
+                    cfg=cfg, capacity=cap, interpret=interpret,
+                )
+            else:
+                x = t_params["embed"][verify_in].astype(dtype)
+                cos, sin = rope_cos_sin(
+                    pos[None], cfg.head_dim, cfg.rope_theta
+                )
+                cos_q = jnp.tile(cos[0], (1, cfg.n_head))
+                sin_q = jnp.tile(sin[0], (1, cfg.n_head))
+                greedy_t, tk, tv = _verify(
+                    packed, tk, tv, t_len, x, cos_q, sin_q,
+                    cfg=cfg, capacity=cap, interpret=interpret,
+                )
+            emitted, n_new, n_acc, out = _accept_and_emit(
+                proposals, greedy_t, out, n_emitted
+            )
+            seq = jax.lax.dynamic_update_slice(seq, emitted[:k], (L,))
+            n_emitted = n_emitted + n_new
+            t_len = t_len + jnp.minimum(1 + n_acc, k)
+            return (tk, tv, t_len, seq, out, n_emitted)
+
+        state = (tk, tv, t_cache["length"], seq, out, jnp.ones((), jnp.int32))
+        tk, tv, t_len, seq, out, n_emitted = jax.lax.while_loop(
+            cond, body, state
+        )
+        return out, jnp.minimum(n_emitted, max_new_tokens)
+
+    return jax.jit(generate_mega)
 
 
 # ---------------------------------------------------------------------------

@@ -268,11 +268,18 @@ def _pack_gpt2_mega_int4(params: dict, cfg) -> dict | None:
     return {"wstack": wstack, "w4scale": w4scale, **_gpt2_smalls(params, cfg)}
 
 
-def _pick_tiles_per_slab(E: int, C: int, tile_bytes: int, kv_item: int) -> int:
-    """Largest slab (1..3 tiles) that keeps the VMEM rings under budget."""
+def _pick_tiles_per_slab(
+    E: int, C: int, tile_bytes: int, kv_item: int, reserve: int = 0
+) -> int:
+    """Largest slab (1..3 tiles) that keeps the VMEM rings under budget.
+
+    `reserve` carves out space for caller-specific scratch beyond the
+    rings (the R-row verify pass's knew/vnew rows and 16-row RMW windows
+    — measured overshoot without it: 384 KB past the 16 MB scoped limit).
+    """
     kv_ring = 4 * C * E * kv_item  # 2-deep ring for K and for V
     for tps in (3, 2, 1):
-        if 2 * tps * tile_bytes + kv_ring <= _VMEM_BUDGET:
+        if 2 * tps * tile_bytes + kv_ring + reserve <= _VMEM_BUDGET:
             return tps
     return 0  # does not fit: caller falls back to the XLA path
 
@@ -720,7 +727,13 @@ def gpt2_megaverify(
     tile_b = (E // 2) * E if s4_vmem else _tile_bytes(
         mode, E, G, jnp.dtype(dtype).itemsize
     )
-    tps = _pick_tiles_per_slab(E, C, tile_b, jnp.dtype(dtype).itemsize)
+    # verify-pass extras beyond the step kernel's envelope: R-row
+    # knew/vnew + two 16-row RMW windows + the per-row fp32 attention
+    # temporaries (measured: bf16 R=8 C=536 at tps=3 overshoots the 16 MB
+    # scoped limit by 384 KB — this reserve drops it to tps=2)
+    dt_item = jnp.dtype(dtype).itemsize
+    reserve = 2 * L * (R + 16) * E * dt_item + 2 * 1024 * 1024
+    tps = _pick_tiles_per_slab(E, C, tile_b, dt_item, reserve)
     if tps == 0:
         raise ValueError("megakernel does not fit VMEM at this capacity")
     n_slabs = -(-n_tiles // tps)

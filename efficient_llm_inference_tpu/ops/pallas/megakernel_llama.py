@@ -693,6 +693,8 @@ def _llama_megapass(
         G, n_gh = TR, 0
         mode = "int8" if int8_w else "f"
         ws_vmem = 4 * n_tiles * TC if int8_w else 0
+    # R-row verify extras beyond the step kernel's envelope
+    ws_vmem += 2 * L * (R + W_RMW) * KW * dt_item if R > 1 else 0
     tps = _pick_tiles_per_slab(
         (TR // 2) * TC if s4_vmem else _w_slot_bytes(mode, TR, TC, G, dt_item),
         C, KW, dt_item, ws_vmem,

@@ -22,6 +22,8 @@ def main() -> None:
     ap.add_argument("--wq", default="none", choices=["int8", "int4", "none"])
     ap.add_argument("--k", type=int, default=4)
     ap.add_argument("--draft-layers", type=int, default=1)
+    ap.add_argument("--ngram", action="store_true",
+                    help="prompt-lookup proposals instead of a draft model")
     ap.add_argument("--reps", type=int, default=4)
     args = ap.parse_args()
 
@@ -67,16 +69,37 @@ def main() -> None:
     assert mega is not None, "megakernel not eligible"
     dspec, dparams = make_self_draft(spec, eng.params, args.draft_layers)
 
+    buf = np.zeros((1, 256), np.int32)
+    buf[0, :len(prompt_ids)] = prompt_ids[:256]
+    tb = jnp.asarray(buf)
+    tl = jnp.int32(min(len(prompt_ids), 256))
+    tp = dict(eng.params, __mega_packed__=mega["packed"])
+
+    if args.ngram:
+        from efficient_llm_inference_tpu.engine.speculative import (
+            make_ngram_speculative_generate,
+        )
+
+        for n_new in (64, 256):
+            gen = make_ngram_speculative_generate(
+                spec, n_new, k=args.k, prompt_bucket=256,
+                mega={**mega, "interpret": False}, dtype=dtype,
+            )
+            out, n = jax.device_get(gen(tp, tb, tl))  # warmup/compile
+            best = 0.0
+            for _ in range(args.reps):
+                t = DeviceTimer().start()
+                out, n = jax.device_get(gen(tp, tb, tl))
+                best = max(best, int(n) / t.stop())
+            print(f"[spec-mega] ngram(k={args.k}) n_new={n_new}: "
+                  f"{best:.1f} tok/s ({int(n)} tokens)")
+        return
+
     for n_new in (64, 256):
         gen = make_speculative_generate(
             spec, dspec, n_new, k=args.k, prompt_bucket=256,
             mega={**mega, "interpret": False}, dtype=dtype,
         )
-        buf = np.zeros((1, 256), np.int32)
-        buf[0, :len(prompt_ids)] = prompt_ids[:256]
-        tp = dict(eng.params, __mega_packed__=mega["packed"])
-        tb = jnp.asarray(buf)
-        tl = jnp.int32(min(len(prompt_ids), 256))
         out, n = jax.device_get(gen(tp, dparams, tb, tl))  # warmup/compile
         best = 0.0
         for _ in range(args.reps):

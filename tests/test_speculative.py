@@ -190,3 +190,66 @@ def test_llama_mega_verify_spec_matches_target_greedy():
         out, n = gen(tp, dparams, jnp.asarray(buf), jnp.int32(len(ids)))
         got = np.asarray(out)[: int(n)].tolist()
         assert got == ref, (wq, got, ref)
+
+
+def test_ngram_prompt_lookup_matches_target_greedy():
+    """Prompt-lookup (draft-free) speculation == plain greedy, exactly —
+    XLA verify, gpt2 mega verify, and llama mega verify."""
+    from efficient_llm_inference_tpu.engine.speculative import (
+        make_ngram_speculative_generate,
+    )
+    from efficient_llm_inference_tpu.models import llama as llama_mod
+    from efficient_llm_inference_tpu.models.llama import (
+        LlamaConfig,
+        llama_spec,
+    )
+    from efficient_llm_inference_tpu.ops.pallas.megakernel import (
+        pack_gpt2_mega,
+    )
+    from efficient_llm_inference_tpu.ops.pallas.megakernel_llama import (
+        pack_llama_mega,
+    )
+
+    prompt = "the quick brown fox jumps over the lazy dog and the quick cat"
+    n_new = 20
+
+    cfg = gpt2_mod.GPT2Config(
+        vocab_size=300, n_positions=256, n_embd=128, n_layer=2, n_head=2
+    )
+    params = gpt2_mod.init_gpt2_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    spec = gpt2_spec(cfg)
+    eng = InferenceEngine(
+        spec, params, config=Config(dtype=jnp.float32, device="cpu")
+    )
+    ids = eng.tokenizer.encode(prompt)
+    ref = eng.generate_ids(prompt, "full_cache", n_new)[-n_new:]
+    buf = np.zeros((1, 128), np.int32)
+    buf[0, : len(ids)] = ids
+    g_mega = {"packed": pack_gpt2_mega(params, cfg), "cfg": cfg,
+              "kind": "gpt2", "interpret": True}
+    for mega in (None, g_mega):
+        gen = make_ngram_speculative_generate(spec, n_new, k=8, mega=mega)
+        tp = dict(params, __mega_packed__=mega["packed"]) if mega else params
+        out, n = gen(tp, jnp.asarray(buf), jnp.int32(len(ids)))
+        got = np.asarray(out)[: int(n)].tolist()
+        assert got == ref, (mega is not None, got, ref)
+
+    lcfg = LlamaConfig(
+        vocab_size=300, hidden_size=256, intermediate_size=512, n_layer=2,
+        n_head=4, n_kv_head=2, n_positions=512, rope_theta=10000.0,
+        tie_embeddings=True,
+    )
+    lparams = llama_mod.init_llama_params(jax.random.PRNGKey(0), lcfg,
+                                          jnp.float32)
+    lspec = llama_spec(lcfg)
+    leng = InferenceEngine(
+        lspec, lparams, config=Config(dtype=jnp.float32, device="cpu")
+    )
+    lref = leng.generate_ids(prompt, "full_cache", n_new)[-n_new:]
+    lmega = {"packed": pack_llama_mega(lparams, lcfg), "cfg": lcfg,
+             "kind": "llama", "interpret": True}
+    gen = make_ngram_speculative_generate(lspec, n_new, k=8, mega=lmega)
+    out, n = gen(dict(lparams, __mega_packed__=lmega["packed"]),
+                 jnp.asarray(buf), jnp.int32(len(ids)))
+    got = np.asarray(out)[: int(n)].tolist()
+    assert got == lref, (got, lref)
