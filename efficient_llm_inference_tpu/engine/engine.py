@@ -366,6 +366,73 @@ class InferenceEngine:
         self._run(prompt, method, max_new_tokens, **kw)
         return list(self.last_generation_ids)
 
+    def generate_speculative(
+        self,
+        prompt: str,
+        max_new_tokens: int = 32,
+        mode: str = "ngram",
+        k: int = 8,
+        draft_layers: int = 1,
+    ):
+        """Speculative greedy generation (beyond the reference).
+
+        mode "ngram" = draft-free prompt-lookup proposals; "self_draft" =
+        a truncated `draft_layers`-layer self-draft. Both verify through
+        the whole-step megakernel when the model/config is eligible
+        (engine._mega_spec), else the XLA k-row forward. Output is exactly
+        plain full_cache greedy in fp32 (bf16: the [k, E]-vs-[1, E]
+        reassociation caveat, docs/BENCHMARKS.md). Returns (text, n_new).
+        """
+        from .speculative import (
+            make_ngram_speculative_generate,
+            make_self_draft,
+            make_speculative_generate,
+        )
+
+        ids = self._encode(prompt, "full_cache")
+        true_len = len(ids)
+        assert true_len > 0, "empty prompt"
+        bucket = min(bucket_for(true_len), self.model.n_positions)
+        key = ("speculative", mode, bucket, max_new_tokens, k, draft_layers)
+        if key not in self._fns:
+            mega = self._mega_spec(bucket + max_new_tokens + k + 1, None)
+            if mode == "ngram":
+                gen = make_ngram_speculative_generate(
+                    self.model, max_new_tokens, k=k, prompt_bucket=bucket,
+                    mega=mega, dtype=self.config.dtype,
+                )
+            elif mode == "self_draft":
+                dspec, dparams = make_self_draft(
+                    self.model, self.params, draft_layers
+                )
+                gen = make_speculative_generate(
+                    self.model, dspec, max_new_tokens, k=k,
+                    prompt_bucket=bucket, mega=mega, dtype=self.config.dtype,
+                )
+                base = gen
+
+                def gen(tp, tokens, tl, _g=base, _dp=dparams):  # noqa: E731
+                    return _g(tp, _dp, tokens, tl)
+
+            else:
+                raise ValueError(f"unknown speculative mode: {mode}")
+            self._fns[key] = ("speculative", gen, mega)
+        _, gen, mega = self._fns[key]
+
+        buf = np.zeros((1, bucket), np.int32)
+        buf[0, :true_len] = ids
+        params = (
+            dict(self.params, __mega_packed__=mega["packed"])
+            if mega is not None else self.params
+        )
+        out, n = jax.device_get(
+            gen(params, jnp.asarray(buf), jnp.int32(true_len))
+        )
+        n = int(n)
+        out_ids = ids + np.asarray(out)[:n].tolist()
+        self.last_generation_ids = out_ids
+        return self.tokenizer.decode(out_ids, skip_special_tokens=True), n
+
     # ------------------------------------------------------------------
     # Generation API (names/signatures/returns mirror benchmarker.py:63-639)
     # ------------------------------------------------------------------

@@ -253,3 +253,23 @@ def test_ngram_prompt_lookup_matches_target_greedy():
                  jnp.asarray(buf), jnp.int32(len(ids)))
     got = np.asarray(out)[: int(n)].tolist()
     assert got == lref, (got, lref)
+
+
+@pytest.mark.parametrize("megaflag", [False, True])
+def test_engine_generate_speculative_matches_full_cache(megaflag):
+    """InferenceEngine.generate_speculative (ngram + self_draft, XLA and
+    megakernel verify) == plain full_cache greedy, token-exact (fp32)."""
+    cfg = gpt2_mod.GPT2Config(
+        vocab_size=300, n_positions=256, n_embd=128, n_layer=2, n_head=2
+    )
+    params = gpt2_mod.init_gpt2_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    eng = InferenceEngine(
+        gpt2_spec(cfg), params,
+        config=Config(dtype=jnp.float32, device="cpu", megakernel=megaflag),
+    )
+    prompt = "the quick brown fox jumps over the lazy dog"
+    ref = eng.generate_ids(prompt, "full_cache", 14)
+    for mode in ("ngram", "self_draft"):
+        text, n = eng.generate_speculative(prompt, 14, mode=mode, k=4)
+        assert n == 14 and isinstance(text, str)
+        assert eng.last_generation_ids == ref, mode
