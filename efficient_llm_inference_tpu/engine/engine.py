@@ -31,7 +31,13 @@ from ..core.utils import (
 from ..data.tokenizer import ByteTokenizer, load_tokenizer
 from ..models import gpt2 as gpt2_mod
 from ..models.registry import ModelSpec, spec_by_name
-from .generate import SamplingParams, bucket_for, make_generate, make_no_cache_loop
+from .generate import (
+    SamplingParams,
+    bucket_for,
+    make_generate,
+    make_generate_batch,
+    make_no_cache_loop,
+)
 
 VALID_METHODS = [
     "no_cache",
@@ -274,6 +280,98 @@ class InferenceEngine:
             "kind": self.model.name,
             "interpret": self.config.device != "tpu",
         }
+
+    def _mega_batch_spec(self, cap: int, batch: int) -> Optional[dict]:
+        """Batched-megakernel eligibility (greedy full_cache, GPT-2 family;
+        ops/pallas/megakernel_batch.py)."""
+        if not self.config.resolved_megakernel():
+            return None
+        if self.model.name == "gpt2":
+            from ..ops.pallas.megakernel import pack_gpt2_mega as pack
+            from ..ops.pallas.megakernel_batch import (
+                mega_batch_supported as supported,
+            )
+        elif self.model.name == "llama":
+            from ..ops.pallas.megakernel_batch import (
+                llama_mega_batch_supported as supported,
+            )
+            from ..ops.pallas.megakernel_llama import pack_llama_mega as pack
+        else:
+            return None
+
+        cap8 = -(-cap // 8) * 8
+        if not supported(self.model.config, cap8, self.params, batch):
+            return None
+        if self._mega_packed is None:
+            self._mega_packed = pack(self.params, self.model.config)
+        if self._mega_packed is None:
+            return None
+        return {
+            "packed": self._mega_packed,
+            "cfg": self.model.config,
+            "capacity": cap8,
+            "kind": self.model.name,
+            "interpret": self.config.device != "tpu",
+        }
+
+    def generate_batch(
+        self, prompts: List[str], max_new_tokens: int = 32
+    ) -> List[str]:
+        """Static-batch greedy generation: B prompts decode together.
+
+        Every decode step runs as ONE batched whole-step megakernel program
+        (B tokens per weight stream — docs/ROADMAP.md "megakernel batch>1")
+        when the model/config is eligible; otherwise falls back to per-prompt
+        generation. Per-prompt output is exactly `generate(p, "full_cache")`
+        up to the batched matmuls' f32 reassociation.
+        """
+        assert prompts, "empty prompt batch"
+        ids_list = [self._encode(p, "full_cache") for p in prompts]
+        true_lens = [len(i) for i in ids_list]
+        assert min(true_lens) > 0, "empty prompt"
+        B = len(prompts)
+        bucket = min(bucket_for(max(true_lens)), self.model.n_positions)
+        mega = self._mega_batch_spec(bucket + max_new_tokens, B)
+        if mega is None:  # correctness fallback: one stream at a time
+            return [
+                self.generate(p, "full_cache", max_new_tokens)
+                for p in prompts
+            ]
+        key = ("batch", B, bucket, max_new_tokens)
+        if key not in self._fns:
+            strategy = DenseKV(
+                n_layer=self.model.n_layer,
+                n_head=self.model.n_kv_head,
+                head_dim=self.model.head_dim,
+                capacity=mega["capacity"],
+                batch=B,
+                dtype=self.config.dtype,
+            )
+            self._fns[key] = (
+                "batch",
+                make_generate_batch(self.model, strategy, max_new_tokens,
+                                    mega),
+                strategy,
+                mega,
+            )
+        _, fn, _, mega = self._fns[key]
+        buf = np.zeros((B, bucket), np.int32)
+        for b, ids in enumerate(ids_list):
+            buf[b, : len(ids)] = ids
+        toks, _ = jax.device_get(
+            fn(
+                dict(self.params, __mega_packed__=mega["packed"]),
+                jnp.asarray(buf),
+                jnp.asarray(true_lens, jnp.int32),
+            )
+        )
+        return [
+            self.tokenizer.decode(
+                ids_list[b] + np.asarray(toks)[b].tolist(),
+                skip_special_tokens=True,
+            )
+            for b in range(B)
+        ]
 
     # ------------------------------------------------------------------
     def _encode(self, prompt: str, method: str) -> List[int]:

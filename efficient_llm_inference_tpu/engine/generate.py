@@ -309,6 +309,95 @@ def _llama_mega_decode_body(model: ModelSpec, max_new_tokens: int, mega: dict):
     return decode
 
 
+def make_generate_batch(model: ModelSpec, strategy, max_new_tokens: int,
+                        mega: dict):
+    """Static-batch generation: B prompts decode TOGETHER in one dispatch.
+
+    Prefill is one batched forward with per-row lengths (per-row seq_mask,
+    per-row last-logit gather); every decode step is ONE batched whole-step
+    megakernel program (ops/pallas/megakernel_batch.py), so the dominant
+    per-step weight stream is paid once for B tokens. Greedy only. Returns
+    (tokens [B, N], final per-row lengths [B]).
+    """
+    from ..ops.pallas.megakernel_batch import (
+        gpt2_megabatch,
+        llama_megabatch,
+        to_mega_layout_batch,
+    )
+
+    cfg = mega["cfg"]
+    capacity = mega["capacity"]
+    interpret = mega.get("interpret", False)
+    llama = mega.get("kind") == "llama"
+    if llama:
+        from ..models.llama import rope_cos_sin
+
+    def generate(params, tokens, true_lens):
+        params = dict(params)
+        packed = params.pop("__mega_packed__")
+        B, Tpad = tokens.shape
+        cache = strategy.init()
+        pos = jnp.minimum(
+            jax.lax.broadcasted_iota(jnp.int32, (B, Tpad), 1),
+            model.n_positions - 1,
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, Tpad), 1)
+        seq_mask = col < true_lens[:, None]
+        logits, cache = model.forward(
+            params, tokens, pos, cache, strategy, seq_mask
+        )
+        last = jnp.take_along_axis(
+            logits, (true_lens - 1)[:, None, None], axis=1
+        )[:, 0]  # [B, V] — row b's logits at its own last prompt token
+        tok0 = jnp.clip(
+            jnp.argmax(last, axis=-1).astype(jnp.int32), 0,
+            model.vocab_size - 1,
+        )
+        kb = to_mega_layout_batch(cache["k"])
+        vb = to_mega_layout_batch(cache["v"])
+
+        if llama:
+            embed = params["embed"]
+
+            def step(carry, _):
+                kb, vb, lengths, tok = carry
+                pos = jnp.minimum(lengths, model.n_positions - 1)
+                x = embed[tok].astype(embed.dtype)  # [B, E]
+                cos, sin = rope_cos_sin(
+                    pos[:, None], cfg.head_dim, cfg.rope_theta
+                )  # [B, 1, D]
+                cos_q = jnp.tile(cos[:, 0], (1, cfg.n_head))  # [B, Hq*D]
+                sin_q = jnp.tile(sin[:, 0], (1, cfg.n_head))
+                tok2, kb, vb = llama_megabatch(
+                    packed, kb, vb, lengths, x, cos_q, sin_q,
+                    cfg=cfg, capacity=capacity, interpret=interpret,
+                )
+                tok2 = jnp.clip(tok2, 0, model.vocab_size - 1)
+                return (kb, vb, lengths + 1, tok2), tok
+
+        else:
+            wte, wpe = params["wte"], params["wpe"]
+
+            def step(carry, _):
+                kb, vb, lengths, tok = carry
+                pos = jnp.minimum(lengths, model.n_positions - 1)
+                x = (wte[tok] + wpe[pos]).astype(wte.dtype)  # [B, E]
+                tok2, kb, vb = gpt2_megabatch(
+                    packed, kb, vb, lengths, x,
+                    cfg=cfg, capacity=capacity, interpret=interpret,
+                )
+                tok2 = jnp.clip(tok2, 0, model.vocab_size - 1)
+                return (kb, vb, lengths + 1, tok2), tok
+
+        init = (kb, vb, true_lens.astype(jnp.int32), tok0)
+        (_, _, lengths, _), toks = jax.lax.scan(
+            step, init, None, length=max_new_tokens
+        )
+        return toks.T, lengths  # [B, max_new_tokens], [B]
+
+    return jax.jit(generate)
+
+
 def _prefill_body(model, strategy, trim_fn):
     def prefill(params, tokens, true_len):
         B, Tpad = tokens.shape

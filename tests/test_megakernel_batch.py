@@ -1,0 +1,330 @@
+"""Batched whole-step megakernel (ops/pallas/megakernel_batch.py) vs XLA.
+
+Each slot is an independent stream with its own cache, length, and position;
+one batched kernel step must reproduce, per slot, the token and cache
+writeback of an independent single-stream XLA step (fp32, interpret mode).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from efficient_llm_inference_tpu.cache.kvcache import DenseKV
+from efficient_llm_inference_tpu.models import gpt2 as gpt2_mod
+from efficient_llm_inference_tpu.ops.pallas.megakernel import pack_gpt2_mega
+from efficient_llm_inference_tpu.ops.pallas.megakernel_batch import (
+    from_mega_layout_batch,
+    gpt2_megabatch,
+    mega_batch_supported,
+    to_mega_layout_batch,
+)
+
+CFG = gpt2_mod.GPT2Config(
+    vocab_size=300, n_positions=256, n_embd=128, n_layer=2, n_head=2
+)
+C = 48
+B = 3
+
+
+@pytest.fixture(scope="module")
+def params():
+    return gpt2_mod.init_gpt2_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+
+
+def _prefill_one(params, toks, cfg=CFG):
+    """Single-stream prefill -> (cache [L,1,H,C,D] pair, next greedy token)."""
+    strat = DenseKV(
+        n_layer=cfg.n_layer, n_head=cfg.n_head, head_dim=cfg.head_dim,
+        capacity=C, batch=1, dtype=jnp.float32,
+    )
+    T0 = toks.shape[1]
+    pos = jnp.arange(T0, dtype=jnp.int32)[None]
+    cache = strat.init()
+    logits, cache = gpt2_mod.gpt2_forward(params, cfg, toks, pos, cache, strat)
+    cache = strat.set_length(cache, T0)
+    tok0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[0]
+    return strat, cache, tok0
+
+
+def _xla_step(params, strat, cache, tok, pos, cfg=CFG):
+    """One single-stream XLA decode step -> (next token, new cache)."""
+    logits, cache2 = gpt2_mod.gpt2_forward(
+        params, cfg, tok[None, None], jnp.full((1, 1), pos, jnp.int32),
+        cache, strat,
+    )
+    cache2 = strat.set_length(cache2, pos + 1)
+    return int(jnp.argmax(logits[0, 0])), cache2
+
+
+@pytest.mark.parametrize("quant", ["f", "int8", "int4"])
+def test_megabatch_rows_match_independent_xla_steps(params, quant):
+    cfg = CFG
+    if quant == "int8":
+        p = gpt2_mod.quantize_gpt2_weights(params)
+    elif quant == "int4":
+        # int4 halves pairing needs E >= 2 * group (group = 128)
+        cfg = gpt2_mod.GPT2Config(
+            vocab_size=300, n_positions=256, n_embd=256, n_layer=2, n_head=2
+        )
+        p4 = gpt2_mod.init_gpt2_params(jax.random.PRNGKey(2), cfg,
+                                       jnp.float32)
+        p = gpt2_mod.quantize_gpt2_weights(p4, mode="int4")
+    else:
+        p = params
+    packed = pack_gpt2_mega(p, cfg)
+    assert packed is not None
+    assert mega_batch_supported(cfg, C, p, B)
+
+    rng = np.random.RandomState(7)
+    lens = [7, 12, 9]
+    prompts = [
+        jnp.asarray(rng.randint(0, cfg.vocab_size, size=(1, t)), jnp.int32)
+        for t in lens
+    ]
+    streams = [_prefill_one(p, tk, cfg) for tk in prompts]
+
+    # expected: one independent XLA step per stream
+    expected = [
+        _xla_step(p, strat, cache, tok, t0, cfg)
+        for (strat, cache, tok), t0 in zip(streams, lens)
+    ]
+
+    # batched kernel step over the stacked panes
+    kb = to_mega_layout_batch(
+        jnp.concatenate([c["k"] for _, c, _ in streams], axis=1)
+    )  # [L, B, C, E]
+    vb = to_mega_layout_batch(
+        jnp.concatenate([c["v"] for _, c, _ in streams], axis=1)
+    )
+    lengths = jnp.asarray(lens, jnp.int32)
+    toks0 = jnp.stack([tok for _, _, tok in streams])
+    x_emb = p["wte"][toks0] + p["wpe"][lengths]  # [B, E]
+    toks, k2, v2 = gpt2_megabatch(
+        packed, kb, vb, lengths, x_emb, cfg=cfg, capacity=C, interpret=True,
+    )
+
+    k2c = from_mega_layout_batch(k2, cfg.n_head)  # [L, B, H, C, D]
+    v2c = from_mega_layout_batch(v2, cfg.n_head)
+    for b, ((tok_exp, cache_exp), t0) in enumerate(zip(expected, lens)):
+        assert int(toks[b]) == tok_exp, f"slot {b} token mismatch"
+        np.testing.assert_allclose(
+            np.asarray(k2c[:, b, :, t0]),
+            np.asarray(cache_exp["k"][:, 0, :, t0]), atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(v2c[:, b, :, t0]),
+            np.asarray(cache_exp["v"][:, 0, :, t0]), atol=1e-5,
+        )
+        # prior rows untouched by the slot's read-modify-write window
+        np.testing.assert_array_equal(
+            np.asarray(k2c[:, b, :, :t0]),
+            np.asarray(cache_exp["k"][:, 0, :, :t0]),
+        )
+
+
+def test_megabatch_multi_step_decode_matches_xla(params):
+    """Three batched steps == three independent XLA decode steps per row."""
+    packed = pack_gpt2_mega(params, CFG)
+    rng = np.random.RandomState(3)
+    lens = [5, 11, 8]
+    prompts = [
+        jnp.asarray(rng.randint(0, CFG.vocab_size, size=(1, t)), jnp.int32)
+        for t in lens
+    ]
+    streams = [_prefill_one(params, tk) for tk in prompts]
+
+    # expected: 3 independent greedy XLA steps per stream
+    exp_tokens = [[] for _ in range(B)]
+    for b, ((strat, cache, tok), t0) in enumerate(zip(streams, lens)):
+        pos = t0
+        for _ in range(3):
+            exp_tokens[b].append(int(tok))
+            nxt, cache = _xla_step(params, strat, cache, tok, pos)
+            tok = jnp.int32(nxt)
+            pos += 1
+
+    kb = to_mega_layout_batch(
+        jnp.concatenate([c["k"] for _, c, _ in streams], axis=1)
+    )
+    vb = to_mega_layout_batch(
+        jnp.concatenate([c["v"] for _, c, _ in streams], axis=1)
+    )
+    lengths = jnp.asarray(lens, jnp.int32)
+    toks = jnp.stack([tok for _, _, tok in streams])
+    got = [[] for _ in range(B)]
+    for _ in range(3):
+        x_emb = params["wte"][toks] + params["wpe"][lengths]
+        for b in range(B):
+            got[b].append(int(toks[b]))
+        toks, kb, vb = gpt2_megabatch(
+            packed, kb, vb, lengths, x_emb, cfg=CFG, capacity=C,
+            interpret=True,
+        )
+        lengths = lengths + 1
+    assert got == exp_tokens
+
+
+def test_megabatch_gating(params):
+    assert not mega_batch_supported(CFG, 47, params, B)  # capacity % 8
+    assert mega_batch_supported(CFG, 48, params, 8)
+    # absurd batch x capacity cannot fit the VMEM rings
+    assert not mega_batch_supported(CFG, 4096, params, 512)
+
+
+def test_engine_generate_batch_matches_per_prompt(params):
+    """generate_batch == per-prompt generate, per row (fp32 greedy)."""
+    from efficient_llm_inference_tpu.core.config import Config
+    from efficient_llm_inference_tpu.engine.engine import InferenceEngine
+    from efficient_llm_inference_tpu.models.registry import gpt2_spec
+
+    spec = gpt2_spec(CFG)
+    prompts = [
+        "the quick brown fox",
+        "pack my box with five dozen liquor jugs",
+        "a",
+    ]
+    eng = InferenceEngine(
+        spec, params,
+        config=Config(dtype=jnp.float32, megakernel=True, device="cpu"),
+    )
+    got = eng.generate_batch(prompts, max_new_tokens=7)
+    want = [eng.generate(p, "full_cache", max_new_tokens=7) for p in prompts]
+    assert got == want
+
+    # ineligible config (megakernel off) falls back to per-prompt generation
+    eng2 = InferenceEngine(
+        spec, params,
+        config=Config(dtype=jnp.float32, megakernel=False, device="cpu"),
+    )
+    assert eng2.generate_batch(prompts, max_new_tokens=7) == want
+
+
+# ---------------------------------------------------------------------------
+# Llama batched kernel
+# ---------------------------------------------------------------------------
+
+from efficient_llm_inference_tpu.models import llama as llama_mod  # noqa: E402
+from efficient_llm_inference_tpu.models.llama import (  # noqa: E402
+    LlamaConfig,
+    rope_cos_sin,
+)
+from efficient_llm_inference_tpu.ops.pallas.megakernel_llama import (  # noqa: E402
+    pack_llama_mega,
+)
+from efficient_llm_inference_tpu.ops.pallas.megakernel_batch import (  # noqa: E402
+    llama_mega_batch_supported,
+    llama_megabatch,
+)
+
+LCFG = LlamaConfig(
+    vocab_size=300,
+    hidden_size=256,
+    intermediate_size=512,
+    n_layer=2,
+    n_head=4,
+    n_kv_head=2,
+    n_positions=512,
+    rope_theta=10000.0,
+    tie_embeddings=True,
+)
+
+
+def _llama_prefill_one(params, toks):
+    strat = DenseKV(
+        n_layer=LCFG.n_layer, n_head=LCFG.n_kv_head, head_dim=LCFG.head_dim,
+        capacity=C, batch=1, dtype=jnp.float32,
+    )
+    T0 = toks.shape[1]
+    pos = jnp.arange(T0, dtype=jnp.int32)[None]
+    cache = strat.init()
+    logits, cache = llama_mod.llama_forward(
+        params, LCFG, toks, pos, cache, strat
+    )
+    cache = strat.set_length(cache, T0)
+    tok0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[0]
+    return strat, cache, tok0
+
+
+def _llama_xla_step(params, strat, cache, tok, pos):
+    logits, cache2 = llama_mod.llama_forward(
+        params, LCFG, tok[None, None], jnp.full((1, 1), pos, jnp.int32),
+        cache, strat,
+    )
+    cache2 = strat.set_length(cache2, pos + 1)
+    return int(jnp.argmax(logits[0, 0])), cache2
+
+
+@pytest.mark.parametrize("quant", ["f", "int8"])
+def test_llama_megabatch_rows_match_independent_xla_steps(quant):
+    p = llama_mod.init_llama_params(jax.random.PRNGKey(0), LCFG, jnp.float32)
+    if quant == "int8":
+        p = llama_mod.quantize_llama_weights(p, mode="int8")
+    packed = pack_llama_mega(p, LCFG)
+    assert packed is not None
+    assert llama_mega_batch_supported(LCFG, C, p, B)
+
+    rng = np.random.RandomState(5)
+    lens = [6, 13, 10]
+    prompts = [
+        jnp.asarray(rng.randint(0, LCFG.vocab_size, size=(1, t)), jnp.int32)
+        for t in lens
+    ]
+    streams = [_llama_prefill_one(p, tk) for tk in prompts]
+    expected = [
+        _llama_xla_step(p, strat, cache, tok, t0)
+        for (strat, cache, tok), t0 in zip(streams, lens)
+    ]
+
+    kb = to_mega_layout_batch(
+        jnp.concatenate([c["k"] for _, c, _ in streams], axis=1)
+    )  # [L, B, C, KW]
+    vb = to_mega_layout_batch(
+        jnp.concatenate([c["v"] for _, c, _ in streams], axis=1)
+    )
+    lengths = jnp.asarray(lens, jnp.int32)
+    toks0 = jnp.stack([tok for _, _, tok in streams])
+    x_emb = p["embed"][toks0]  # [B, E]
+    cos, sin = rope_cos_sin(
+        lengths[:, None], LCFG.head_dim, LCFG.rope_theta
+    )  # [B, 1, D]
+    cos_q = jnp.tile(cos[:, 0], (1, LCFG.n_head))  # [B, Hq*D]
+    sin_q = jnp.tile(sin[:, 0], (1, LCFG.n_head))
+    toks, k2, v2 = llama_megabatch(
+        packed, kb, vb, lengths, x_emb, cos_q, sin_q,
+        cfg=LCFG, capacity=C, interpret=True,
+    )
+
+    k2c = from_mega_layout_batch(k2, LCFG.n_kv_head)
+    v2c = from_mega_layout_batch(v2, LCFG.n_kv_head)
+    for b, ((tok_exp, cache_exp), t0) in enumerate(zip(expected, lens)):
+        assert int(toks[b]) == tok_exp, f"slot {b} token mismatch"
+        np.testing.assert_allclose(
+            np.asarray(k2c[:, b, :, t0]),
+            np.asarray(cache_exp["k"][:, 0, :, t0]), atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(v2c[:, b, :, t0]),
+            np.asarray(cache_exp["v"][:, 0, :, t0]), atol=2e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(k2c[:, b, :, :t0]),
+            np.asarray(cache_exp["k"][:, 0, :, :t0]),
+        )
+
+
+def test_engine_generate_batch_llama_matches_per_prompt():
+    from efficient_llm_inference_tpu.core.config import Config
+    from efficient_llm_inference_tpu.engine.engine import InferenceEngine
+    from efficient_llm_inference_tpu.models.llama import llama_spec
+
+    p = llama_mod.init_llama_params(jax.random.PRNGKey(1), LCFG, jnp.float32)
+    eng = InferenceEngine(
+        llama_spec(LCFG), p,
+        config=Config(dtype=jnp.float32, megakernel=True, device="cpu"),
+    )
+    prompts = ["the quick brown fox", "hello"]
+    got = eng.generate_batch(prompts, max_new_tokens=6)
+    want = [eng.generate(p_, "full_cache", max_new_tokens=6) for p_ in prompts]
+    assert got == want
