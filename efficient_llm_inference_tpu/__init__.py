@@ -24,6 +24,10 @@ def __getattr__(name):
         from .engine import batching
 
         return getattr(batching, name)
+    if name in ("MegaBatchServer", "MegaPoolConfig"):
+        from .engine import megaserver
+
+        return getattr(megaserver, name)
     if name in ("SummarizationBenchmark", "MMLUBenchmark"):
         from .benchmarking import MMLUBenchmark, SummarizationBenchmark
 

@@ -1,0 +1,323 @@
+"""Continuous batching over the batched whole-step megakernel.
+
+`ContinuousBatchingEngine` (engine/batching.py) serves from a paged block
+pool with XLA two-region attention — the right shape for ragged, quantized,
+long-context pools. This engine is its dense sibling for the uniform case:
+per-slot [C] panes in ONE [L, B, C, E] pool, and every decode chunk is a
+`lax.scan` of batched whole-step megakernel programs
+(ops/pallas/megakernel_batch.py) — the per-step weight stream is paid once
+for all active slots, which measured 3.2–4.0x the paged engine's aggregate
+at equal slot counts on GPT-2 (docs/BENCHMARKS.md "Batched whole-step
+megakernel"). No reference counterpart (the reference is strictly batch-1
+single-stream, /root/reference/src/benchmarking/benchmarker.py:63-639).
+
+Scheduling model:
+* admission happens BETWEEN decode chunks: a wave of queued requests is
+  prefilled in one dispatch (per-row prompt lengths, as
+  engine/generate.py:make_generate_batch) and its panes are written into
+  the admitted slots;
+* a decode chunk advances every slot `chunk` steps in one dispatch; slots
+  that finish (budget / EOS) inside a chunk overshoot harmlessly — their
+  extra tokens are discarded at harvest and their zombie writes land in
+  their own pane, which the next admission's prefill overwrites;
+* inactive slots hold cursor 0 and write junk into their own column 0 —
+  never observed, overwritten on admission.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.registry import ModelSpec
+from .batching import Request
+from .generate import bucket_for
+
+
+@dataclasses.dataclass(frozen=True)
+class MegaPoolConfig:
+    n_slots: int = 16
+    capacity: int = 128  # per-slot pane length (tokens), multiple of 8
+    max_chunk: int = 32  # decode steps fused into one dispatch
+    prompt_bucket: int = 256
+
+
+_WAVE_BUCKETS = (1, 2, 4, 8, 16, 32)
+
+
+class MegaBatchServer:
+    """Dense-pane continuous batching: megakernel decode for full waves."""
+
+    def __init__(
+        self,
+        model: ModelSpec,
+        params,
+        pool: MegaPoolConfig = MegaPoolConfig(),
+        dtype=jnp.bfloat16,
+        eos_id: Optional[int] = None,
+        interpret: bool = False,
+    ):
+        from ..ops.pallas.megakernel_batch import (
+            llama_mega_batch_supported,
+            mega_batch_supported,
+        )
+
+        assert pool.capacity % 8 == 0, "pane length must be 8-aligned"
+        self.model = model
+        self.params = params
+        self.pool_cfg = pool
+        self.dtype = dtype
+        self.eos_id = eos_id
+        self.interpret = interpret
+        cfg = model.config
+        if model.name == "gpt2":
+            from ..ops.pallas.megakernel import pack_gpt2_mega as pack
+
+            ok = mega_batch_supported(cfg, pool.capacity, params,
+                                      pool.n_slots)
+        elif model.name == "llama":
+            from ..ops.pallas.megakernel_llama import pack_llama_mega as pack
+
+            ok = llama_mega_batch_supported(cfg, pool.capacity, params,
+                                            pool.n_slots)
+        else:
+            raise ValueError(f"unsupported model family: {model.name}")
+        if not ok:
+            raise ValueError(
+                "batched megakernel unsupported at this (model, n_slots, "
+                "capacity) — use ContinuousBatchingEngine"
+            )
+        self.packed = pack(params, cfg)
+        assert self.packed is not None, "params not packable"
+
+        B, C = pool.n_slots, pool.capacity
+        L = model.n_layer
+        KW = model.n_kv_head * model.head_dim
+        self.k_pool = jnp.zeros((L, B, C, KW), dtype)
+        self.v_pool = jnp.zeros((L, B, C, KW), dtype)
+        # host mirrors
+        self.lengths = np.zeros((B,), np.int32)
+        self.active = np.zeros((B,), bool)
+        self.last_token = np.zeros((B,), np.int32)
+        self.slot_req: List[Optional[Request]] = [None] * B
+
+        self._prefills: Dict = {}
+        self._chunks: Dict = {}
+
+    # ------------------------------------------------------------------
+    def _make_wave_prefill(self, W: int, Tpad: int) -> Callable:
+        """Prefill W prompts (per-row lengths) into W slots, one dispatch."""
+        from ..cache.kvcache import DenseKV
+        from ..ops.pallas.megakernel_batch import to_mega_layout_batch
+
+        model = self.model
+        C = self.pool_cfg.capacity
+        strategy = DenseKV(
+            n_layer=model.n_layer,
+            n_head=model.n_kv_head,
+            head_dim=model.head_dim,
+            capacity=C,
+            batch=W,
+            dtype=self.dtype,
+        )
+
+        def prefill(params, tokens, true_lens, slots, k_pool, v_pool):
+            cache = strategy.init()
+            pos = jnp.minimum(
+                jax.lax.broadcasted_iota(jnp.int32, (W, Tpad), 1),
+                model.n_positions - 1,
+            )
+            col = jax.lax.broadcasted_iota(jnp.int32, (W, Tpad), 1)
+            seq_mask = col < true_lens[:, None]
+            logits, cache = model.forward(
+                params, tokens, pos, cache, strategy, seq_mask
+            )
+            last = jnp.take_along_axis(
+                logits, (true_lens - 1)[:, None, None], axis=1
+            )[:, 0]
+            tok0 = jnp.clip(
+                jnp.argmax(last, axis=-1).astype(jnp.int32), 0,
+                model.vocab_size - 1,
+            )
+            kb = to_mega_layout_batch(cache["k"])  # [L, W, C, KW]
+            vb = to_mega_layout_batch(cache["v"])
+            for w in range(W):  # waves are small; W static
+                k_pool = jax.lax.dynamic_update_slice(
+                    k_pool, kb[:, w:w + 1], (0, slots[w], 0, 0)
+                )
+                v_pool = jax.lax.dynamic_update_slice(
+                    v_pool, vb[:, w:w + 1], (0, slots[w], 0, 0)
+                )
+            return k_pool, v_pool, tok0
+
+        return jax.jit(prefill, donate_argnums=(4, 5))
+
+    def _make_chunk(self, n_steps: int) -> Callable:
+        """One dispatch = n_steps batched megakernel decode steps."""
+        from ..ops.pallas.megakernel_batch import (
+            gpt2_megabatch,
+            llama_megabatch,
+        )
+
+        model = self.model
+        cfg = model.config
+        C = self.pool_cfg.capacity
+        llama = model.name == "llama"
+        interpret = self.interpret
+        if llama:
+            from ..models.llama import rope_cos_sin
+
+        def chunk(params, packed, k_pool, v_pool, lengths, toks, active):
+            def step(carry, _):
+                k_pool, v_pool, lengths, toks = carry
+                pos = jnp.minimum(lengths, model.n_positions - 1)
+                if llama:
+                    embed = params["embed"]
+                    x = embed[toks].astype(embed.dtype)
+                    cos, sin = rope_cos_sin(pos[:, None], cfg.head_dim,
+                                            cfg.rope_theta)
+                    cos_q = jnp.tile(cos[:, 0], (1, cfg.n_head))
+                    sin_q = jnp.tile(sin[:, 0], (1, cfg.n_head))
+                    tok2, k_pool, v_pool = llama_megabatch(
+                        packed, k_pool, v_pool, lengths, x, cos_q, sin_q,
+                        cfg=cfg, capacity=C, interpret=interpret,
+                    )
+                else:
+                    wte, wpe = params["wte"], params["wpe"]
+                    x = (wte[toks] + wpe[pos]).astype(wte.dtype)
+                    tok2, k_pool, v_pool = gpt2_megabatch(
+                        packed, k_pool, v_pool, lengths, x,
+                        cfg=cfg, capacity=C, interpret=interpret,
+                    )
+                tok2 = jnp.clip(tok2, 0, model.vocab_size - 1)
+                # inactive slots idle at their cursor; finished-in-chunk
+                # slots overshoot but never past the pane end
+                lengths = jnp.minimum(
+                    lengths + active.astype(jnp.int32), C - 1
+                )
+                toks = jnp.where(active, tok2, toks)
+                return (k_pool, v_pool, lengths, toks), tok2
+
+            (k_pool, v_pool, lengths, toks), toks_all = jax.lax.scan(
+                step, (k_pool, v_pool, lengths, toks), None, length=n_steps
+            )
+            return k_pool, v_pool, lengths, toks, toks_all
+
+        return jax.jit(chunk, donate_argnums=(2, 3))
+
+    # ------------------------------------------------------------------
+    def _admit(self, queue: List[Request]) -> int:
+        """Prefill a wave of queued requests into free slots (one dispatch)."""
+        C = self.pool_cfg.capacity
+        free = [s for s in range(self.pool_cfg.n_slots) if not self.active[s]]
+        wave = []
+        while queue and free:
+            req = queue[0]
+            ids = req.prompt_ids[: self.pool_cfg.prompt_bucket]
+            if len(ids) >= C:  # cannot fit the prompt + 1 token
+                ids = ids[: C - 8]
+            wave.append((free.pop(0), queue.pop(0), ids))
+        if not wave:
+            return 0
+        Tmax = max(len(ids) for _, _, ids in wave)
+        Tpad = min(bucket_for(Tmax), self.pool_cfg.prompt_bucket)
+        Tpad = min(Tpad, C - 8)
+        W = next(w for w in _WAVE_BUCKETS if w >= len(wave))
+        key = (W, Tpad)
+        if key not in self._prefills:
+            self._prefills[key] = self._make_wave_prefill(W, Tpad)
+        buf = np.zeros((W, Tpad), np.int32)
+        lens = np.zeros((W,), np.int32)
+        slots = np.zeros((W,), np.int32)
+        for w in range(W):
+            slot, req, ids = wave[min(w, len(wave) - 1)]  # pad = repeat last
+            ids = ids[:Tpad]
+            buf[w, : len(ids)] = ids
+            lens[w] = len(ids)
+            slots[w] = slot
+        self.k_pool, self.v_pool, tok0 = self._prefills[key](
+            self.params, jnp.asarray(buf), jnp.asarray(lens),
+            jnp.asarray(slots), self.k_pool, self.v_pool,
+        )
+        tok0 = np.asarray(jax.device_get(tok0))
+        for w, (slot, req, ids) in enumerate(wave):
+            ids = ids[:Tpad]
+            self.slot_req[slot] = req
+            self.active[slot] = True
+            self.lengths[slot] = len(ids)
+            self.last_token[slot] = int(tok0[w])
+            req.out_ids.append(int(tok0[w]))
+            if len(req.out_ids) >= req.max_new_tokens or (
+                self.eos_id is not None and req.out_ids[-1] == self.eos_id
+            ):  # satisfied by the prefill token alone
+                req.done = True
+                self.active[slot] = False
+                self.slot_req[slot] = None
+                self.lengths[slot] = 0
+        return len(wave)
+
+    def _harvest(self, toks_all: np.ndarray) -> None:
+        """Book a fetched [chunk, B] token block; retire finished slots."""
+        n_steps = toks_all.shape[0]
+        for slot in range(self.pool_cfg.n_slots):
+            req = self.slot_req[slot]
+            if req is None or not self.active[slot]:
+                continue
+            for i in range(n_steps):
+                if len(req.out_ids) >= req.max_new_tokens:
+                    break
+                if (self.eos_id is not None and req.out_ids
+                        and req.out_ids[-1] == self.eos_id):
+                    break
+                # last_token is NOT updated here: the device carry already
+                # holds the next feed token for continuing slots
+                req.out_ids.append(int(toks_all[i, slot]))
+            hit_eos = (
+                self.eos_id is not None
+                and req.out_ids
+                and req.out_ids[-1] == self.eos_id
+            )
+            if hit_eos or len(req.out_ids) >= req.max_new_tokens:
+                req.done = True
+                self.active[slot] = False
+                self.slot_req[slot] = None
+                self.lengths[slot] = 0
+                self.last_token[slot] = 0
+
+    def run(
+        self, requests: List[Request], progress: Optional[Callable] = None
+    ) -> List[Request]:
+        """Serve all requests to completion; returns them (with out_ids)."""
+        queue = list(requests)
+        chunk = self.pool_cfg.max_chunk
+        if chunk not in self._chunks:
+            self._chunks[chunk] = self._make_chunk(chunk)
+        step_fn = self._chunks[chunk]
+        total_steps = 0
+        while queue or self.active.any():
+            self._admit(queue)
+            if not self.active.any():
+                continue
+            lengths = jnp.asarray(self.lengths.copy())
+            toks = jnp.asarray(self.last_token.copy())
+            active = jnp.asarray(self.active.copy())
+            (self.k_pool, self.v_pool, lengths_d, toks_d,
+             toks_all) = step_fn(
+                self.params, self.packed, self.k_pool, self.v_pool,
+                lengths, toks, active,
+            )
+            toks_np, lengths_np, last_np = jax.device_get(
+                (toks_all, lengths_d, toks_d)
+            )
+            # only active slots advanced; mirror device bookkeeping
+            self.lengths = np.asarray(lengths_np).copy()
+            self.last_token = np.asarray(last_np).copy()
+            self._harvest(np.asarray(toks_np))
+            total_steps += chunk
+            if progress:
+                progress(total_steps, self)
+        return requests

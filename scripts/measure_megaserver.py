@@ -1,0 +1,93 @@
+"""End-to-end MegaBatchServer throughput on the TPU chip.
+
+Replicates the continuous-batching benchmark protocols (docs/BENCHMARKS.md
+"Continuous batching") on the dense megakernel server so the two serving
+engines compare end to end (prefills + host bookkeeping included):
+
+  python scripts/measure_megaserver.py --slots 16 --requests 32 \
+      --max-new 64 --capacity 128 --wq int8 [--model gpt2] [--chunk 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="gpt2")
+    ap.add_argument("--slots", type=int, default=16)
+    ap.add_argument("--requests", type=int, default=32)
+    ap.add_argument("--max-new", type=int, default=64)
+    ap.add_argument("--capacity", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=32)
+    ap.add_argument("--prompt-words", type=int, default=8)
+    ap.add_argument("--wq", default="int8", choices=["int8", "int4", "none"])
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import efficient_llm_inference_tpu as elit
+    from efficient_llm_inference_tpu.core.config import Config
+    from efficient_llm_inference_tpu.core.utils import enable_compilation_cache
+    from efficient_llm_inference_tpu.engine.batching import Request
+    from efficient_llm_inference_tpu.engine.megaserver import (
+        MegaBatchServer,
+        MegaPoolConfig,
+    )
+
+    enable_compilation_cache()
+    cfg = Config(
+        model_name=args.model,
+        weight_quant=None if args.wq == "none" else args.wq,
+    )
+    eng = elit.InferenceEngine.from_model_name(args.model, config=cfg)
+    srv = MegaBatchServer(
+        eng.model,
+        eng.params,
+        pool=MegaPoolConfig(
+            n_slots=args.slots,
+            capacity=args.capacity,
+            max_chunk=args.chunk,
+            prompt_bucket=min(args.capacity - 8, 256),
+        ),
+        dtype=cfg.dtype,
+    )
+    rng = np.random.default_rng(0)
+    words = ["weather", "mountain", "river", "engine", "tensor", "kernel",
+             "stream", "window", "matrix", "garden"]
+
+    def make_reqs():
+        reqs = []
+        for i in range(args.requests):
+            n = max(3, args.prompt_words + int(rng.integers(-2, 3)))
+            p = f"Question {i}: " + " ".join(rng.choice(words, n))
+            reqs.append(Request(i, eng.tokenizer.encode(p),
+                                max_new_tokens=args.max_new))
+        return reqs
+
+    print(f"[measure] {args.model} wq={args.wq} slots={args.slots} "
+          f"cap={args.capacity} chunk={args.chunk} reqs={args.requests} "
+          f"max_new={args.max_new}", file=sys.stderr)
+    srv.run(make_reqs())  # warmup: compiles prefill buckets + chunk
+    best = None
+    for i in range(args.reps):
+        reqs = make_reqs()
+        t0 = time.perf_counter()
+        srv.run(reqs)
+        dt = time.perf_counter() - t0
+        total = sum(len(r.out_ids) for r in reqs)
+        print(f"[rep {i}] {total} tokens in {dt:.2f}s = {total/dt:.0f} "
+              f"tok/s aggregate", file=sys.stderr)
+        best = max(best or 0, total / dt)
+    print(f"BEST: {best:.0f} tok/s aggregate")
+
+
+if __name__ == "__main__":
+    main()

@@ -328,3 +328,47 @@ def test_engine_generate_batch_llama_matches_per_prompt():
     got = eng.generate_batch(prompts, max_new_tokens=6)
     want = [eng.generate(p_, "full_cache", max_new_tokens=6) for p_ in prompts]
     assert got == want
+
+
+def test_megabatch_server_matches_per_prompt(params):
+    """MegaBatchServer == per-prompt generate, incl. admission waves."""
+    from efficient_llm_inference_tpu.core.config import Config
+    from efficient_llm_inference_tpu.engine.batching import Request
+    from efficient_llm_inference_tpu.engine.engine import InferenceEngine
+    from efficient_llm_inference_tpu.engine.megaserver import (
+        MegaBatchServer,
+        MegaPoolConfig,
+    )
+    from efficient_llm_inference_tpu.models.registry import gpt2_spec
+
+    spec = gpt2_spec(CFG)
+    eng = InferenceEngine(
+        spec, params,
+        config=Config(dtype=jnp.float32, megakernel=False, device="cpu"),
+    )
+    tok = eng.tokenizer
+    prompts = [
+        "the quick brown fox jumps",
+        "a b c",
+        "pack my box with five dozen",
+        "hello world",
+        "x",
+    ]
+    budgets = [6, 9, 5, 7, 8]
+    # 2 slots, 5 requests -> at least three admission waves
+    srv = MegaBatchServer(
+        spec, params,
+        pool=MegaPoolConfig(n_slots=2, capacity=C, max_chunk=4,
+                            prompt_bucket=32),
+        dtype=jnp.float32,
+        interpret=True,
+    )
+    reqs = [
+        Request(rid=i, prompt_ids=tok.encode(p), max_new_tokens=n)
+        for i, (p, n) in enumerate(zip(prompts, budgets))
+    ]
+    srv.run(reqs)
+    for req, p, n in zip(reqs, prompts, budgets):
+        assert req.done and len(req.out_ids) == n
+        want = eng.generate_ids(p, "full_cache", max_new_tokens=n)
+        assert req.prompt_ids + req.out_ids == want, f"request {req.rid}"
