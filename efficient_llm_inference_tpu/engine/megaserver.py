@@ -291,33 +291,66 @@ class MegaBatchServer:
     def run(
         self, requests: List[Request], progress: Optional[Callable] = None
     ) -> List[Request]:
-        """Serve all requests to completion; returns them (with out_ids)."""
+        """Serve all requests to completion; returns them (with out_ids).
+
+        Without an eos_id the retirement schedule is fully deterministic
+        (budgets are known host-side), so every chunk up to the next slot
+        retirement is dispatched back-to-back — device arrays thread from
+        chunk to chunk and ONE device_get fetches the whole burst (each
+        fetch through the remote relay costs ~26 ms). With an eos_id the
+        loop harvests per chunk (retirements depend on generated tokens).
+        """
         queue = list(requests)
         chunk = self.pool_cfg.max_chunk
         if chunk not in self._chunks:
             self._chunks[chunk] = self._make_chunk(chunk)
         step_fn = self._chunks[chunk]
         total_steps = 0
+        deterministic = self.eos_id is None
         while queue or self.active.any():
             self._admit(queue)
             if not self.active.any():
                 continue
-            lengths = jnp.asarray(self.lengths.copy())
-            toks = jnp.asarray(self.last_token.copy())
-            active = jnp.asarray(self.active.copy())
-            (self.k_pool, self.v_pool, lengths_d, toks_d,
-             toks_all) = step_fn(
-                self.params, self.packed, self.k_pool, self.v_pool,
-                lengths, toks, active,
+            if deterministic:
+                rem = {
+                    s: self.slot_req[s].max_new_tokens
+                    - len(self.slot_req[s].out_ids)
+                    for s in range(self.pool_cfg.n_slots) if self.active[s]
+                }
+                per_slot = [-(-r // chunk) for r in rem.values()]
+                # drain until a slot frees (admit sooner) or, with nothing
+                # queued, until every active slot finishes
+                n_burst = min(per_slot) if queue else max(per_slot)
+            else:
+                n_burst = 1
+            active_mask = self.active.copy()
+            lengths_c = jnp.asarray(self.lengths.copy())
+            toks_c = jnp.asarray(self.last_token.copy())
+            blocks = []
+            for _ in range(n_burst):
+                (self.k_pool, self.v_pool, lengths_c, toks_c,
+                 toks_all) = step_fn(
+                    self.params, self.packed, self.k_pool, self.v_pool,
+                    lengths_c, toks_c, jnp.asarray(active_mask.copy()),
+                )
+                blocks.append(toks_all)
+                if deterministic:  # evolve the mask as budgets expire
+                    for s in list(rem):
+                        rem[s] -= chunk
+                        if rem[s] <= 0:
+                            del rem[s]
+                            active_mask[s] = False
+            fetched, lengths_np, last_np = jax.device_get(
+                (blocks, lengths_c, toks_c)
             )
-            toks_np, lengths_np, last_np = jax.device_get(
-                (toks_all, lengths_d, toks_d)
-            )
-            # only active slots advanced; mirror device bookkeeping
-            self.lengths = np.asarray(lengths_np).copy()
-            self.last_token = np.asarray(last_np).copy()
-            self._harvest(np.asarray(toks_np))
-            total_steps += chunk
+            for block in fetched:
+                self._harvest(np.asarray(block))
+            # mirror device bookkeeping for slots still running
+            for s in range(self.pool_cfg.n_slots):
+                if self.active[s]:
+                    self.lengths[s] = int(lengths_np[s])
+                    self.last_token[s] = int(last_np[s])
+            total_steps += chunk * n_burst
             if progress:
                 progress(total_steps, self)
         return requests

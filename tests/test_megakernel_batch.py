@@ -355,20 +355,25 @@ def test_megabatch_server_matches_per_prompt(params):
         "x",
     ]
     budgets = [6, 9, 5, 7, 8]
-    # 2 slots, 5 requests -> at least three admission waves
-    srv = MegaBatchServer(
-        spec, params,
-        pool=MegaPoolConfig(n_slots=2, capacity=C, max_chunk=4,
-                            prompt_bucket=32),
-        dtype=jnp.float32,
-        interpret=True,
-    )
-    reqs = [
-        Request(rid=i, prompt_ids=tok.encode(p), max_new_tokens=n)
-        for i, (p, n) in enumerate(zip(prompts, budgets))
-    ]
-    srv.run(reqs)
-    for req, p, n in zip(reqs, prompts, budgets):
-        assert req.done and len(req.out_ids) == n
-        want = eng.generate_ids(p, "full_cache", max_new_tokens=n)
-        assert req.prompt_ids + req.out_ids == want, f"request {req.rid}"
+    # 2 slots, 5 requests -> at least three admission waves; eos_id=None
+    # exercises the deterministic burst scheduler, eos_id=-1 (never
+    # generated) the per-chunk harvest path
+    for eos in (None, -1):
+        srv = MegaBatchServer(
+            spec, params,
+            pool=MegaPoolConfig(n_slots=2, capacity=C, max_chunk=4,
+                                prompt_bucket=32),
+            dtype=jnp.float32,
+            eos_id=eos,
+            interpret=True,
+        )
+        reqs = [
+            Request(rid=i, prompt_ids=tok.encode(p), max_new_tokens=n)
+            for i, (p, n) in enumerate(zip(prompts, budgets))
+        ]
+        srv.run(reqs)
+        for req, p, n in zip(reqs, prompts, budgets):
+            assert req.done and len(req.out_ids) == n
+            want = eng.generate_ids(p, "full_cache", max_new_tokens=n)
+            assert req.prompt_ids + req.out_ids == want, \
+                f"request {req.rid} (eos={eos})"
