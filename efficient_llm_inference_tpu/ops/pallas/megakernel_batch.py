@@ -775,9 +775,19 @@ def llama_megabatch(
                     y = tile_dot(x_[:, g * TR:(g + 1) * TR].astype(dtype), t)
                     acc = y if acc is None else acc + y
                 if int8_w:
-                    acc = acc * ws_ref[pl.ds(base + c * rg, 1)]
+                    acc = acc * brow(ws_ref[pl.ds(base + c * rg, 1)])
                 outs.append(acc)
             return outs
+
+        ones_b = jnp.ones((B, 1), jnp.float32)
+
+        def brow(row):  # [1, X] f32 -> [B, X] via MXU (Mosaic cannot
+            # legalize vector.broadcast of [1, 256]-wide f32 rows —
+            # "Invalid input layout" on Qwen's TC = KW = 256 geometry)
+            return jax.lax.dot_general(
+                ones_b, row, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
         def seg_reduce(x32):
             return jax.lax.dot_general(
@@ -809,7 +819,7 @@ def llama_megabatch(
             vo_, rv, cv = name_off["wv"]
             v32 = jnp.concatenate(mm_chunks(h, lbase + vo_, rv, cv), axis=-1)
             if has_bias:
-                bias = qb_ref[pl.ds(l, 1), :]
+                bias = brow(qb_ref[pl.ds(l, 1), :])  # [B, QW + 2*KW]
                 q32 = q32 + bias[:, :QW]
                 k32 = k32 + bias[:, QW:QW + KW]
                 v32 = v32 + bias[:, QW + KW:]
