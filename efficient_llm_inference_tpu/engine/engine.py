@@ -198,11 +198,17 @@ class InferenceEngine:
                 strategy = DenseKV(**self._dense_kw(cap))
             elif method.startswith("quant_"):
                 cap = bucket + max_new
+                kv_mode = method.replace("quant_", "")
+                mega = self._mega_quant_spec(cap, sampling, kv_mode, kw)
+                if mega is not None:
+                    cap = mega["capacity"]  # rounded up for aligned DMA
                 strategy = QuantizedKV(
                     **self._dense_kw(cap),
-                    mode=method.replace("quant_", ""),
+                    mode=kv_mode,
                     granularity=kw.get("granularity", "per_token"),
                 )
+                if mega is not None:
+                    mega["eps"] = strategy.eps
             elif method == "paged_attention":
                 bs = kw["block_size"]
                 strategy = PagedKV(
@@ -278,6 +284,51 @@ class InferenceEngine:
             "cfg": self.model.config,
             "capacity": cap8,
             "kind": self.model.name,
+            "interpret": self.config.device != "tpu",
+        }
+
+    def _mega_quant_spec(
+        self, cap: int, sampling: Optional[SamplingParams], kv_mode: str,
+        kw: dict,
+    ) -> Optional[dict]:
+        """Quantized-KV whole-step megakernel eligibility for the
+        quant_int8/int4/mixed decode methods (greedy, batch 1, per-token
+        scales; ops/pallas/megakernel_quant.py). This is the north-star
+        composition: int8/int4 KV panes + fused dequant inside the same
+        weight-streaming kernel that serves full_cache."""
+        if not self.config.resolved_megakernel():
+            return None
+        if self.config.batch_size != 1:
+            return None
+        if sampling is not None and not sampling.greedy:
+            return None
+        if kw.get("granularity", "per_token") != "per_token":
+            return None
+        if self.model.name == "gpt2":
+            from ..ops.pallas.megakernel import pack_gpt2_mega as pack
+            from ..ops.pallas.megakernel_quant import (
+                mega_quant_supported as supported,
+            )
+        elif self.model.name == "llama":
+            from ..ops.pallas.megakernel_llama import pack_llama_mega as pack
+            from ..ops.pallas.megakernel_quant import (
+                llama_mega_quant_supported as supported,
+            )
+        else:
+            return None
+        cap8 = -(-cap // 8) * 8  # aligned 8-row RMW group needs C % 8 == 0
+        if not supported(self.model.config, cap8, self.params, kv_mode):
+            return None
+        if self._mega_packed is None:
+            self._mega_packed = pack(self.params, self.model.config)
+        if self._mega_packed is None:
+            return None
+        return {
+            "packed": self._mega_packed,
+            "cfg": self.model.config,
+            "capacity": cap8,
+            "kind": self.model.name,
+            "kv_mode": kv_mode,
             "interpret": self.config.device != "tpu",
         }
 

@@ -223,6 +223,8 @@ def make_generate(
 
 def _mega_decode_body(model: ModelSpec, max_new_tokens: int, mega: dict):
     """Decode loop over whole-step megakernel calls (greedy, batch 1)."""
+    if mega.get("kv_mode"):
+        return _mega_quant_decode_body(model, max_new_tokens, mega)
     if mega.get("kind") == "llama":
         return _llama_mega_decode_body(model, max_new_tokens, mega)
     from ..ops.pallas.megakernel import gpt2_megastep, to_mega_layout
@@ -256,6 +258,121 @@ def _mega_decode_body(model: ModelSpec, max_new_tokens: int, mega: dict):
             tok0,
         )
         (_, _, length, _), toks = jax.lax.scan(
+            step, init, None, length=max_new_tokens
+        )
+        return toks[None, :], {"length": length}
+
+    return decode
+
+
+def _mega_quant_decode_body(model: ModelSpec, max_new_tokens: int, mega: dict):
+    """Decode loop over quantized-KV whole-step megakernel calls.
+
+    The scan carry holds the quantized panes (int8 [L, C, E] / packed-int4
+    uint8 [L, C, E/2]) plus the [L, C] fp32 per-token scale tables — the
+    QuantizedKV prefill cache converts once (ops/pallas/megakernel_quant.py
+    `to_mega_quant_layout`)."""
+    if mega.get("kind") == "llama":
+        return _llama_mega_quant_decode_body(model, max_new_tokens, mega)
+    from ..ops.pallas.megakernel_quant import (
+        _kv_kinds,
+        gpt2_megastep_quant,
+        to_mega_quant_layout,
+    )
+
+    cfg = mega["cfg"]
+    capacity = mega["capacity"]
+    interpret = mega.get("interpret", False)
+    kv_mode = mega["kv_mode"]
+    eps = mega.get("eps", 1e-8)
+    k_kind, v_kind = _kv_kinds(kv_mode)
+
+    def decode(params, packed, cache, last_logits):
+        wte, wpe = params["wte"], params["wpe"]
+
+        def step(carry, _):
+            k, v, ks, vs, length, tok = carry
+            pos = jnp.minimum(length, model.n_positions - 1)
+            x = (wte[tok][None] + wpe[pos][None]).astype(wte.dtype)  # [1, E]
+            tok2, k, v, ks, vs = gpt2_megastep_quant(
+                packed, k, v, ks, vs, length, x,
+                cfg=cfg, capacity=capacity, kv_mode=kv_mode, eps=eps,
+                interpret=interpret,
+            )
+            tok2 = jnp.clip(tok2, 0, model.vocab_size - 1)
+            return (k, v, ks, vs, length + 1, tok2), tok
+
+        tok0 = jnp.clip(
+            jnp.argmax(last_logits[0]).astype(jnp.int32), 0,
+            model.vocab_size - 1,
+        )
+        init = (
+            to_mega_quant_layout(cache["k"], k_kind),
+            to_mega_quant_layout(cache["v"], v_kind),
+            cache["k_scale"],
+            cache["v_scale"],
+            cache["length"],
+            tok0,
+        )
+        (_, _, _, _, length, _), toks = jax.lax.scan(
+            step, init, None, length=max_new_tokens
+        )
+        return toks[None, :], {"length": length}
+
+    return decode
+
+
+def _llama_mega_quant_decode_body(
+    model: ModelSpec, max_new_tokens: int, mega: dict
+):
+    """Llama decode loop over quantized-KV whole-step megakernel calls."""
+    from ..models.llama import rope_cos_sin
+    from ..ops.pallas.megakernel_quant import (
+        _kv_kinds,
+        llama_megastep_quant,
+        to_mega_quant_layout,
+    )
+
+    cfg = mega["cfg"]
+    capacity = mega["capacity"]
+    interpret = mega.get("interpret", False)
+    kv_mode = mega["kv_mode"]
+    eps = mega.get("eps", 1e-8)
+    k_kind, v_kind = _kv_kinds(kv_mode)
+
+    def decode(params, packed, cache, last_logits):
+        embed = params["embed"]
+
+        def step(carry, _):
+            k, v, ks, vs, length, tok = carry
+            pos = jnp.minimum(length, model.n_positions - 1)
+            x = embed[tok][None].astype(embed.dtype)  # [1, E]
+            cos, sin = rope_cos_sin(
+                pos[None, None], cfg.head_dim, cfg.rope_theta
+            )  # [1, 1, D] each
+            cos_q = jnp.tile(cos[0], (1, cfg.n_head))  # [1, Hq*D]
+            sin_q = jnp.tile(sin[0], (1, cfg.n_head))
+            tok2, k, v, ks, vs = llama_megastep_quant(
+                packed, k, v, ks, vs, length, x, cos_q, sin_q,
+                cfg=cfg, capacity=capacity, kv_mode=kv_mode, eps=eps,
+                interpret=interpret,
+            )
+            tok2 = jnp.clip(tok2, 0, model.vocab_size - 1)
+            return (k, v, ks, vs, length + 1, tok2), tok
+
+        tok0 = jnp.clip(
+            jnp.argmax(last_logits[0]).astype(jnp.int32), 0,
+            model.vocab_size - 1,
+        )
+        init = (
+            to_mega_quant_layout(cache["k"], k_kind),
+            to_mega_quant_layout(cache["v"], v_kind),
+            cache["k_scale"],
+            cache["v_scale"],
+            cache["length"],
+            tok0,
+        )
+        (_, _, _, _, length, _), toks = jax.lax.scan(
             step, init, None, length=max_new_tokens
         )
         return toks[None, :], {"length": length}

@@ -1,0 +1,74 @@
+"""Measure the quantized-KV megakernel on the real chip vs full_cache.
+
+Runs the bench.py protocol (GPT-2 small, 256-token prompt, 64 new tokens,
+best of N reps) for full_cache / quant_int8 / quant_int4 / quant_mixed, and
+a long-context variant where KV reads dominate, printing tok/s and the
+per-method est KV bytes.
+
+  python scripts/measure_quant_mega.py [--long]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prompt-tokens", type=int, default=256)
+    ap.add_argument("--max-new", type=int, default=64)
+    ap.add_argument("--reps", type=int, default=6)
+    ap.add_argument("--long", action="store_true",
+                    help="also run a 960-token prompt protocol")
+    ap.add_argument("--weight-quant", default=None)
+    args = ap.parse_args()
+
+    from efficient_llm_inference_tpu.core.config import Config
+    from efficient_llm_inference_tpu.core.utils import (
+        DeviceTimer,
+        enable_compilation_cache,
+    )
+    from efficient_llm_inference_tpu.engine.engine import InferenceEngine
+
+    enable_compilation_cache()
+    cfg = Config(model_name="gpt2", weight_quant=args.weight_quant)
+    eng = InferenceEngine.from_model_name("gpt2", config=cfg)
+
+    def run_protocol(n_prompt: int):
+        rng = np.random.default_rng(0)
+        ids = rng.integers(1, 255, size=n_prompt).tolist()
+        prompt = "".join(chr(max(1, t % 127)) for t in ids)
+        for method in ("full_cache", "quant_int8", "quant_int4",
+                       "quant_mixed"):
+            r = eng.benchmark_method(
+                [prompt], method=method, max_new_tokens=args.max_new,
+                warmup=True,
+            )
+            best = 0.0
+            for _ in range(args.reps):
+                timer = DeviceTimer().start()
+                r = eng.benchmark_method(
+                    [prompt], method=method, max_new_tokens=args.max_new,
+                    warmup=False,
+                )
+                best = max(best, r["total_new_tokens"] / timer.stop())
+            kv_mb = r.get("est_kv_cache_mb_avg", float("nan"))
+            print(f"  {method:12s}: {best:8.1f} tok/s   kv={kv_mb:.2f} MB",
+                  flush=True)
+
+    print(f"[quant-mega] prompt={args.prompt_tokens} new={args.max_new} "
+          f"weight_quant={args.weight_quant}")
+    run_protocol(args.prompt_tokens)
+    if args.long:
+        print(f"[quant-mega] LONG prompt=960 new={args.max_new}")
+        run_protocol(960)
+
+
+if __name__ == "__main__":
+    main()
