@@ -55,6 +55,7 @@ CPU against the XLA QuantizedKV path (tests/test_megakernel_quant.py).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any
 
 import jax
@@ -119,9 +120,60 @@ def to_mega_quant_layout(buf: jax.Array, kind: str) -> jax.Array:
 def llama_mega_quant_supported(
     cfg, capacity: int, params: dict, kv_mode: str
 ) -> bool:
-    """Llama-family quant-KV megakernel eligibility (not yet implemented —
-    the engine keeps Llama quant methods on the XLA path meanwhile)."""
-    return False
+    """Llama-family quant-KV megakernel eligibility.
+
+    Weight-side constraints are the fp kernel's (megakernel_llama.py
+    mega_supported, checked at a minimal capacity); on top of that the
+    quantized panes need 128-lane alignment (int4 halves the lane width)
+    and the quant kernel's own VMEM envelope must fit.
+    """
+    from . import megakernel_llama as _ml
+
+    if not _ml.mega_supported(cfg, 8, params):
+        return False
+    if capacity % 8 != 0:
+        return False
+    KW = cfg.n_kv_head * cfg.head_dim
+    k_kind, v_kind = _kv_kinds(kv_mode)
+    EK = _pane_width(k_kind, KW)
+    EV = _pane_width(v_kind, KW)
+    if EK % 128 != 0 or EV % 128 != 0:
+        return False
+    b = params["blocks"]
+    mode = _ml._weight_mode(b)
+    TR, TC, Ip = _ml._tile_geometry(cfg)
+    G = _ml._q4_group(b["wq"]) if mode == "int4" else 0
+    dt_item = jnp.dtype(params["embed"].dtype).itemsize
+    slot = _ml._w_slot_bytes(mode, TR, TC, G, dt_item)
+    return _llama_quant_fits(
+        cfg, capacity, slot, EK, EV, KW, mode == "int8", TC,
+        _llama_n_tiles(cfg, TR, TC, Ip),
+    )
+
+
+def _llama_n_tiles(cfg, TR: int, TC: int, Ip: int) -> int:
+    from . import megakernel_llama as _ml
+
+    return cfg.n_layer * _ml._tiles_per_layer(cfg, TR, TC, Ip) + (
+        _ml._num_lm_tiles(cfg.vocab_size, TC) * (cfg.hidden_size // TR)
+    )
+
+
+def _llama_quant_fits(
+    cfg, C: int, w_slot_bytes: int, EK: int, EV: int, KW: int,
+    int8_w: bool, TC: int, n_tiles: int,
+) -> bool:
+    """VMEM envelope for the quant-KV Llama kernel at capacity C."""
+    L, Hq = cfg.n_layer, cfg.n_head
+    kv_ring = 2 * C * (EK + EV)  # 2-deep int8 rings for K and V
+    scales = 4 * L * C * 4  # ks/vs in + out tables
+    scratch = 9 * L * (EK + EV) + 2 * L * 512  # new rows, RMW, scale stash
+    attn = 6 * min(C, _ATTN_CHUNK) * KW * 4 + 6 * Hq * C * 4
+    ws = 4 * n_tiles * TC if int8_w else 0
+    return (
+        2 * w_slot_bytes + kv_ring + scales + scratch + attn + ws
+        <= _VMEM_BUDGET
+    )
 
 
 def mega_quant_supported(
@@ -598,6 +650,554 @@ def gpt2_megastep_quant(
         packed["smalls"],
         packed["lnf"],
         wscale,
+        w4scale,
+    )
+    return tok[0, 0], k2, v2, ks2, vs2
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "capacity", "kv_mode", "eps", "interpret")
+)
+def llama_megastep_quant(
+    packed: dict,
+    k: jax.Array,  # [L, C, EK] quantized pane (aliased output)
+    v: jax.Array,  # [L, C, EV]
+    ks: jax.Array,  # [L, C] fp32 per-token K scales (aliased output)
+    vs: jax.Array,  # [L, C] fp32 per-token V scales
+    length: jax.Array,  # int32 [] — tokens already cached
+    x_emb: jax.Array,  # [1, E] token embedding (model dtype)
+    cos_q: jax.Array,  # [1, Hq*D] f32 RoPE cos, tiled per head
+    sin_q: jax.Array,  # [1, Hq*D] f32
+    *,
+    cfg: Any,
+    capacity: int,
+    kv_mode: str,
+    eps: float = 1e-8,
+    interpret: bool = False,
+):
+    """One full Llama/Qwen decode step over quantized KV panes.
+
+    Same weight-streaming skeleton as megakernel_llama._llama_megapass
+    (uniform [TR, TC] tile grid, fori_loop layer walk, f/int8/grouped-int4
+    weight tiers, Qwen qkv biases) with the GPT-2 quant kernel's cache
+    treatment: int8 / packed-int4 panes, [L, C] fp32 per-token scale
+    tables, quantize-on-write in the aligned 8-row RMW.
+
+    GQA attention runs in a STACKED-ROTATION transposed orientation: the
+    GR = Hq/Hkv query-head rotations concatenate into one [Hq, KW] operand
+    (row r*Hkv + kv = query head kv*GR + r masked to KV head kv's lane
+    segment), so each cache chunk costs ONE rhs-transposed score matmul and
+    ONE PV matmul regardless of GR, per-token scales broadcast as [1, C]
+    lane vectors, and softmax statistics reduce over lanes. The fp kernel's
+    per-rotation segment-selector reductions (GR score + GR PV passes per
+    chunk) collapse into matmuls with 4x the sublane occupancy.
+
+    Returns (token id int32 [], new k, new v, new ks, new vs).
+    """
+    from . import megakernel_llama as _ml
+
+    E = cfg.hidden_size
+    Hq, Hkv, D, L = cfg.n_head, cfg.n_kv_head, cfg.head_dim, cfg.n_layer
+    QW, KW = Hq * D, Hkv * D
+    GR = Hq // Hkv
+    C, V = capacity, cfg.vocab_size
+    rms_eps = cfg.rms_eps
+    TR, TC, Ip = _ml._tile_geometry(cfg)
+    plan = _ml._layer_tile_plan(cfg, TR, TC, Ip)
+    per_layer = sum(r * c for _, r, c in plan)
+    n_lm = _ml._num_lm_tiles(V, TC)
+    n_tiles = L * per_layer + n_lm * (E // TR)
+    wdtype = packed["wstack"].dtype
+    int8_w = "wscale" in packed
+    int4_w = "w4scale" in packed
+    has_bias = "qkvb" in packed
+    k_kind, v_kind = _kv_kinds(kv_mode)
+    EK = _pane_width(k_kind, KW)
+    EV = _pane_width(v_kind, KW)
+    dtype = x_emb.dtype  # compute/residual dtype (the model dtype)
+    dt_item = jnp.dtype(dtype).itemsize
+    s4_vmem = False
+    if int4_w:
+        G = TR // packed["w4scale"].shape[1]
+        n_gh = (TR // G) // 2
+        gsel_bytes = (TR // 2) * n_gh * 4
+        s4_bytes = n_tiles * (TR // G) * TC * dt_item
+        s4_vmem = not _ml._S4_RING_ONLY and _llama_quant_fits(
+            cfg, C, (TR // 2) * TC, EK, EV, KW, False, TC, n_tiles
+        ) and (
+            gsel_bytes + s4_bytes + (TR // 2) * TC * 2 < _VMEM_BUDGET // 2
+        )
+        mode = "int4"
+    else:
+        G, n_gh = TR, 0
+        mode = "int8" if int8_w else "f"
+    slot = (TR // 2) * TC if s4_vmem else _ml._w_slot_bytes(
+        mode, TR, TC, G, dt_item
+    )
+    if not _llama_quant_fits(cfg, C, slot, EK, EV, KW, int8_w, TC, n_tiles):
+        raise ValueError(
+            "llama quant megakernel does not fit VMEM at this capacity"
+        )
+    scale = 1.0 / math.sqrt(float(D))
+    half = D // 2
+    KW2 = KW // 2
+
+    name_off = {}
+    off = 0
+    for name, r, c in plan:
+        name_off[name] = (off, r, c)
+        off += r * c
+
+    def rms(x, g32):  # x [1, W] dtype, g32 [1, W] f32 -> [1, W] dtype
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        y = x32 * jax.lax.rsqrt(var + rms_eps)
+        return y.astype(dtype) * g32.astype(dtype)
+
+    def rot_half(x32, W):  # [1, W] f32, rotate-half within each D-lane head
+        rp = jnp.concatenate([x32[:, W - half:], x32[:, :W - half]], axis=1)
+        rm = jnp.concatenate([x32[:, half:], x32[:, :half]], axis=1)
+        d = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) % D
+        return jnp.where(d < half, -rm, rp)
+
+    def kernel(len_ref, x_ref, cq_ref, sq_ref, w_ref, k_ref, v_ref,
+               ks_ref, vs_ref, nm_ref, lnf_ref, ws_ref, qb_ref, s4_ref,
+               tok_ref, ko_ref, vo_ref, kso_ref, vso_ref, *scr):
+        if int4_w and not s4_vmem:
+            (wbuf, sbuf, kbuf, vbuf, knew, vnew, ksn, vsn, gk, gv,
+             wsem, ssem, ksem, vsem, gsem, osem) = scr
+        else:
+            (wbuf, kbuf, vbuf, knew, vnew, ksn, vsn, gk, gv,
+             wsem, ksem, vsem, gsem, osem) = scr
+            sbuf = ssem = None
+        cur = len_ref[0, 0]
+
+        if int4_w:
+            r_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (TR // 2, n_gh), 0) // G
+            g_ids = jax.lax.broadcasted_iota(jnp.int32, (TR // 2, n_gh), 1)
+            gsel = (r_ids == g_ids).astype(dtype)
+
+        # 0/1 KV-head segment selector, transposed: selT[h, kl] = 1 iff
+        # kl // D == h
+        kl_ids = jax.lax.broadcasted_iota(jnp.int32, (Hkv, KW), 1) // D
+        h_ids = jax.lax.broadcasted_iota(jnp.int32, (Hkv, KW), 0)
+        selT = (kl_ids == h_ids).astype(jnp.float32)  # [Hkv, KW]
+
+        def wdma(slot_, t):
+            return pltpu.make_async_copy(
+                w_ref.at[t], wbuf.at[slot_], wsem.at[slot_]
+            )
+
+        def sdma(slot_, t):
+            return pltpu.make_async_copy(
+                s4_ref.at[t], sbuf.at[slot_], ssem.at[slot_]
+            )
+
+        def kdma(slot_, l):
+            return pltpu.make_async_copy(k_ref.at[l], kbuf.at[slot_],
+                                         ksem.at[slot_])
+
+        def vdma(slot_, l):
+            return pltpu.make_async_copy(v_ref.at[l], vbuf.at[slot_],
+                                         vsem.at[slot_])
+
+        gbase = pl.multiple_of((cur // 8) * 8, 8)
+
+        def group_in(ref, buf, sem):
+            return pltpu.make_async_copy(
+                ref.at[:, pl.ds(gbase, 8), :], buf, sem
+            )
+
+        def group_out(buf, ref, sem):
+            return pltpu.make_async_copy(
+                buf, ref.at[:, pl.ds(gbase, 8), :], sem
+            )
+
+        wdma(0, 0).start()
+        if int4_w and not s4_vmem:
+            sdma(0, 0).start()
+        kdma(0, 0).start()
+        vdma(0, 0).start()
+        gk_in = group_in(k_ref, gk, gsem.at[0])
+        gv_in = group_in(v_ref, gv, gsem.at[1])
+        gk_in.start()
+        gv_in.start()
+
+        def tile(t):
+            """Depth-1 pipelined read of the sequential tile stream (see
+            megakernel_llama: dynamic t keeps program size O(1) in tiles)."""
+            slot_ = jax.lax.rem(t, 2)
+            nxt = jax.lax.rem(t + 1, 2)
+
+            @pl.when(t + 1 < n_tiles)
+            def _():
+                wdma(nxt, t + 1).start()
+                if int4_w and not s4_vmem:
+                    sdma(nxt, t + 1).start()
+
+            wdma(slot_, t).wait()
+            if int4_w and not s4_vmem:
+                sdma(slot_, t).wait()
+            return slot_
+
+        def tile_dot(xg, t):
+            """[1, TR] @ tile t -> [1, TC] f32 (un-scaled for int8 tiles)."""
+            slot_ = tile(t)
+            if not int4_w:
+                return jax.lax.dot_general(
+                    xg, wbuf[pl.ds(slot_, 1)][0].astype(dtype),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            pk = wbuf[pl.ds(slot_, 1)][0]
+            if s4_vmem:
+                st = s4_ref[pl.ds(t, 1)][0]
+            else:
+                st = sbuf[pl.ds(slot_, 1)][0]
+            return _int4_tile_dot(xg, pk, st, gsel, TR, G, n_gh, dtype)
+
+        def mm_chunks(x_, base, rg, cg):
+            outs = []
+            for c in range(cg):
+                acc = None
+                for g in range(rg):
+                    t = base + c * rg + g
+                    y = tile_dot(x_[:, g * TR:(g + 1) * TR].astype(dtype), t)
+                    acc = y if acc is None else acc + y
+                if int8_w:
+                    acc = acc * ws_ref[pl.ds(base + c * rg, 1)]
+                outs.append(acc)
+            return outs
+
+        def dot_nt(a, b):  # [M, K] @ [N, K]^T -> [M, N] fp32
+            return jax.lax.dot_general(
+                a, b, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def dot_nn(a, b):  # [M, K] @ [K, N] -> [M, N] fp32
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def unpack4(pk):  # [cw, W/2] int8 -> (hi_vals, lo_vals) fp32
+            lo_b = jnp.bitwise_and(pk, 0xF).astype(jnp.float32)  # q_lo + 8
+            hi = (pk.astype(jnp.float32) - lo_b) * 0.0625  # q_hi, exact
+            return hi, lo_b - 8.0
+
+        def quant_row(x16, kind):
+            """[1, KW] dtype -> (q fp32 rounded/clipped, scale fp32 [1,1]).
+
+            Exact reference math (ops/quantization.py): fp32 scale =
+            max(max|x|/qmax, eps), round half-to-even, clip.
+            """
+            x32 = x16.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(x32), axis=1, keepdims=True)
+            if kind == "int8":
+                s = jnp.maximum(amax * (1.0 / 127.0), eps)
+                q = jnp.clip(jnp.round(x32 / s), -127.0, 127.0)
+            else:
+                s = jnp.maximum(amax * (1.0 / 7.0), eps)
+                q = jnp.clip(jnp.round(x32 / s), -8.0, 7.0)
+            return q, s
+
+        def pack_pane(q, kind):  # [1, KW] fp32 codes -> [1, EK/EV] int8
+            if kind == "int8":
+                return q.astype(jnp.int8)
+            return (16.0 * q[:, :KW2] + q[:, KW2:] + 8.0).astype(jnp.int8)
+
+        cosq = cq_ref[:]  # [1, QW] f32
+        sinq = sq_ref[:]
+        cosk, sink = cosq[:, :KW], sinq[:, :KW]  # D-periodic
+
+        x = x_ref[:].astype(dtype)  # [1, E] residual stream
+        col_qc = jax.lax.broadcasted_iota(jnp.int32, (Hq, C), 1)
+
+        def layer_body(l, x):
+            lbase = l * per_layer
+            par = jax.lax.rem(l, 2)
+
+            h = rms(x, nm_ref[pl.ds(l, 1), 0, :])
+            qo, rq, cq_ = name_off["wq"]
+            q32 = jnp.concatenate(mm_chunks(h, lbase + qo, rq, cq_), axis=-1)
+            ko_, rk, ck = name_off["wk"]
+            k32 = jnp.concatenate(mm_chunks(h, lbase + ko_, rk, ck), axis=-1)
+            vo_, rv, cv = name_off["wv"]
+            v32 = jnp.concatenate(mm_chunks(h, lbase + vo_, rv, cv), axis=-1)
+            if has_bias:  # Qwen2: bias on the fp32 accumulator, as _mm does
+                bias = qb_ref[pl.ds(l, 1), :]  # [1, QW + 2*KW] f32
+                q32 = q32 + bias[:, :QW]
+                k32 = k32 + bias[:, QW:QW + KW]
+                v32 = v32 + bias[:, QW + KW:]
+
+            # RoPE on the bf16-rounded projections (models/llama.py casts
+            # the matmul result to the model dtype before apply_rope)
+            qd = q32.astype(dtype).astype(jnp.float32)
+            kd = k32.astype(dtype).astype(jnp.float32)
+            q_rope = (qd * cosq + rot_half(qd, QW) * sinq).astype(dtype)
+            k_rope = (kd * cosk + rot_half(kd, KW) * sink).astype(dtype)
+            kc16 = k_rope  # [1, KW] dtype
+            vc16 = v32.astype(dtype)
+
+            # quantize-on-write: new K/V rows + their per-token scales
+            qk, sk = quant_row(kc16, k_kind)
+            qv, sv = quant_row(vc16, v_kind)
+            knew[pl.ds(l, 1)] = pack_pane(qk, k_kind)[None]
+            vnew[pl.ds(l, 1)] = pack_pane(qv, v_kind)[None]
+            ksn[pl.ds(l, 1), :] = jnp.broadcast_to(sk, (1, 128))
+            vsn[pl.ds(l, 1), :] = jnp.broadcast_to(sv, (1, 128))
+
+            @pl.when(l + 1 < L)
+            def _():
+                nxt = jax.lax.rem(l + 1, 2)
+                kdma(nxt, l + 1).start()
+                vdma(nxt, l + 1).start()
+
+            kdma(par, l).wait()
+            vdma(par, l).wait()
+
+            # stacked-rotation transposed GQA attention over the quantized
+            # pane: U row r*Hkv + kv carries query head kv*GR + r masked to
+            # KV head kv's lane segment
+            qf = q_rope.astype(jnp.float32)  # [1, QW]
+            q_rs = [
+                jnp.concatenate(
+                    [
+                        qf[:, (kv * GR + r) * D:(kv * GR + r) * D + D]
+                        for kv in range(Hkv)
+                    ],
+                    axis=1,
+                )
+                for r in range(GR)
+            ]  # GR x [1, KW]
+            U = jnp.concatenate(
+                [selT * q_rs[r] for r in range(GR)], axis=0
+            )  # [Hq, KW] f32
+            kcur32 = kc16.astype(jnp.float32)  # [1, KW]
+            vcur32 = vc16.astype(jnp.float32)
+
+            raw_chunks = []
+            for c0 in range(0, C, _ATTN_CHUNK):
+                cw = min(_ATTN_CHUNK, C - c0)
+                if k_kind == "int8":
+                    kc = kbuf[pl.ds(par, 1), c0:c0 + cw, :][0].astype(
+                        jnp.float32)
+                    raw_chunks.append(dot_nt(U, kc))  # [Hq, cw]
+                else:
+                    khi, klo = unpack4(
+                        kbuf[pl.ds(par, 1), c0:c0 + cw, :][0])
+                    raw_chunks.append(
+                        dot_nt(U[:, :KW2], khi) + dot_nt(U[:, KW2:], klo)
+                    )
+            raw = jnp.concatenate(raw_chunks, axis=1)  # [Hq, C]
+            st = raw * ks_ref[pl.ds(l, 1), :] * scale  # per-token K scales
+            st = jnp.where(col_qc < cur, st, NEG_INF)
+            s_cur = jnp.sum(
+                U * kcur32, axis=1, keepdims=True
+            ) * scale  # [Hq, 1]
+            mx = jnp.maximum(jnp.max(st, axis=1, keepdims=True), s_cur)
+            p = jnp.exp(st - mx)  # [Hq, C] fp32
+            p_cur = jnp.exp(s_cur - mx)  # [Hq, 1]
+            denom = jnp.sum(p, axis=1, keepdims=True) + p_cur  # [Hq, 1]
+            ps = p * vs_ref[pl.ds(l, 1), :]  # fold per-token V scales
+            M = jnp.zeros((Hq, KW), jnp.float32)
+            for c0 in range(0, C, _ATTN_CHUNK):
+                cw = min(_ATTN_CHUNK, C - c0)
+                psc = ps[:, c0:c0 + cw]
+                if v_kind == "int8":
+                    vc = vbuf[pl.ds(par, 1), c0:c0 + cw, :][0].astype(
+                        jnp.float32)
+                    M = M + dot_nn(psc, vc)
+                else:
+                    vhi, vlo = unpack4(
+                        vbuf[pl.ds(par, 1), c0:c0 + cw, :][0])
+                    M = M + jnp.concatenate(
+                        [dot_nn(psc, vhi), dot_nn(psc, vlo)], axis=1
+                    )
+            num = M + p_cur * vcur32  # current token, full-precision
+
+            # fold rotations back: per rotation r, rows r*Hkv..(r+1)*Hkv
+            # collapse over sublanes into each KV head's lane segment, then
+            # static lane slices interleave to query-head order [1, QW]
+            ao_rs = []
+            for r in range(GR):
+                rows = slice(r * Hkv, (r + 1) * Hkv)
+                nr = jnp.sum(num[rows] * selT, axis=0, keepdims=True)
+                dr = jnp.sum(denom[rows] * selT, axis=0, keepdims=True)
+                ao_rs.append(nr / dr)  # [1, KW]
+            a = jnp.concatenate(
+                [
+                    ao_rs[hq % GR][:, (hq // GR) * D:(hq // GR) * D + D]
+                    for hq in range(Hq)
+                ],
+                axis=1,
+            ).astype(dtype)  # [1, QW]
+
+            oo, ro, co = name_off["wo"]
+            o32 = jnp.concatenate(mm_chunks(a, lbase + oo, ro, co), axis=-1)
+            x = x + o32.astype(dtype)
+
+            h2 = rms(x, nm_ref[pl.ds(l, 1), 1, :])
+            go, rgt, cgt = name_off["w_gate"]
+            g32 = jnp.concatenate(mm_chunks(h2, lbase + go, rgt, cgt),
+                                  axis=-1)
+            uo, ru, cu = name_off["w_up"]
+            u32 = jnp.concatenate(mm_chunks(h2, lbase + uo, ru, cu), axis=-1)
+            gate = (g32 * jax.nn.sigmoid(g32)).astype(dtype)
+            prod = gate * u32.astype(dtype)
+            do, rd, cd = name_off["w_down"]
+            y32 = jnp.concatenate(mm_chunks(prod, lbase + do, rd, cd),
+                                  axis=-1)
+            return x + y32.astype(dtype)
+
+        x = jax.lax.fori_loop(0, L, layer_body, x)
+
+        # merge the quantized new K/V rows into their aligned 8-row groups
+        # and write back, overlapped with the LM-head tile stream; the new
+        # scales land at lane `cur` of the [L, C] tables
+        gk_in.wait()
+        gv_in.wait()
+        ridx_k = jax.lax.broadcasted_iota(jnp.int32, (L, 8, EK), 1)
+        ridx_v = jax.lax.broadcasted_iota(jnp.int32, (L, 8, EV), 1)
+        ins_k = ridx_k == (cur - gbase)
+        ins_v = ridx_v == (cur - gbase)
+        gk[:] = jnp.where(ins_k, jnp.broadcast_to(knew[:], (L, 8, EK)), gk[:])
+        gv[:] = jnp.where(ins_v, jnp.broadcast_to(vnew[:], (L, 8, EV)), gv[:])
+        okd = group_out(gk, ko_ref, osem.at[0])
+        ovd = group_out(gv, vo_ref, osem.at[1])
+        okd.start()
+        ovd.start()
+
+        lane_lc = jax.lax.broadcasted_iota(jnp.int32, (L, C), 1)
+        kso_ref[:] = jnp.where(
+            lane_lc == cur, jnp.broadcast_to(ksn[:, 0:1], (L, C)), ks_ref[:]
+        )
+        vso_ref[:] = jnp.where(
+            lane_lc == cur, jnp.broadcast_to(vsn[:, 0:1], (L, C)), vs_ref[:]
+        )
+
+        xf = rms(x, lnf_ref[:])  # [1, E] dtype
+        lm_base = L * per_layer
+        rg_lm = E // TR
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (1, TC), 1)
+        big = jnp.int32(2 ** 30)
+
+        def lm_body(t, carry):
+            best, best_idx = carry  # [1, 1] f32 / int32
+            acc = None
+            for g in range(rg_lm):
+                y = tile_dot(
+                    xf[:, g * TR:(g + 1) * TR], lm_base + t * rg_lm + g
+                )
+                acc = y if acc is None else acc + y
+            if int8_w:
+                acc = acc * ws_ref[pl.ds(lm_base + t * rg_lm, 1)]
+            acc = jnp.where(t * TC + cidx < V, acc, NEG_INF)
+            ymax = jnp.max(acc, axis=1, keepdims=True)
+            cand = jnp.min(
+                jnp.where(acc == ymax, cidx, big), axis=1, keepdims=True
+            ) + t * TC
+            take = ymax > best  # strict: earlier tiles win ties
+            return jnp.maximum(best, ymax), jnp.where(take, cand, best_idx)
+
+        _, best_idx = jax.lax.fori_loop(
+            0, n_lm, lm_body,
+            (jnp.full((1, 1), NEG_INF, jnp.float32),
+             jnp.zeros((1, 1), jnp.int32)),
+        )
+        tok_ref[:] = jnp.broadcast_to(best_idx, (1, 128))
+
+        okd.wait()
+        ovd.wait()
+
+    wtile_shape = (2, TR // 2, TC) if int4_w else (2, TR, TC)
+    scratch = [pltpu.VMEM(wtile_shape, wdtype)]  # weight ring (2-deep)
+    if int4_w and not s4_vmem:
+        scratch.append(pltpu.VMEM((2, TR // G, TC), dtype))  # scale ring
+    scratch += [
+        pltpu.VMEM((2, C, EK), jnp.int8),  # K ring (quantized)
+        pltpu.VMEM((2, C, EV), jnp.int8),  # V ring
+        pltpu.VMEM((L, 1, EK), jnp.int8),  # quantized new K rows
+        pltpu.VMEM((L, 1, EV), jnp.int8),  # quantized new V rows
+        pltpu.VMEM((L, 128), jnp.float32),  # new K scales
+        pltpu.VMEM((L, 128), jnp.float32),  # new V scales
+        pltpu.VMEM((L, 8, EK), jnp.int8),  # RMW group (K)
+        pltpu.VMEM((L, 8, EV), jnp.int8),  # RMW group (V)
+        pltpu.SemaphoreType.DMA((2,)),  # wsem
+    ]
+    if int4_w and not s4_vmem:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))  # ssem
+    scratch += [
+        pltpu.SemaphoreType.DMA((2,)),  # ksem
+        pltpu.SemaphoreType.DMA((2,)),  # vsem
+        pltpu.SemaphoreType.DMA((2,)),  # gsem
+        pltpu.SemaphoreType.DMA((2,)),  # osem
+    ]
+    f = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # length (1,1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x_emb
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cos_q
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sin_q
+            pl.BlockSpec(memory_space=pltpu.HBM),  # wstack
+            pl.BlockSpec(memory_space=pltpu.HBM),  # k  [L, C, EK]
+            pl.BlockSpec(memory_space=pltpu.HBM),  # v  [L, C, EV]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ks [L, C] fp32
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # vs
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # norms [L, 2, E]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lnf [1, E]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wscale [n_tiles, TC]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # qkvb [L, QW+2KW]
+            pl.BlockSpec(  # w4scale: VMEM-resident unless ring mode
+                memory_space=pltpu.HBM
+                if (int4_w and not s4_vmem) else pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # token [1, 128]
+            pl.BlockSpec(memory_space=pltpu.HBM),  # k out (aliased)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # v out (aliased)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ks out (aliased)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # vs out (aliased)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 128), jnp.int32),
+            jax.ShapeDtypeStruct((L, C, EK), jnp.int8),
+            jax.ShapeDtypeStruct((L, C, EV), jnp.int8),
+            jax.ShapeDtypeStruct((L, C), jnp.float32),
+            jax.ShapeDtypeStruct((L, C), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        input_output_aliases={5: 1, 6: 2, 7: 3, 8: 4},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_SCOPED_VMEM),
+        interpret=interpret,
+    )
+    wscale = packed.get("wscale")
+    if wscale is None:  # never read on the full-precision path
+        wscale = jnp.ones((1, TC), jnp.float32)
+    qkvb = packed.get("qkvb")
+    if qkvb is None:  # never read when the model has no qkv biases
+        qkvb = jnp.zeros((L, 1), jnp.float32)
+    w4scale = packed.get("w4scale")
+    if w4scale is None:  # never read on non-int4 paths
+        w4scale = jnp.zeros((1, 1, 128), dtype)
+    tok, k2, v2, ks2, vs2 = f(
+        jnp.reshape(length.astype(jnp.int32), (1, 1)),
+        x_emb,
+        cos_q.astype(jnp.float32),
+        sin_q.astype(jnp.float32),
+        packed["wstack"],
+        k,
+        v,
+        ks,
+        vs,
+        packed["norms"],
+        packed["lnf"],
+        wscale,
+        qkvb,
         w4scale,
     )
     return tok[0, 0], k2, v2, ks2, vs2

@@ -27,6 +27,7 @@ def main() -> None:
     ap.add_argument("--long", action="store_true",
                     help="also run a 960-token prompt protocol")
     ap.add_argument("--weight-quant", default=None)
+    ap.add_argument("--model", default="gpt2")
     args = ap.parse_args()
 
     from efficient_llm_inference_tpu.core.config import Config
@@ -37,8 +38,8 @@ def main() -> None:
     from efficient_llm_inference_tpu.engine.engine import InferenceEngine
 
     enable_compilation_cache()
-    cfg = Config(model_name="gpt2", weight_quant=args.weight_quant)
-    eng = InferenceEngine.from_model_name("gpt2", config=cfg)
+    cfg = Config(model_name=args.model, weight_quant=args.weight_quant)
+    eng = InferenceEngine.from_model_name(args.model, config=cfg)
 
     def run_protocol(n_prompt: int):
         rng = np.random.default_rng(0)

@@ -162,3 +162,167 @@ def test_int4_layout_roundtrip(params):
     assert pane.dtype == jnp.int8
     ints = _dequant_pane(pane, "int4")
     np.testing.assert_array_equal(ints, _xla_pane_ints(cache["k"], "int4"))
+
+
+# ---- Llama/Qwen family (GQA + RoPE + SwiGLU over quantized panes) --------
+#
+# KW = n_kv_head * head_dim = 256 so the packed-int4 pane (KW/2 = 128)
+# stays 128-lane aligned and the engine-side eligibility check accepts it.
+from efficient_llm_inference_tpu.models import llama as llama_mod  # noqa: E402
+from efficient_llm_inference_tpu.models.llama import (  # noqa: E402
+    LlamaConfig,
+    llama_spec,
+    rope_cos_sin,
+)
+from efficient_llm_inference_tpu.ops.pallas.megakernel_llama import (  # noqa: E402
+    pack_llama_mega,
+)
+from efficient_llm_inference_tpu.ops.pallas.megakernel_quant import (  # noqa: E402
+    llama_mega_quant_supported,
+    llama_megastep_quant,
+)
+
+LCFG = LlamaConfig(
+    vocab_size=300,
+    hidden_size=512,
+    intermediate_size=1024,
+    n_layer=2,
+    n_head=8,
+    n_kv_head=4,
+    n_positions=512,
+    rope_theta=10000.0,
+    tie_embeddings=True,
+)
+
+
+@pytest.fixture(scope="module")
+def lparams():
+    return llama_mod.init_llama_params(jax.random.PRNGKey(0), LCFG, jnp.float32)
+
+
+@pytest.mark.parametrize("kv_mode", ["int8", "int4", "mixed"])
+def test_llama_megastep_quant_matches_xla_step(lparams, kv_mode):
+    packed = pack_llama_mega(lparams, LCFG)
+    assert packed is not None
+    C = 48
+    assert llama_mega_quant_supported(LCFG, C, lparams, kv_mode)
+    strat = QuantizedKV(
+        n_layer=LCFG.n_layer, n_head=LCFG.n_kv_head, head_dim=LCFG.head_dim,
+        capacity=C, batch=1, dtype=jnp.float32, mode=kv_mode, fused=False,
+    )
+    T0 = 7
+    toks = jnp.array([[3, 5, 250, 9, 1, 42, 7]], jnp.int32)
+    pos = jnp.arange(T0, dtype=jnp.int32)[None]
+    cache = strat.init()
+    logits, cache = llama_mod.llama_forward(
+        lparams, LCFG, toks, pos, cache, strat
+    )
+    cache = strat.set_length(cache, T0)
+
+    tok0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    pos1 = jnp.full((1, 1), T0, jnp.int32)
+    logits1, cache1 = llama_mod.llama_forward(
+        lparams, LCFG, tok0[:, None], pos1, cache, strat
+    )
+    tok_xla = int(jnp.argmax(logits1[0, 0]))
+
+    k_kind, v_kind = _kv_kinds(kv_mode)
+    x_emb = lparams["embed"][tok0]
+    cos, sin = rope_cos_sin(pos1, LCFG.head_dim, LCFG.rope_theta)
+    cos_q = jnp.tile(cos[0], (1, LCFG.n_head))
+    sin_q = jnp.tile(sin[0], (1, LCFG.n_head))
+    tok_mega, k2, v2, ks2, vs2 = llama_megastep_quant(
+        packed,
+        to_mega_quant_layout(cache["k"], k_kind),
+        to_mega_quant_layout(cache["v"], v_kind),
+        cache["k_scale"], cache["v_scale"],
+        jnp.int32(T0), x_emb, cos_q, sin_q,
+        cfg=LCFG, capacity=C, kv_mode=kv_mode, interpret=True,
+    )
+    assert int(tok_mega) == tok_xla
+
+    # quantized writeback: dequantized new-row values match the XLA path
+    kq_mega = _dequant_pane(k2, k_kind)
+    kq_xla = _xla_pane_ints(cache1["k"], k_kind)
+    ks_xla = np.asarray(cache1["k_scale"])
+    np.testing.assert_allclose(
+        kq_mega[:, T0] * np.asarray(ks2)[:, T0, None],
+        kq_xla[:, T0] * ks_xla[:, T0, None],
+        atol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ks2)[:, T0], ks_xla[:, T0], rtol=1e-4
+    )
+    vq_mega = _dequant_pane(v2, v_kind)
+    vq_xla = _xla_pane_ints(cache1["v"], v_kind)
+    vs_xla = np.asarray(cache1["v_scale"])
+    np.testing.assert_allclose(
+        vq_mega[:, T0] * np.asarray(vs2)[:, T0, None],
+        vq_xla[:, T0] * vs_xla[:, T0, None],
+        atol=5e-3,
+    )
+    # prior rows and scales untouched by the read-modify-write group
+    np.testing.assert_array_equal(kq_mega[:, :T0], kq_xla[:, :T0])
+    np.testing.assert_array_equal(
+        np.asarray(ks2)[:, :T0], np.asarray(cache["k_scale"])[:, :T0]
+    )
+    np.testing.assert_array_equal(vq_mega[:, :T0], vq_xla[:, :T0])
+
+
+@pytest.mark.parametrize("kv_mode", ["int8", "int4", "mixed"])
+def test_engine_llama_quant_megakernel_token_exact(lparams, kv_mode):
+    """Forced-megakernel Llama engine == default engine, quant methods."""
+    spec = llama_spec(LCFG)
+    eng_on = InferenceEngine(
+        spec, lparams,
+        config=Config(dtype=jnp.float32, megakernel=True, device="cpu"),
+    )
+    eng_off = InferenceEngine(
+        spec, lparams,
+        config=Config(dtype=jnp.float32, megakernel=False, device="cpu"),
+    )
+    method = f"quant_{kv_mode}"
+    prompt = "the quick brown fox jumps over the lazy dog"
+    ids_on = eng_on.generate_ids(prompt, method=method, max_new_tokens=12)
+    built = [b for b in eng_on._fns.values() if b[0] == "cached"]
+    assert any(
+        isinstance(b[3], dict) and b[3].get("kv_mode") == kv_mode
+        for b in built
+    ), "llama quant megakernel path was not selected"
+    ids_off = eng_off.generate_ids(prompt, method=method, max_new_tokens=12)
+    assert ids_on == ids_off
+
+
+def test_engine_llama_quant_mega_int8_weights(lparams):
+    """int8 weight tiles + int8 KV panes compose (the serving sweet spot)."""
+    spec = llama_spec(LCFG)
+    qparams = llama_mod.quantize_llama_weights(lparams)
+    assert llama_mega_quant_supported(LCFG, 48, qparams, "int8")
+    outs = {}
+    for mega in (False, True):
+        eng = InferenceEngine(
+            spec, qparams,
+            config=Config(dtype=jnp.float32, megakernel=mega, device="cpu",
+                          weight_quant="int8"),
+        )
+        outs[mega] = eng.generate_ids(
+            "compose int8 weights with int8 kv", method="quant_int8",
+            max_new_tokens=10,
+        )
+    assert outs[True] == outs[False]
+
+
+def test_llama_quant_gating(lparams):
+    # narrow KV lane space: int4 pane drops under 128 lanes -> rejected
+    narrow = LlamaConfig(
+        vocab_size=300, hidden_size=256, intermediate_size=512, n_layer=2,
+        n_head=4, n_kv_head=2, tie_embeddings=True,
+    )
+    nparams = llama_mod.init_llama_params(
+        jax.random.PRNGKey(1), narrow, jnp.float32
+    )
+    assert not llama_mega_quant_supported(narrow, 48, nparams, "int4")
+    # int8 panes at KW=128 are fine
+    assert llama_mega_quant_supported(narrow, 48, nparams, "int8")
+    # capacity must be 8-aligned
+    assert not llama_mega_quant_supported(LCFG, 47, lparams, "int8")
