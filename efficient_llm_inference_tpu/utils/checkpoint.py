@@ -61,9 +61,18 @@ def load_params(path: str, like=None):
     return ckptr.restore(p.absolute())
 
 
-def convert_and_cache_hf(model_name: str, cache_dir: str = "~/.cache/elit_params"):
+def convert_and_cache_hf(
+    model_name: str,
+    cache_dir: str = "~/.cache/elit_params",
+    hf_path: Optional[str] = None,
+):
     """Convert a HF checkpoint to our layout, caching the result on disk.
 
+    `model_name` picks the model-family spec (models/registry.py);
+    `hf_path` optionally points `from_pretrained` at a local directory (a
+    `save_pretrained` output) instead of re-resolving `model_name` — the
+    fully-offline path (no hub here; the reference's model-loading surface
+    is /root/reference/examples/basic_benchmark.py:20-28 minus the hub).
     Works offline when the HF weights are already local; raises otherwise.
     """
     cache = pathlib.Path(cache_dir).expanduser() / model_name.replace("/", "_")
@@ -84,7 +93,9 @@ def convert_and_cache_hf(model_name: str, cache_dir: str = "~/.cache/elit_params
 
     from transformers import AutoModelForCausalLM
 
-    hf = AutoModelForCausalLM.from_pretrained(model_name, local_files_only=True)
+    hf = AutoModelForCausalLM.from_pretrained(
+        hf_path or model_name, local_files_only=True
+    )
     if model_name.startswith("gpt2"):
         params = gpt2_mod.params_from_hf_state_dict(hf.state_dict(), spec.config)
     else:
