@@ -52,6 +52,11 @@ _WAVE_BUCKETS = (1, 2, 4, 8, 16, 32)
 class MegaBatchServer:
     """Dense-pane continuous batching: megakernel decode for full waves."""
 
+    # with an eos_id, bursts are speculative (EOS retirements are only
+    # discovered at the fetch): cap them so zombie decode and admission
+    # delay stay bounded while fetches amortize over several chunks
+    _EOS_BURST_CAP = 4
+
     def __init__(
         self,
         model: ModelSpec,
@@ -293,12 +298,18 @@ class MegaBatchServer:
     ) -> List[Request]:
         """Serve all requests to completion; returns them (with out_ids).
 
-        Without an eos_id the retirement schedule is fully deterministic
-        (budgets are known host-side), so every chunk up to the next slot
-        retirement is dispatched back-to-back — device arrays thread from
-        chunk to chunk and ONE device_get fetches the whole burst (each
-        fetch through the remote relay costs ~26 ms). With an eos_id the
-        loop harvests per chunk (retirements depend on generated tokens).
+        Burst scheduling: the budget-based retirement schedule is known
+        host-side, so every chunk up to the next (budget) slot retirement
+        is dispatched back-to-back — device arrays thread from chunk to
+        chunk and ONE device_get fetches the whole burst (each fetch
+        through the remote relay costs ~26 ms). With an eos_id the burst
+        is SPECULATIVE: it assumes no early EOS; a slot that does hit EOS
+        mid-burst keeps decoding as a zombie into its own pane (clamped at
+        the pane end, discarded at harvest, overwritten by the next
+        admission), so per-request outputs are token-identical to the
+        per-chunk schedule. The burst length is additionally capped at
+        _EOS_BURST_CAP chunks so a fetch confirms EOS retirements every
+        few chunks (bounds zombie work and admission delay).
         """
         queue = list(requests)
         chunk = self.pool_cfg.max_chunk
@@ -306,23 +317,21 @@ class MegaBatchServer:
             self._chunks[chunk] = self._make_chunk(chunk)
         step_fn = self._chunks[chunk]
         total_steps = 0
-        deterministic = self.eos_id is None
         while queue or self.active.any():
             self._admit(queue)
             if not self.active.any():
                 continue
-            if deterministic:
-                rem = {
-                    s: self.slot_req[s].max_new_tokens
-                    - len(self.slot_req[s].out_ids)
-                    for s in range(self.pool_cfg.n_slots) if self.active[s]
-                }
-                per_slot = [-(-r // chunk) for r in rem.values()]
-                # drain until a slot frees (admit sooner) or, with nothing
-                # queued, until every active slot finishes
-                n_burst = min(per_slot) if queue else max(per_slot)
-            else:
-                n_burst = 1
+            rem = {
+                s: self.slot_req[s].max_new_tokens
+                - len(self.slot_req[s].out_ids)
+                for s in range(self.pool_cfg.n_slots) if self.active[s]
+            }
+            per_slot = [-(-r // chunk) for r in rem.values()]
+            # drain until a slot frees by budget (admit sooner) or, with
+            # nothing queued, until every active slot's budget expires
+            n_burst = min(per_slot) if queue else max(per_slot)
+            if self.eos_id is not None:
+                n_burst = min(n_burst, self._EOS_BURST_CAP)
             active_mask = self.active.copy()
             lengths_c = jnp.asarray(self.lengths.copy())
             toks_c = jnp.asarray(self.last_token.copy())
@@ -334,12 +343,11 @@ class MegaBatchServer:
                     lengths_c, toks_c, jnp.asarray(active_mask.copy()),
                 )
                 blocks.append(toks_all)
-                if deterministic:  # evolve the mask as budgets expire
-                    for s in list(rem):
-                        rem[s] -= chunk
-                        if rem[s] <= 0:
-                            del rem[s]
-                            active_mask[s] = False
+                for s in list(rem):  # evolve the mask as budgets expire
+                    rem[s] -= chunk
+                    if rem[s] <= 0:
+                        del rem[s]
+                        active_mask[s] = False
             fetched, lengths_np, last_np = jax.device_get(
                 (blocks, lengths_c, toks_c)
             )

@@ -377,3 +377,88 @@ def test_megabatch_server_matches_per_prompt(params):
             want = eng.generate_ids(p, "full_cache", max_new_tokens=n)
             assert req.prompt_ids + req.out_ids == want, \
                 f"request {req.rid} (eos={eos})"
+
+
+def test_megabatch_server_eos_bursts(params):
+    """EOS-aware speculative bursts: with eos_id set the server still
+    dispatches budget-scheduled bursts (one fetch per retirement window),
+    and a mid-stream EOS truncates exactly as per-prompt generation does."""
+    from efficient_llm_inference_tpu.core.config import Config
+    from efficient_llm_inference_tpu.engine.batching import Request
+    from efficient_llm_inference_tpu.engine.engine import InferenceEngine
+    from efficient_llm_inference_tpu.engine.megaserver import (
+        MegaBatchServer,
+        MegaPoolConfig,
+    )
+    from efficient_llm_inference_tpu.models.registry import gpt2_spec
+
+    spec = gpt2_spec(CFG)
+    eng = InferenceEngine(
+        spec, params,
+        config=Config(dtype=jnp.float32, megakernel=False, device="cpu"),
+    )
+    tok = eng.tokenizer
+    prompts = ["the quick brown fox jumps", "a b c", "hello world"]
+    budgets = [9, 7, 8]
+    wants = [
+        eng.generate_ids(p, "full_cache", max_new_tokens=n)[len(tok.encode(p)):]
+        for p, n in zip(prompts, budgets)
+    ]
+    # pick an EOS that fires mid-stream for request 0 but is still exercised
+    # as a no-op for the others
+    eos = wants[0][len(wants[0]) // 2]
+
+    def truncate(seq):
+        out = []
+        for t in seq:
+            out.append(t)
+            if t == eos:
+                break
+        return out
+
+    def make_srv(eos_id):
+        srv = MegaBatchServer(
+            spec, params,
+            pool=MegaPoolConfig(n_slots=2, capacity=C, max_chunk=4,
+                                prompt_bucket=32),
+            dtype=jnp.float32,
+            eos_id=eos_id,
+            interpret=True,
+        )
+        real = srv._make_chunk(4)
+        calls = []
+
+        def counting(*a, **kw):
+            calls.append(1)
+            return real(*a, **kw)
+
+        srv._chunks[4] = counting
+        return srv, calls
+
+    srv, calls_eos = make_srv(eos)
+    reqs = [
+        Request(rid=i, prompt_ids=tok.encode(p), max_new_tokens=n)
+        for i, (p, n) in enumerate(zip(prompts, budgets))
+    ]
+    srv.run(reqs)
+    for req, want in zip(reqs, wants):
+        assert req.done
+        assert req.out_ids == truncate(want), f"request {req.rid}"
+
+    # burst path active with eos_id: a never-generated eos dispatches the
+    # same chunk count as the deterministic (eos=None) scheduler
+    srv_n, calls_none = make_srv(None)
+    reqs_n = [
+        Request(rid=i, prompt_ids=tok.encode(p), max_new_tokens=n)
+        for i, (p, n) in enumerate(zip(prompts, budgets))
+    ]
+    srv_n.run(reqs_n)
+    srv_e, calls_noeos = make_srv(-1)
+    reqs_e = [
+        Request(rid=i, prompt_ids=tok.encode(p), max_new_tokens=n)
+        for i, (p, n) in enumerate(zip(prompts, budgets))
+    ]
+    srv_e.run(reqs_e)
+    assert len(calls_noeos) == len(calls_none)
+    for a, b in zip(reqs_n, reqs_e):
+        assert a.out_ids == b.out_ids
