@@ -31,6 +31,8 @@ def main() -> None:
     ap.add_argument("--prompt-words", type=int, default=8)
     ap.add_argument("--wq", default="int8", choices=["int8", "int4", "none"])
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--eos", type=int, default=None,
+                    help="set an eos_id (exercises speculative bursts)")
     args = ap.parse_args()
 
     import efficient_llm_inference_tpu as elit
@@ -58,6 +60,7 @@ def main() -> None:
             prompt_bucket=min(args.capacity - 8, 256),
         ),
         dtype=cfg.dtype,
+        eos_id=args.eos,
     )
     rng = np.random.default_rng(0)
     words = ["weather", "mountain", "river", "engine", "tensor", "kernel",

@@ -1,0 +1,108 @@
+"""Explicit-collective shard_map TP decode (parallel/tp_decode.py).
+
+On the 8-virtual-device CPU mesh: the hand-placed all-gather /
+reduce-scatter decode must be token-exact vs the unsharded XLA decode
+(psum partial sums reassociate; greedy argmax must not flip on the f32
+fixture), and the head-aligned TP relayout must round-trip.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from efficient_llm_inference_tpu.cache.kvcache import DenseKV
+from efficient_llm_inference_tpu.engine.generate import make_decode, make_prefill
+from efficient_llm_inference_tpu.models import gpt2 as gpt2_mod
+from efficient_llm_inference_tpu.models.registry import gpt2_spec
+from efficient_llm_inference_tpu.parallel.mesh import make_mesh
+from efficient_llm_inference_tpu.parallel.tp_decode import (
+    make_tp_decode,
+    shard_gpt2_tp,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+CFG = gpt2_mod.GPT2Config(
+    vocab_size=331, n_positions=128, n_embd=64, n_layer=2, n_head=8
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = gpt2_mod.init_gpt2_params(jax.random.PRNGKey(6), CFG, jnp.float32)
+    return gpt2_spec(CFG), params
+
+
+def _reference_decode(spec, params, ids, n_new, capacity):
+    strategy = DenseKV(
+        n_layer=spec.n_layer, n_head=spec.n_head, head_dim=spec.head_dim,
+        capacity=capacity,
+    )
+    prefill = make_prefill(spec, strategy, None)
+    decode = make_decode(spec, strategy, None, n_new)
+    buf = np.zeros((1, 32), np.int32)
+    buf[0, : len(ids)] = ids
+    cache, last = prefill(params, jnp.asarray(buf), jnp.int32(len(ids)))
+    # snapshot before decode: the decode scan donates the cache buffers
+    k_np = np.asarray(cache["k"])
+    v_np = np.asarray(cache["v"])
+    last_np = np.asarray(last)
+    toks, _ = decode(params, cache, last)
+    return np.asarray(toks)[0].tolist(), k_np, v_np, last_np
+
+
+@pytest.mark.parametrize("mp", [8, 4])
+def test_tp_decode_token_exact(setup, mp):
+    spec, params = setup
+    mesh = make_mesh((len(jax.devices()) // mp, mp), ("data", "model"))
+    ids = np.random.default_rng(0).integers(0, CFG.vocab_size, 20).tolist()
+    n_new, C = 12, 48
+
+    want, k_np, v_np, last_np = _reference_decode(spec, params, ids, n_new, C)
+
+    # seed the sharded cache from the unsharded prefill: [L, 1, H, C, D]
+    # -> [L, H, C, D], heads sharded over "model"
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    kv_sh = NamedSharding(mesh, P(None, "model", None, None))
+    k0 = jax.device_put(jnp.asarray(k_np[:, 0]), kv_sh)
+    v0 = jax.device_put(jnp.asarray(v_np[:, 0]), kv_sh)
+    tok0 = jnp.argmax(jnp.asarray(last_np[0])).astype(jnp.int32)
+
+    tp_params = shard_gpt2_tp(params, CFG, mesh, "model")
+    decode = make_tp_decode(CFG, mesh, n_new, C, "model")
+    toks, k2, v2, length = decode(
+        tp_params, k0, v0, jnp.int32(len(ids)), tok0
+    )
+    assert np.asarray(toks).tolist() == want
+    assert int(length) == len(ids) + n_new
+
+    # prefill region of the sharded cache untouched by the decode loop
+    np.testing.assert_array_equal(
+        np.asarray(k2)[:, :, : len(ids)], k_np[:, 0, :, : len(ids)]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(v2)[:, :, : len(ids)], v_np[:, 0, :, : len(ids)]
+    )
+
+
+def test_tp_relayout_roundtrip(setup):
+    """Head-aligned attn relayout preserves every weight."""
+    spec, params = setup
+    mesh = make_mesh((1, 8), ("data", "model"))
+    tp = shard_gpt2_tp(params, CFG, mesh, "model")
+    L, E, H, D = CFG.n_layer, CFG.n_embd, CFG.n_head, CFG.head_dim
+    back = (
+        np.asarray(tp["attn_w"]).reshape(L, E, H, 3, D)
+        .transpose(0, 1, 3, 2, 4).reshape(L, E, 3 * E)
+    )
+    np.testing.assert_array_equal(
+        back, np.asarray(params["blocks"]["attn_w"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tp["wte_tp"])[: CFG.vocab_size], np.asarray(params["wte"])
+    )
