@@ -332,49 +332,76 @@ class InferenceEngine:
             "interpret": self.config.device != "tpu",
         }
 
-    def _mega_batch_spec(self, cap: int, batch: int) -> Optional[dict]:
-        """Batched-megakernel eligibility (greedy full_cache, GPT-2 family;
-        ops/pallas/megakernel_batch.py)."""
+    def _mega_batch_spec(
+        self, cap: int, batch: int, kv_mode: Optional[str] = None
+    ) -> Optional[dict]:
+        """Batched-megakernel eligibility (greedy, GPT-2/Llama families;
+        ops/pallas/megakernel_batch.py, or megakernel_batch_quant.py when a
+        kv_mode asks for int8/int4/mixed KV panes)."""
         if not self.config.resolved_megakernel():
             return None
         if self.model.name == "gpt2":
             from ..ops.pallas.megakernel import pack_gpt2_mega as pack
-            from ..ops.pallas.megakernel_batch import (
-                mega_batch_supported as supported,
-            )
+
+            if kv_mode:
+                from ..ops.pallas.megakernel_batch_quant import (
+                    mega_batch_quant_supported as q_supported,
+                )
+            else:
+                from ..ops.pallas.megakernel_batch import (
+                    mega_batch_supported as supported,
+                )
         elif self.model.name == "llama":
-            from ..ops.pallas.megakernel_batch import (
-                llama_mega_batch_supported as supported,
-            )
             from ..ops.pallas.megakernel_llama import pack_llama_mega as pack
+
+            if kv_mode:
+                from ..ops.pallas.megakernel_batch_quant import (
+                    llama_mega_batch_quant_supported as q_supported,
+                )
+            else:
+                from ..ops.pallas.megakernel_batch import (
+                    llama_mega_batch_supported as supported,
+                )
         else:
             return None
 
         cap8 = -(-cap // 8) * 8
-        if not supported(self.model.config, cap8, self.params, batch):
+        if kv_mode:
+            if not q_supported(self.model.config, cap8, self.params, batch,
+                               kv_mode):
+                return None
+        elif not supported(self.model.config, cap8, self.params, batch):
             return None
         if self._mega_packed is None:
             self._mega_packed = pack(self.params, self.model.config)
         if self._mega_packed is None:
             return None
-        return {
+        spec = {
             "packed": self._mega_packed,
             "cfg": self.model.config,
             "capacity": cap8,
             "kind": self.model.name,
             "interpret": self.config.device != "tpu",
         }
+        if kv_mode:
+            spec["kv_mode"] = kv_mode
+        return spec
 
     def generate_batch(
-        self, prompts: List[str], max_new_tokens: int = 32
+        self, prompts: List[str], max_new_tokens: int = 32,
+        kv_mode: Optional[str] = None,
     ) -> List[str]:
         """Static-batch greedy generation: B prompts decode together.
 
         Every decode step runs as ONE batched whole-step megakernel program
         (B tokens per weight stream — docs/ROADMAP.md "megakernel batch>1")
         when the model/config is eligible; otherwise falls back to per-prompt
-        generation. Per-prompt output is exactly `generate(p, "full_cache")`
-        up to the batched matmuls' f32 reassociation.
+        generation. With `kv_mode` in {"int8", "int4", "mixed"} the panes are
+        QUANTIZED (megakernel_batch_quant.py): per-row semantics match
+        `generate(p, f"quant_{kv_mode}")` and the pane stream shrinks 2–4x.
+        Without kv_mode, per-prompt output is exactly
+        `generate(p, "full_cache")` up to the batched matmuls' f32
+        reassociation.
         """
         assert prompts, "empty prompt batch"
         ids_list = [self._encode(p, "full_cache") for p in prompts]
@@ -382,13 +409,14 @@ class InferenceEngine:
         assert min(true_lens) > 0, "empty prompt"
         B = len(prompts)
         bucket = min(bucket_for(max(true_lens)), self.model.n_positions)
-        mega = self._mega_batch_spec(bucket + max_new_tokens, B)
+        mega = self._mega_batch_spec(bucket + max_new_tokens, B, kv_mode)
         if mega is None:  # correctness fallback: one stream at a time
+            method = f"quant_{kv_mode}" if kv_mode else "full_cache"
             return [
-                self.generate(p, "full_cache", max_new_tokens)
+                self.generate(p, method, max_new_tokens)
                 for p in prompts
             ]
-        key = ("batch", B, bucket, max_new_tokens)
+        key = ("batch", B, bucket, max_new_tokens, kv_mode)
         if key not in self._fns:
             strategy = DenseKV(
                 n_layer=self.model.n_layer,

@@ -446,6 +446,10 @@ def make_generate_batch(model: ModelSpec, strategy, max_new_tokens: int,
     capacity = mega["capacity"]
     interpret = mega.get("interpret", False)
     llama = mega.get("kind") == "llama"
+    kv_mode = mega.get("kv_mode")
+    if kv_mode:
+        return _make_generate_batch_quant(model, strategy, max_new_tokens,
+                                          mega)
     if llama:
         from ..models.llama import rope_cos_sin
 
@@ -508,6 +512,103 @@ def make_generate_batch(model: ModelSpec, strategy, max_new_tokens: int,
 
         init = (kb, vb, true_lens.astype(jnp.int32), tok0)
         (_, _, lengths, _), toks = jax.lax.scan(
+            step, init, None, length=max_new_tokens
+        )
+        return toks.T, lengths  # [B, max_new_tokens], [B]
+
+    return jax.jit(generate)
+
+
+def _make_generate_batch_quant(model: ModelSpec, strategy,
+                               max_new_tokens: int, mega: dict):
+    """Batched generation over QUANTIZED KV panes.
+
+    Prefill stays on the fast dense XLA path; the dense panes quantize once
+    (per-(slot, token) scales, reference math) and every decode step is ONE
+    batched quant-KV whole-step megakernel program
+    (ops/pallas/megakernel_batch_quant.py). Per-row semantics equal the
+    engine's single-stream quant_{int8,int4,mixed} methods.
+    """
+    from ..ops.pallas.megakernel_batch import to_mega_layout_batch
+    from ..ops.pallas.megakernel_batch_quant import (
+        gpt2_megabatch_quant,
+        llama_megabatch_quant,
+        quantize_panes_batch,
+    )
+
+    cfg = mega["cfg"]
+    capacity = mega["capacity"]
+    interpret = mega.get("interpret", False)
+    kv_mode = mega["kv_mode"]
+    eps = mega.get("eps", 1e-8)
+    llama = mega.get("kind") == "llama"
+    if llama:
+        from ..models.llama import rope_cos_sin
+
+    def generate(params, tokens, true_lens):
+        params = dict(params)
+        packed = params.pop("__mega_packed__")
+        B, Tpad = tokens.shape
+        cache = strategy.init()
+        pos = jnp.minimum(
+            jax.lax.broadcasted_iota(jnp.int32, (B, Tpad), 1),
+            model.n_positions - 1,
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, Tpad), 1)
+        seq_mask = col < true_lens[:, None]
+        logits, cache = model.forward(
+            params, tokens, pos, cache, strategy, seq_mask
+        )
+        last = jnp.take_along_axis(
+            logits, (true_lens - 1)[:, None, None], axis=1
+        )[:, 0]
+        tok0 = jnp.clip(
+            jnp.argmax(last, axis=-1).astype(jnp.int32), 0,
+            model.vocab_size - 1,
+        )
+        kb, vb, ks, vs = quantize_panes_batch(
+            to_mega_layout_batch(cache["k"]),
+            to_mega_layout_batch(cache["v"]),
+            kv_mode, eps,
+        )
+
+        if llama:
+            embed = params["embed"]
+
+            def step(carry, _):
+                kb, vb, ks, vs, lengths, tok = carry
+                pos = jnp.minimum(lengths, model.n_positions - 1)
+                x = embed[tok].astype(embed.dtype)  # [B, E]
+                cos, sin = rope_cos_sin(
+                    pos[:, None], cfg.head_dim, cfg.rope_theta
+                )
+                cos_q = jnp.tile(cos[:, 0], (1, cfg.n_head))
+                sin_q = jnp.tile(sin[:, 0], (1, cfg.n_head))
+                tok2, kb, vb, ks, vs = llama_megabatch_quant(
+                    packed, kb, vb, ks, vs, lengths, x, cos_q, sin_q,
+                    cfg=cfg, capacity=capacity, kv_mode=kv_mode, eps=eps,
+                    interpret=interpret,
+                )
+                tok2 = jnp.clip(tok2, 0, model.vocab_size - 1)
+                return (kb, vb, ks, vs, lengths + 1, tok2), tok
+
+        else:
+            wte, wpe = params["wte"], params["wpe"]
+
+            def step(carry, _):
+                kb, vb, ks, vs, lengths, tok = carry
+                pos = jnp.minimum(lengths, model.n_positions - 1)
+                x = (wte[tok] + wpe[pos]).astype(wte.dtype)  # [B, E]
+                tok2, kb, vb, ks, vs = gpt2_megabatch_quant(
+                    packed, kb, vb, ks, vs, lengths, x,
+                    cfg=cfg, capacity=capacity, kv_mode=kv_mode, eps=eps,
+                    interpret=interpret,
+                )
+                tok2 = jnp.clip(tok2, 0, model.vocab_size - 1)
+                return (kb, vb, ks, vs, lengths + 1, tok2), tok
+
+        init = (kb, vb, ks, vs, true_lens.astype(jnp.int32), tok0)
+        (_, _, _, _, lengths, _), toks = jax.lax.scan(
             step, init, None, length=max_new_tokens
         )
         return toks.T, lengths  # [B, max_new_tokens], [B]

@@ -22,6 +22,15 @@ Scheduling model:
   their own pane, which the next admission's prefill overwrites;
 * inactive slots hold cursor 0 and write junk into their own column 0 —
   never observed, overwritten on admission.
+
+With `kv_mode` in {"int8", "int4", "mixed"} the pool holds QUANTIZED panes
+(ops/pallas/megakernel_batch_quant.py): admission prefills dense then
+quantizes the wave once (reference scale math), decode chunks scan the
+batched quant-KV kernel. The pane DMA is the serving bandwidth bound, so
+int8 panes measure FASTER than bf16 even at short context (14,255 vs
+12,543 tok/s aggregate, docs/BENCHMARKS.md) and int4 doubles the
+(slots x capacity) envelope that fits the VMEM ring — long-context
+compressed pools no longer need the slower paged engine.
 """
 
 from __future__ import annotations
@@ -64,11 +73,16 @@ class MegaBatchServer:
         pool: MegaPoolConfig = MegaPoolConfig(),
         dtype=jnp.bfloat16,
         eos_id: Optional[int] = None,
+        kv_mode: Optional[str] = None,
         interpret: bool = False,
     ):
         from ..ops.pallas.megakernel_batch import (
             llama_mega_batch_supported,
             mega_batch_supported,
+        )
+        from ..ops.pallas.megakernel_batch_quant import (
+            llama_mega_batch_quant_supported,
+            mega_batch_quant_supported,
         )
 
         assert pool.capacity % 8 == 0, "pane length must be 8-aligned"
@@ -77,18 +91,28 @@ class MegaBatchServer:
         self.pool_cfg = pool
         self.dtype = dtype
         self.eos_id = eos_id
+        self.kv_mode = kv_mode  # None = bf16 panes; int8/int4/mixed = quant
         self.interpret = interpret
         cfg = model.config
         if model.name == "gpt2":
             from ..ops.pallas.megakernel import pack_gpt2_mega as pack
 
-            ok = mega_batch_supported(cfg, pool.capacity, params,
-                                      pool.n_slots)
+            ok = (
+                mega_batch_quant_supported(
+                    cfg, pool.capacity, params, pool.n_slots, kv_mode)
+                if kv_mode else
+                mega_batch_supported(cfg, pool.capacity, params, pool.n_slots)
+            )
         elif model.name == "llama":
             from ..ops.pallas.megakernel_llama import pack_llama_mega as pack
 
-            ok = llama_mega_batch_supported(cfg, pool.capacity, params,
-                                            pool.n_slots)
+            ok = (
+                llama_mega_batch_quant_supported(
+                    cfg, pool.capacity, params, pool.n_slots, kv_mode)
+                if kv_mode else
+                llama_mega_batch_supported(
+                    cfg, pool.capacity, params, pool.n_slots)
+            )
         else:
             raise ValueError(f"unsupported model family: {model.name}")
         if not ok:
@@ -102,8 +126,20 @@ class MegaBatchServer:
         B, C = pool.n_slots, pool.capacity
         L = model.n_layer
         KW = model.n_kv_head * model.head_dim
-        self.k_pool = jnp.zeros((L, B, C, KW), dtype)
-        self.v_pool = jnp.zeros((L, B, C, KW), dtype)
+        if kv_mode:
+            from ..ops.pallas.megakernel_quant import _kv_kinds, _pane_width
+
+            k_kind, v_kind = _kv_kinds(kv_mode)
+            self.k_pool = jnp.zeros(
+                (L, B, C, _pane_width(k_kind, KW)), jnp.int8)
+            self.v_pool = jnp.zeros(
+                (L, B, C, _pane_width(v_kind, KW)), jnp.int8)
+            self.ks_pool = jnp.ones((L, B, C), jnp.float32)
+            self.vs_pool = jnp.ones((L, B, C), jnp.float32)
+        else:
+            self.k_pool = jnp.zeros((L, B, C, KW), dtype)
+            self.v_pool = jnp.zeros((L, B, C, KW), dtype)
+            self.ks_pool = self.vs_pool = None
         # host mirrors
         self.lengths = np.zeros((B,), np.int32)
         self.active = np.zeros((B,), bool)
@@ -130,7 +166,14 @@ class MegaBatchServer:
             dtype=self.dtype,
         )
 
-        def prefill(params, tokens, true_lens, slots, k_pool, v_pool):
+        kv_mode = self.kv_mode
+        if kv_mode:
+            from ..ops.pallas.megakernel_batch_quant import (
+                quantize_panes_batch,
+            )
+
+        def prefill(params, tokens, true_lens, slots, k_pool, v_pool,
+                    ks_pool=None, vs_pool=None):
             cache = strategy.init()
             pos = jnp.minimum(
                 jax.lax.broadcasted_iota(jnp.int32, (W, Tpad), 1),
@@ -150,6 +193,8 @@ class MegaBatchServer:
             )
             kb = to_mega_layout_batch(cache["k"])  # [L, W, C, KW]
             vb = to_mega_layout_batch(cache["v"])
+            if kv_mode:  # one-time wave quantization (reference scale math)
+                kb, vb, ksw, vsw = quantize_panes_batch(kb, vb, kv_mode)
             for w in range(W):  # waves are small; W static
                 k_pool = jax.lax.dynamic_update_slice(
                     k_pool, kb[:, w:w + 1], (0, slots[w], 0, 0)
@@ -157,9 +202,19 @@ class MegaBatchServer:
                 v_pool = jax.lax.dynamic_update_slice(
                     v_pool, vb[:, w:w + 1], (0, slots[w], 0, 0)
                 )
+                if kv_mode:
+                    ks_pool = jax.lax.dynamic_update_slice(
+                        ks_pool, ksw[:, w:w + 1], (0, slots[w], 0)
+                    )
+                    vs_pool = jax.lax.dynamic_update_slice(
+                        vs_pool, vsw[:, w:w + 1], (0, slots[w], 0)
+                    )
+            if kv_mode:
+                return k_pool, v_pool, ks_pool, vs_pool, tok0
             return k_pool, v_pool, tok0
 
-        return jax.jit(prefill, donate_argnums=(4, 5))
+        donate = (4, 5, 6, 7) if kv_mode else (4, 5)
+        return jax.jit(prefill, donate_argnums=donate)
 
     def _make_chunk(self, n_steps: int) -> Callable:
         """One dispatch = n_steps batched megakernel decode steps."""
@@ -167,18 +222,23 @@ class MegaBatchServer:
             gpt2_megabatch,
             llama_megabatch,
         )
+        from ..ops.pallas.megakernel_batch_quant import (
+            gpt2_megabatch_quant,
+            llama_megabatch_quant,
+        )
 
         model = self.model
         cfg = model.config
         C = self.pool_cfg.capacity
         llama = model.name == "llama"
         interpret = self.interpret
+        kv_mode = self.kv_mode
         if llama:
             from ..models.llama import rope_cos_sin
 
-        def chunk(params, packed, k_pool, v_pool, lengths, toks, active):
+        def chunk(params, packed, pools, lengths, toks, active):
             def step(carry, _):
-                k_pool, v_pool, lengths, toks = carry
+                pools, lengths, toks = carry
                 pos = jnp.minimum(lengths, model.n_positions - 1)
                 if llama:
                     embed = params["embed"]
@@ -187,17 +247,31 @@ class MegaBatchServer:
                                             cfg.rope_theta)
                     cos_q = jnp.tile(cos[:, 0], (1, cfg.n_head))
                     sin_q = jnp.tile(sin[:, 0], (1, cfg.n_head))
-                    tok2, k_pool, v_pool = llama_megabatch(
-                        packed, k_pool, v_pool, lengths, x, cos_q, sin_q,
-                        cfg=cfg, capacity=C, interpret=interpret,
-                    )
+                    if kv_mode:
+                        tok2, *pools = llama_megabatch_quant(
+                            packed, *pools, lengths, x, cos_q, sin_q,
+                            cfg=cfg, capacity=C, kv_mode=kv_mode,
+                            interpret=interpret,
+                        )
+                    else:
+                        tok2, *pools = llama_megabatch(
+                            packed, *pools, lengths, x, cos_q, sin_q,
+                            cfg=cfg, capacity=C, interpret=interpret,
+                        )
                 else:
                     wte, wpe = params["wte"], params["wpe"]
                     x = (wte[toks] + wpe[pos]).astype(wte.dtype)
-                    tok2, k_pool, v_pool = gpt2_megabatch(
-                        packed, k_pool, v_pool, lengths, x,
-                        cfg=cfg, capacity=C, interpret=interpret,
-                    )
+                    if kv_mode:
+                        tok2, *pools = gpt2_megabatch_quant(
+                            packed, *pools, lengths, x,
+                            cfg=cfg, capacity=C, kv_mode=kv_mode,
+                            interpret=interpret,
+                        )
+                    else:
+                        tok2, *pools = gpt2_megabatch(
+                            packed, *pools, lengths, x,
+                            cfg=cfg, capacity=C, interpret=interpret,
+                        )
                 tok2 = jnp.clip(tok2, 0, model.vocab_size - 1)
                 # inactive slots idle at their cursor; finished-in-chunk
                 # slots overshoot but never past the pane end
@@ -205,14 +279,14 @@ class MegaBatchServer:
                     lengths + active.astype(jnp.int32), C - 1
                 )
                 toks = jnp.where(active, tok2, toks)
-                return (k_pool, v_pool, lengths, toks), tok2
+                return (tuple(pools), lengths, toks), tok2
 
-            (k_pool, v_pool, lengths, toks), toks_all = jax.lax.scan(
-                step, (k_pool, v_pool, lengths, toks), None, length=n_steps
+            (pools, lengths, toks), toks_all = jax.lax.scan(
+                step, (tuple(pools), lengths, toks), None, length=n_steps
             )
-            return k_pool, v_pool, lengths, toks, toks_all
+            return pools, lengths, toks, toks_all
 
-        return jax.jit(chunk, donate_argnums=(2, 3))
+        return jax.jit(chunk, donate_argnums=(2,))
 
     # ------------------------------------------------------------------
     def _admit(self, queue: List[Request]) -> int:
@@ -244,10 +318,18 @@ class MegaBatchServer:
             buf[w, : len(ids)] = ids
             lens[w] = len(ids)
             slots[w] = slot
-        self.k_pool, self.v_pool, tok0 = self._prefills[key](
-            self.params, jnp.asarray(buf), jnp.asarray(lens),
-            jnp.asarray(slots), self.k_pool, self.v_pool,
-        )
+        if self.kv_mode:
+            (self.k_pool, self.v_pool, self.ks_pool, self.vs_pool,
+             tok0) = self._prefills[key](
+                self.params, jnp.asarray(buf), jnp.asarray(lens),
+                jnp.asarray(slots), self.k_pool, self.v_pool,
+                self.ks_pool, self.vs_pool,
+            )
+        else:
+            self.k_pool, self.v_pool, tok0 = self._prefills[key](
+                self.params, jnp.asarray(buf), jnp.asarray(lens),
+                jnp.asarray(slots), self.k_pool, self.v_pool,
+            )
         tok0 = np.asarray(jax.device_get(tok0))
         for w, (slot, req, ids) in enumerate(wave):
             ids = ids[:Tpad]
@@ -337,11 +419,19 @@ class MegaBatchServer:
             toks_c = jnp.asarray(self.last_token.copy())
             blocks = []
             for _ in range(n_burst):
-                (self.k_pool, self.v_pool, lengths_c, toks_c,
-                 toks_all) = step_fn(
-                    self.params, self.packed, self.k_pool, self.v_pool,
+                pools = (
+                    (self.k_pool, self.v_pool, self.ks_pool, self.vs_pool)
+                    if self.kv_mode else (self.k_pool, self.v_pool)
+                )
+                pools, lengths_c, toks_c, toks_all = step_fn(
+                    self.params, self.packed, pools,
                     lengths_c, toks_c, jnp.asarray(active_mask.copy()),
                 )
+                if self.kv_mode:
+                    (self.k_pool, self.v_pool, self.ks_pool,
+                     self.vs_pool) = pools
+                else:
+                    self.k_pool, self.v_pool = pools
                 blocks.append(toks_all)
                 for s in list(rem):  # evolve the mask as budgets expire
                     rem[s] -= chunk

@@ -29,7 +29,13 @@ def main() -> None:
     ap.add_argument("--capacity", type=int, default=128)
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--prompt-words", type=int, default=8)
+    ap.add_argument("--prompt-tokens", type=int, default=0,
+                    help="exact prompt length in tokens (long-context "
+                         "protocol); 0 = word-based short prompts")
     ap.add_argument("--wq", default="int8", choices=["int8", "int4", "none"])
+    ap.add_argument("--kv", default="none",
+                    choices=["none", "int8", "int4", "mixed"],
+                    help="quantized KV panes (megakernel_batch_quant)")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--eos", type=int, default=None,
                     help="set an eos_id (exercises speculative bursts)")
@@ -50,6 +56,10 @@ def main() -> None:
         weight_quant=None if args.wq == "none" else args.wq,
     )
     eng = elit.InferenceEngine.from_model_name(args.model, config=cfg)
+    bucket = min(args.capacity - 8, 256)
+    if args.prompt_tokens:
+        bucket = min(args.capacity - args.max_new,
+                     -(-args.prompt_tokens // 8) * 8)
     srv = MegaBatchServer(
         eng.model,
         eng.params,
@@ -57,10 +67,11 @@ def main() -> None:
             n_slots=args.slots,
             capacity=args.capacity,
             max_chunk=args.chunk,
-            prompt_bucket=min(args.capacity - 8, 256),
+            prompt_bucket=bucket,
         ),
         dtype=cfg.dtype,
         eos_id=args.eos,
+        kv_mode=None if args.kv == "none" else args.kv,
     )
     rng = np.random.default_rng(0)
     words = ["weather", "mountain", "river", "engine", "tensor", "kernel",
@@ -69,15 +80,23 @@ def main() -> None:
     def make_reqs():
         reqs = []
         for i in range(args.requests):
+            if args.prompt_tokens:
+                ids = rng.integers(
+                    1, eng.model.vocab_size - 1, size=args.prompt_tokens
+                ).tolist()
+                reqs.append(Request(i, ids, max_new_tokens=args.max_new))
+                continue
             n = max(3, args.prompt_words + int(rng.integers(-2, 3)))
             p = f"Question {i}: " + " ".join(rng.choice(words, n))
             reqs.append(Request(i, eng.tokenizer.encode(p),
                                 max_new_tokens=args.max_new))
         return reqs
 
-    print(f"[measure] {args.model} wq={args.wq} slots={args.slots} "
-          f"cap={args.capacity} chunk={args.chunk} reqs={args.requests} "
-          f"max_new={args.max_new}", file=sys.stderr)
+    print(f"[measure] {args.model} wq={args.wq} kv={args.kv} "
+          f"slots={args.slots} cap={args.capacity} chunk={args.chunk} "
+          f"reqs={args.requests} max_new={args.max_new} "
+          f"prompt_tokens={args.prompt_tokens or 'short'}",
+          file=sys.stderr)
     srv.run(make_reqs())  # warmup: compiles prefill buckets + chunk
     best = None
     for i in range(args.reps):
