@@ -78,9 +78,13 @@ def make_speculative_generate(
     prompt_bucket: int = 128,
     mega: Optional[dict] = None,
     dtype: Any = jnp.float32,
+    stats: bool = False,
 ):
     """Build jitted (t_params, d_params, tokens [1,bucket], true_len) ->
-    (out_tokens [max_new + k], n_emitted).
+    (out_tokens [max_new + k], n_emitted) — or, with `stats=True`,
+    (out_tokens, n_emitted, n_rounds): the verify-round count, from which
+    the mean acceptance rate is (n_emitted - 1) / n_rounds - 1 extra
+    target-equivalent tokens per round (each round emits 1..k tokens).
 
     Batch 1, greedy everywhere. Target and draft must share the tokenizer
     space (vocab ids); geometries may differ arbitrarily.

@@ -1,0 +1,153 @@
+"""Quality report on the SCALE models (4–20M params, incl. GQA/RoPE).
+
+Round 2's quality tables (docs/QUALITY.md, examples/quality_report.py) come
+from an 859K-param model near-memorized on a 5 KB corpus. This report
+re-measures the north-star table — per-method teacher-forced NLL delta vs
+full_cache, estimated KV MB, generation agreement/similarity vs the
+full-cache stream — on the scale models trained on the ~16 MB offline
+stdlib corpus (examples/train_scale_models.py): a 6L x 256d GPT-2 (~5M
+params) and a 4L x 512d GQA/RoPE Llama (~9.6M params), both evaluated on
+HELD-OUT corpus tail text the models never saw. Non-memorized regime:
+held-out NLL ~1 nat/byte, so method deltas are transferable orderings.
+
+Reference protocol being substituted (offline):
+/root/reference/examples/quantized_cache.py:61-81 — quality of quantized
+caches vs the full-cache baseline of a real pretrained model.
+
+Usage: python -m examples.quality_report_scale [--model scale_gpt2]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+METHODS = [
+    ("full_cache", {}),
+    ("quant_int8", {}),
+    ("quant_int4", {}),
+    ("quant_mixed", {}),
+    ("paged_attention", {"block_size": 32}),
+    ("sliding_window", {"window_size": 128}),
+    ("sliding_window", {"window_size": 64}),
+    ("sliding_window", {"window_size": 32}),
+    ("prefix_window", {"window_size": 64, "prefix_len": 16}),
+    ("strided_cache", {"window_size": 64, "stride": 4, "prefix_len": 16}),
+    ("block_cache", {"window_size": 64, "block_size": 16,
+                     "keep_per_block": 4, "prefix_len": 16}),
+    ("budget_cache", {"window_size": 64, "old_budget": 32, "prefix_len": 16}),
+    ("chunked_cache", {"chunk_size": 16, "keep_last": 64}),
+]
+
+
+def heldout_texts(n: int = 4, chunk: int = 512) -> list:
+    """ASCII chunks from the held-out corpus tail (never trained on)."""
+    from efficient_llm_inference_tpu.data.corpus import corpus_splits
+
+    _, ev = corpus_splits()
+    texts = []
+    step = len(ev) // (n + 1)
+    for i in range(n):
+        raw = bytes(ev[i * step: i * step + chunk])
+        # ByteTokenizer round-trips UTF-8; the stdlib corpus is ASCII-heavy —
+        # drop the rare high bytes so token counts are exact
+        texts.append(raw.decode("ascii", errors="ignore"))
+    return texts
+
+
+def report(model_name: str, markdown: bool = False):
+    from efficient_llm_inference_tpu.cache import eviction
+    from efficient_llm_inference_tpu.core.config import Config
+    from efficient_llm_inference_tpu.core.utils import (
+        enable_compilation_cache,
+    )
+    from efficient_llm_inference_tpu.engine.engine import InferenceEngine
+    from efficient_llm_inference_tpu.evaluation.quality import (
+        compute_method_nll,
+        compute_perplexity,
+        text_similarity,
+        token_agreement_rate,
+    )
+    from examples.train_scale_models import load_scale_model
+
+    enable_compilation_cache()
+    spec, params = load_scale_model(model_name)
+    eng = InferenceEngine(
+        spec, params,
+        config=Config(model_name=model_name, device="cpu",
+                      dtype=jnp.float32),
+    )
+    eval_texts = heldout_texts()
+    nll, ppl = compute_perplexity(spec, params, eng.tokenizer, eval_texts,
+                                  max_length=256)
+    print(f"[{model_name}] held-out teacher-forcing: NLL {nll:.4f}  "
+          f"PPL/byte {ppl:.3f}\n")
+
+    prompts = [t[:180] for t in eval_texts]
+    n_new = 48
+    base_ids = [eng.generate_ids(p, "full_cache", n_new)[-n_new:]
+                for p in prompts]
+    base_txt = [eng.tokenizer.decode(ids) for ids in base_ids]
+
+    base_nll = None
+    rows = []
+    for method, kw in METHODS:
+        nlls = [compute_method_nll(eng, t, method, max_tokens=256, **kw)
+                for t in eval_texts]
+        m_nll = float(np.mean(nlls))
+        if method == "full_cache":
+            base_nll = m_nll
+        kind, _, strategy, _ = eng._build(method, 1, 255, dict(kw))
+        length = 256
+        if hasattr(strategy, "window"):
+            length = min(length, strategy.window)
+        elif method in eviction.TRIM_FNS:
+            trim_kw = {k_: v_ for k_, v_ in kw.items() if k_ != "ring"}
+            length = min(length, eviction._len_after(method, 256, trim_kw))
+        if method == "paged_attention":
+            est_mb = strategy.allocated_bytes(length) / 2**20
+        else:
+            est_mb = strategy.est_bytes(length) / 2**20
+        agrees, sims = [], []
+        for p, bids, btxt in zip(prompts, base_ids, base_txt):
+            ids = eng.generate_ids(p, method, n_new, **kw)[-n_new:]
+            agrees.append(token_agreement_rate(ids, bids))
+            sims.append(text_similarity(eng.tokenizer.decode(ids), btxt))
+        name = method
+        if kw:
+            name += "(" + ",".join(f"{k}={v}" for k, v in kw.items()) + ")"
+        rows.append((name, m_nll, m_nll - base_nll, est_mb,
+                     float(np.mean(agrees)), float(np.mean(sims))))
+        print(f"  {name:<55} NLL {m_nll:.4f}  d{m_nll - base_nll:+.4f}  "
+              f"KV {est_mb:.3f} MB  agree {np.mean(agrees):.3f}  "
+              f"sim {np.mean(sims):.3f}")
+
+    if markdown:
+        print("\n| method | NLL | dNLL vs full | KV MB@256 | tok agree | "
+              "similarity |")
+        print("|---|---|---|---|---|---|")
+        ref = rows[0][3]
+        for name, m_nll, d, mb, ag, sim in rows:
+            print(f"| {name} | {m_nll:.4f} | {d:+.4f} | {mb / ref:.3f} | "
+                  f"{ag:.3f} | {sim:.3f} |")
+    return rows
+
+
+def main():
+    jax.config.update("jax_platforms", "cpu")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default=None,
+                    help="scale_gpt2 | scale_llama (default: both)")
+    ap.add_argument("--markdown", action="store_true")
+    args = ap.parse_args()
+    for name in ([args.model] if args.model else
+                 ["scale_gpt2", "scale_llama"]):
+        report(name, markdown=args.markdown)
+
+
+if __name__ == "__main__":
+    main()
