@@ -239,8 +239,9 @@ def chunk_summarize(cache: dict, chunk_size: int, keep_last: int) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _len_after(method: str, n: int, p: Dict) -> int:
-    """Pure-Python mirror of each policy's length map (for capacity bounds)."""
+def len_after(method: str, n: int, p: Dict) -> int:
+    """Pure-Python mirror of each policy's length map (for capacity bounds
+    and KV-size estimation — public: engine.estimate_kv_bytes builds on it)."""
     if method == "sliding_window":
         return min(n, p["window_size"])
     P, W = p.get("prefix_len", 0), p.get("window_size", 0)
@@ -298,12 +299,15 @@ def capacity_bound(method: str, prompt_len: int, max_new_tokens: int, params: Di
     ):
         return prompt_len + max_new_tokens
     peak = prompt_len
-    n = _len_after(method, prompt_len, params)
+    n = len_after(method, prompt_len, params)
     for _ in range(max_new_tokens):
         n += 1
         peak = max(peak, n)
-        n = _len_after(method, n, params)
+        n = len_after(method, n, params)
     return peak
+
+
+_len_after = len_after  # back-compat alias (pre-round-4 name)
 
 
 TRIM_FNS: Dict[str, Callable] = {

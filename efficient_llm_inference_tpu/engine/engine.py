@@ -103,6 +103,23 @@ class InferenceEngine:
             spec = spec_with_config(
                 spec, _dc.replace(spec.config, scan_unroll=unroll)
             )
+        wq = config.weight_quant
+        wq_mode = {"int4w8": "int4"}.get(wq, wq)
+        wq_group = 128
+        if wq == "int4w8":
+            # ONE scale group per megakernel half-tile: the in-kernel
+            # dequant collapses to column scaling (_int4_tile_dot n_gh==1
+            # fast path). Group = TR/2 of the model's tile geometry.
+            if spec.name == "llama":
+                from ..ops.pallas.megakernel_llama import _tile_geometry
+
+                wq_group = _tile_geometry(spec.config)[0] // 2
+            elif spec.name == "gpt2":
+                wq_group = spec.config.n_embd // 2  # uniform [E, E] tiles
+            else:
+                raise ValueError(
+                    f"weight_quant=int4w8 not supported for {spec.name}"
+                )
         quantized = False
         if params is None:
             if name.startswith("gpt2"):
@@ -119,27 +136,27 @@ class InferenceEngine:
                 big = llama_mod.param_bytes_estimate(
                     spec.config, config.dtype
                 ) > 4 * 1024**3
-                if config.weight_quant in ("int8", "int4") and big:
+                if wq_mode in ("int8", "int4") and big:
                     # init + quantize on the host, ship only quantized
                     params = llama_mod.init_quantized_llama_params(
                         config.prng_key(), spec.config,
-                        mode=config.weight_quant, dtype=config.dtype,
+                        mode=wq_mode, dtype=config.dtype, group=wq_group,
                     )
                     quantized = True
                 else:
                     params = llama_mod.init_llama_params(
                         config.prng_key(), spec.config, config.dtype
                     )
-        if config.weight_quant in ("int8", "int4") and not quantized:
+        if wq_mode in ("int8", "int4") and not quantized:
             if spec.name == "gpt2":
                 params = gpt2_mod.quantize_gpt2_weights(
-                    params, mode=config.weight_quant
+                    params, mode=wq_mode, group=wq_group
                 )
             elif spec.name == "llama":
                 from ..models import llama as llama_mod
 
                 params = llama_mod.quantize_llama_weights(
-                    params, mode=config.weight_quant
+                    params, mode=wq_mode, group=wq_group
                 )
             else:
                 raise ValueError(
@@ -404,14 +421,17 @@ class InferenceEngine:
         reassociation.
         """
         assert prompts, "empty prompt batch"
-        ids_list = [self._encode(p, "full_cache") for p in prompts]
+        # encode with the method this batch emulates: quant_* methods do NOT
+        # truncate at prompt_cap (reference parity), so the batched path and
+        # its per-prompt fallback must agree on the cap
+        method = f"quant_{kv_mode}" if kv_mode else "full_cache"
+        ids_list = [self._encode(p, method) for p in prompts]
         true_lens = [len(i) for i in ids_list]
         assert min(true_lens) > 0, "empty prompt"
         B = len(prompts)
         bucket = min(bucket_for(max(true_lens)), self.model.n_positions)
         mega = self._mega_batch_spec(bucket + max_new_tokens, B, kv_mode)
         if mega is None:  # correctness fallback: one stream at a time
-            method = f"quant_{kv_mode}" if kv_mode else "full_cache"
             return [
                 self.generate(p, method, max_new_tokens)
                 for p in prompts
@@ -453,6 +473,26 @@ class InferenceEngine:
         ]
 
     # ------------------------------------------------------------------
+    def estimate_kv_bytes(self, method: str, length: int, **kw) -> float:
+        """Estimated KV-cache bytes `method` holds at sequence `length`.
+
+        Public counterpart of the per-method estimates benchmark_method
+        reports (reference benchmarker.py:707-787 semantics): quantized
+        methods count packed stores + scales, paged counts allocated
+        blocks incl. slack, trim methods count the post-trim length.
+        """
+        _, _, strategy, _ = self._build(method, 1, max(length - 1, 1),
+                                        dict(kw))
+        n = length
+        if hasattr(strategy, "window"):  # RingKV sliding window
+            n = min(n, strategy.window)
+        elif method in eviction.TRIM_FNS:
+            trim_kw = {k_: v_ for k_, v_ in kw.items() if k_ != "ring"}
+            n = min(n, eviction.len_after(method, length, trim_kw))
+        if method == "paged_attention":
+            return float(strategy.allocated_bytes(n))
+        return float(strategy.est_bytes(n))
+
     def _encode(self, prompt: str, method: str) -> List[int]:
         ids = self.tokenizer.encode(prompt)
         cap = (
@@ -550,15 +590,22 @@ class InferenceEngine:
         mode: str = "ngram",
         k: int = 8,
         draft_layers: int = 1,
+        draft: Optional[tuple] = None,
+        stats: bool = False,
     ):
         """Speculative greedy generation (beyond the reference).
 
         mode "ngram" = draft-free prompt-lookup proposals; "self_draft" =
-        a truncated `draft_layers`-layer self-draft. Both verify through
-        the whole-step megakernel when the model/config is eligible
-        (engine._mega_spec), else the XLA k-row forward. Output is exactly
-        plain full_cache greedy in fp32 (bf16: the [k, E]-vs-[1, E]
-        reassociation caveat, docs/BENCHMARKS.md). Returns (text, n_new).
+        a truncated `draft_layers`-layer self-draft; "draft" = an external
+        trained draft passed as `draft=(spec, params)` (must share the
+        target's vocab). All verify through the whole-step megakernel when
+        the model/config is eligible (engine._mega_spec), else the XLA
+        k-row forward. Output is exactly plain full_cache greedy in fp32
+        (bf16: the [k, E]-vs-[1, E] reassociation caveat,
+        docs/BENCHMARKS.md). Returns (text, n_new) — or, with
+        `stats=True`, (text, n_new, {"n_rounds", "tokens_per_round"}),
+        where tokens_per_round = (n_new - 1) / n_rounds measures
+        acceptance (1.0 = no speculation win, k = every proposal accepted).
         """
         from .speculative import (
             make_ngram_speculative_generate,
@@ -570,21 +617,27 @@ class InferenceEngine:
         true_len = len(ids)
         assert true_len > 0, "empty prompt"
         bucket = min(bucket_for(true_len), self.model.n_positions)
-        key = ("speculative", mode, bucket, max_new_tokens, k, draft_layers)
+        key = ("speculative", mode, bucket, max_new_tokens, k, draft_layers,
+               stats, id(draft[1]) if draft is not None else None)
         if key not in self._fns:
             mega = self._mega_spec(bucket + max_new_tokens + k + 1, None)
             if mode == "ngram":
                 gen = make_ngram_speculative_generate(
                     self.model, max_new_tokens, k=k, prompt_bucket=bucket,
-                    mega=mega, dtype=self.config.dtype,
+                    mega=mega, dtype=self.config.dtype, stats=stats,
                 )
-            elif mode == "self_draft":
-                dspec, dparams = make_self_draft(
-                    self.model, self.params, draft_layers
-                )
+            elif mode in ("self_draft", "draft"):
+                if mode == "draft":
+                    assert draft is not None, "mode='draft' needs draft=(spec, params)"
+                    dspec, dparams = draft
+                else:
+                    dspec, dparams = make_self_draft(
+                        self.model, self.params, draft_layers
+                    )
                 gen = make_speculative_generate(
                     self.model, dspec, max_new_tokens, k=k,
                     prompt_bucket=bucket, mega=mega, dtype=self.config.dtype,
+                    stats=stats,
                 )
                 base = gen
 
@@ -602,13 +655,20 @@ class InferenceEngine:
             dict(self.params, __mega_packed__=mega["packed"])
             if mega is not None else self.params
         )
-        out, n = jax.device_get(
+        res = jax.device_get(
             gen(params, jnp.asarray(buf), jnp.int32(true_len))
         )
-        n = int(n)
+        out, n = res[0], int(res[1])
         out_ids = ids + np.asarray(out)[:n].tolist()
         self.last_generation_ids = out_ids
-        return self.tokenizer.decode(out_ids, skip_special_tokens=True), n
+        text = self.tokenizer.decode(out_ids, skip_special_tokens=True)
+        if stats:
+            n_rounds = int(res[2])
+            return text, n, {
+                "n_rounds": n_rounds,
+                "tokens_per_round": (n - 1) / max(n_rounds, 1),
+            }
+        return text, n
 
     # ------------------------------------------------------------------
     # Generation API (names/signatures/returns mirror benchmarker.py:63-639)

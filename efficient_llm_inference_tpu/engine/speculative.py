@@ -83,8 +83,9 @@ def make_speculative_generate(
     """Build jitted (t_params, d_params, tokens [1,bucket], true_len) ->
     (out_tokens [max_new + k], n_emitted) — or, with `stats=True`,
     (out_tokens, n_emitted, n_rounds): the verify-round count, from which
-    the mean acceptance rate is (n_emitted - 1) / n_rounds - 1 extra
-    target-equivalent tokens per round (each round emits 1..k tokens).
+    the mean emitted tokens/round = (n_emitted - 1) / n_rounds (each round
+    emits 1..k tokens; accepted draft proposals/round is that minus 1
+    except on full-accept rounds).
 
     Batch 1, greedy everywhere. Target and draft must share the tokenizer
     space (vocab ids); geometries may differ arbitrarily.
@@ -141,11 +142,11 @@ def make_speculative_generate(
         out = out.at[0].set(first)
 
         def cond(state):
-            _, _, _, n_emitted = state
+            _, _, _, n_emitted, _ = state
             return n_emitted < max_new_tokens
 
         def body(state):
-            t_cache, d_cache, out, n_emitted = state
+            t_cache, d_cache, out, n_emitted, n_rounds = state
             current = out[n_emitted - 1]
 
             # --- draft burst: k greedy proposals ------------------------
@@ -212,12 +213,15 @@ def make_speculative_generate(
             d_len0 = d_cache["length"] - k
             d_cache = d_strategy.set_length(d_cache, d_len0 + t_keep)
 
-            return (t_cache, d_cache, out, n_emitted)
+            return (t_cache, d_cache, out, n_emitted, n_rounds + 1)
 
-        t_cache, d_cache, out, n_emitted = jax.lax.while_loop(
-            cond, body, (t_cache, d_cache, out, jnp.ones((), jnp.int32))
+        t_cache, d_cache, out, n_emitted, n_rounds = jax.lax.while_loop(
+            cond, body,
+            (t_cache, d_cache, out, jnp.ones((), jnp.int32),
+             jnp.zeros((), jnp.int32)),
         )
-        return out, jnp.minimum(n_emitted, max_new_tokens)
+        n_out = jnp.minimum(n_emitted, max_new_tokens)
+        return (out, n_out, n_rounds) if stats else (out, n_out)
 
     def generate_mega(t_params, d_params, tokens, true_len):
         from ..ops.pallas.megakernel import to_mega_layout
@@ -253,7 +257,7 @@ def make_speculative_generate(
             return state[5] < max_new_tokens
 
         def body(state):
-            tk, tv, t_len, d_cache, out, n_emitted = state
+            tk, tv, t_len, d_cache, out, n_emitted, n_rounds = state
             current = out[n_emitted - 1]
 
             def d_step(carry, _):
@@ -321,13 +325,15 @@ def make_speculative_generate(
             d_len0 = d_cache["length"] - k
             d_cache = d_strategy.set_length(d_cache, d_len0 + t_keep)
 
-            return (tk, tv, t_len, d_cache, out, n_emitted)
+            return (tk, tv, t_len, d_cache, out, n_emitted, n_rounds + 1)
 
-        state = (tk, tv, t_len0_all, d_cache, out, jnp.ones((), jnp.int32))
-        tk, tv, t_len, d_cache, out, n_emitted = jax.lax.while_loop(
+        state = (tk, tv, t_len0_all, d_cache, out, jnp.ones((), jnp.int32),
+                 jnp.zeros((), jnp.int32))
+        tk, tv, t_len, d_cache, out, n_emitted, n_rounds = jax.lax.while_loop(
             cond, body, state
         )
-        return out, jnp.minimum(n_emitted, max_new_tokens)
+        n_out = jnp.minimum(n_emitted, max_new_tokens)
+        return (out, n_out, n_rounds) if stats else (out, n_out)
 
     return jax.jit(generate_mega if mega is not None else generate)
 
@@ -345,6 +351,7 @@ def make_ngram_speculative_generate(
     prompt_bucket: int = 128,
     mega: Optional[dict] = None,
     dtype: Any = jnp.float32,
+    stats: bool = False,
 ):
     """Prompt-lookup decoding: proposals are mined from the sequence itself.
 
@@ -361,8 +368,10 @@ def make_ngram_speculative_generate(
     one whole-step Pallas pass (gpt2_megaverify / llama_megaverify): a
     round then costs ~ONE decode step for up to k accepted tokens.
     Returns jitted (t_params, tokens [1, bucket], true_len) ->
-    (out_tokens [max_new + k], n_emitted); with mega, pass the packed
-    stream as t_params["__mega_packed__"].
+    (out_tokens [max_new + k], n_emitted) — or, with `stats=True`,
+    (out_tokens, n_emitted, n_rounds), where n_rounds counts verify
+    passes (mean emitted tokens/round = (n_emitted - 1) / n_rounds).
+    With mega, pass the packed stream as t_params["__mega_packed__"].
     """
     cap = prompt_bucket + max_new_tokens + k + 1
     kind = (mega or {}).get("kind", "gpt2")
@@ -449,7 +458,7 @@ def make_ngram_speculative_generate(
                 return state[3] < max_new_tokens
 
             def body(state):
-                t_cache, seq, out, n_emitted = state
+                t_cache, seq, out, n_emitted, n_rounds = state
                 L = true_len + n_emitted
                 proposals = _propose(seq, L)
                 verify_in = jax.lax.dynamic_slice(seq, (L - 1,), (1,))
@@ -471,11 +480,15 @@ def make_ngram_speculative_generate(
                 n_emitted = n_emitted + n_new
                 t_keep = jnp.minimum(1 + n_acc, k)
                 t_cache = t_strategy.set_length(t_cache, t_len0 + t_keep)
-                return (t_cache, seq, out, n_emitted)
+                return (t_cache, seq, out, n_emitted, n_rounds + 1)
 
-            state = (t_cache, seq, out, jnp.ones((), jnp.int32))
-            _, _, out, n_emitted = jax.lax.while_loop(cond, body, state)
-            return out, jnp.minimum(n_emitted, max_new_tokens)
+            state = (t_cache, seq, out, jnp.ones((), jnp.int32),
+                     jnp.zeros((), jnp.int32))
+            _, _, out, n_emitted, n_rounds = jax.lax.while_loop(
+                cond, body, state
+            )
+            n_out = jnp.minimum(n_emitted, max_new_tokens)
+            return (out, n_out, n_rounds) if stats else (out, n_out)
 
         return jax.jit(generate)
 
@@ -503,7 +516,7 @@ def make_ngram_speculative_generate(
             return state[5] < max_new_tokens
 
         def body(state):
-            tk, tv, t_len, seq, out, n_emitted = state
+            tk, tv, t_len, seq, out, n_emitted, n_rounds = state
             L = true_len + n_emitted
             proposals = _propose(seq, L)
             verify_in = jax.lax.dynamic_slice(seq, (L - 1,), (1,))
@@ -536,13 +549,15 @@ def make_ngram_speculative_generate(
             seq = jax.lax.dynamic_update_slice(seq, emitted[:k], (L,))
             n_emitted = n_emitted + n_new
             t_len = t_len + jnp.minimum(1 + n_acc, k)
-            return (tk, tv, t_len, seq, out, n_emitted)
+            return (tk, tv, t_len, seq, out, n_emitted, n_rounds + 1)
 
-        state = (tk, tv, t_cache["length"], seq, out, jnp.ones((), jnp.int32))
-        tk, tv, t_len, seq, out, n_emitted = jax.lax.while_loop(
+        state = (tk, tv, t_cache["length"], seq, out,
+                 jnp.ones((), jnp.int32), jnp.zeros((), jnp.int32))
+        tk, tv, t_len, seq, out, n_emitted, n_rounds = jax.lax.while_loop(
             cond, body, state
         )
-        return out, jnp.minimum(n_emitted, max_new_tokens)
+        n_out = jnp.minimum(n_emitted, max_new_tokens)
+        return (out, n_out, n_rounds) if stats else (out, n_out)
 
     return jax.jit(generate_mega)
 
@@ -696,6 +711,7 @@ def make_tree_speculative_generate(
     max_new_tokens: int,
     branching: Tuple[int, ...] = (2, 2, 1, 1),
     prompt_bucket: int = 128,
+    stats: bool = False,
 ):
     """Tree speculation: the draft proposes a TOKEN TREE, the target verifies
     every root-to-leaf path in ONE forward pass (SpecInfer-style), accepting
@@ -772,11 +788,11 @@ def make_tree_speculative_generate(
         out = jnp.zeros((OUT,), jnp.int32).at[0].set(first)
 
         def cond(state):
-            _, _, _, n_emitted = state
+            _, _, _, n_emitted, _ = state
             return n_emitted < max_new_tokens
 
         def body(state):
-            t_cache, d_cache, out, n_emitted = state
+            t_cache, d_cache, out, n_emitted, n_rounds = state
             current = out[n_emitted - 1]
             len0 = t_cache["length"]
 
@@ -853,11 +869,14 @@ def make_tree_speculative_generate(
                 "v": _move_rows(d_cache["v"], moves),
                 "length": len0 + 1 + m,
             }
-            return (t_cache, d_cache, out, n_emitted)
+            return (t_cache, d_cache, out, n_emitted, n_rounds + 1)
 
-        t_cache, d_cache, out, n_emitted = jax.lax.while_loop(
-            cond, body, (t_cache, d_cache, out, jnp.ones((), jnp.int32))
+        t_cache, d_cache, out, n_emitted, n_rounds = jax.lax.while_loop(
+            cond, body,
+            (t_cache, d_cache, out, jnp.ones((), jnp.int32),
+             jnp.zeros((), jnp.int32)),
         )
-        return out, jnp.minimum(n_emitted, max_new_tokens)
+        n_out = jnp.minimum(n_emitted, max_new_tokens)
+        return (out, n_out, n_rounds) if stats else (out, n_out)
 
     return jax.jit(generate)

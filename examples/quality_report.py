@@ -94,19 +94,7 @@ def main(markdown: bool = False):
 
         # est KV MB after 256 tokens (uniform basis across methods): trim
         # methods hold their steady-state post-trim length, not 256
-        from efficient_llm_inference_tpu.cache import eviction
-
-        kind, _, strategy, _ = eng._build(method, 1, 255, dict(kw))
-        length = 256
-        if hasattr(strategy, "window"):
-            length = min(length, strategy.window)
-        elif method in eviction.TRIM_FNS:
-            trim_kw = {k_: v_ for k_, v_ in kw.items() if k_ != "ring"}
-            length = min(length, eviction._len_after(method, 256, trim_kw))
-        if method == "paged_attention":
-            est_mb = strategy.allocated_bytes(length) / 2**20
-        else:
-            est_mb = strategy.est_bytes(length) / 2**20
+        est_mb = eng.estimate_kv_bytes(method, 256, **kw) / 2**20
 
         agrees, sims = [], []
         for p, bids, btxt in zip(prompts, base_ids, base_txt):

@@ -60,7 +60,6 @@ def heldout_texts(n: int = 4, chunk: int = 512) -> list:
 
 
 def report(model_name: str, markdown: bool = False):
-    from efficient_llm_inference_tpu.cache import eviction
     from efficient_llm_inference_tpu.core.config import Config
     from efficient_llm_inference_tpu.core.utils import (
         enable_compilation_cache,
@@ -101,17 +100,7 @@ def report(model_name: str, markdown: bool = False):
         m_nll = float(np.mean(nlls))
         if method == "full_cache":
             base_nll = m_nll
-        kind, _, strategy, _ = eng._build(method, 1, 255, dict(kw))
-        length = 256
-        if hasattr(strategy, "window"):
-            length = min(length, strategy.window)
-        elif method in eviction.TRIM_FNS:
-            trim_kw = {k_: v_ for k_, v_ in kw.items() if k_ != "ring"}
-            length = min(length, eviction._len_after(method, 256, trim_kw))
-        if method == "paged_attention":
-            est_mb = strategy.allocated_bytes(length) / 2**20
-        else:
-            est_mb = strategy.est_bytes(length) / 2**20
+        est_mb = eng.estimate_kv_bytes(method, 256, **kw) / 2**20
         agrees, sims = [], []
         for p, bids, btxt in zip(prompts, base_ids, base_txt):
             ids = eng.generate_ids(p, method, n_new, **kw)[-n_new:]

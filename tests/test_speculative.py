@@ -273,3 +273,63 @@ def test_engine_generate_speculative_matches_full_cache(megaflag):
         text, n = eng.generate_speculative(prompt, 14, mode=mode, k=4)
         assert n == 14 and isinstance(text, str)
         assert eng.last_generation_ids == ref, mode
+
+
+def test_stats_round_counting(setup):
+    """stats=True returns a verify-round count with the exact acceptance
+    arithmetic: a perfect draft (the target itself) accepts all k proposals
+    every round, so n_rounds == ceil((n_new - 1) / k) and the stream is
+    unchanged; an unrelated draft needs at least as many rounds."""
+    t_cfg, d_cfg, t_params, d_params, eng = setup
+    prompt = "Numbers and letters filled the page from margin to margin."
+    ids = eng.tokenizer.encode(prompt)
+    n_new, k = 13, 4
+    ref = eng.generate_ids(prompt, "full_cache", n_new)[-n_new:]
+
+    gen = make_speculative_generate(
+        gpt2_spec(t_cfg), gpt2_spec(t_cfg), n_new, k=k, prompt_bucket=64,
+        stats=True,
+    )
+    buf = np.zeros((1, 64), np.int32)
+    buf[0, : len(ids)] = ids
+    out, n, rounds = gen(t_params, t_params, jnp.asarray(buf),
+                         jnp.int32(len(ids)))
+    n, rounds = int(n), int(rounds)
+    assert np.asarray(out)[:n].tolist() == ref
+    assert rounds == -(-(n_new - 1) // k), rounds  # perfect acceptance
+
+    gen_bad = make_speculative_generate(
+        gpt2_spec(t_cfg), gpt2_spec(d_cfg), n_new, k=k, prompt_bucket=64,
+        stats=True,
+    )
+    out, n, rounds_bad = gen_bad(t_params, d_params, jnp.asarray(buf),
+                                 jnp.int32(len(ids)))
+    assert np.asarray(out)[: int(n)].tolist() == ref
+    assert int(rounds_bad) >= rounds
+
+
+def test_engine_speculative_stats_and_external_draft(setup):
+    """Engine-level stats dict + mode='draft' with an external (spec,
+    params) draft: stream still token-exact vs full_cache, and
+    tokens_per_round == (n_new - 1) / n_rounds."""
+    t_cfg, d_cfg, t_params, d_params, eng = setup
+    prompt = "A gentle breeze moved across the field toward the old barn."
+    n_new = 12
+    ref = eng.generate_ids(prompt, "full_cache", n_new)
+
+    text, n, st = eng.generate_speculative(
+        prompt, n_new, mode="draft", k=4,
+        draft=(gpt2_spec(d_cfg), d_params), stats=True,
+    )
+    assert n == n_new and eng.last_generation_ids == ref
+    assert st["n_rounds"] >= -(-(n_new - 1) // 4)
+    assert st["tokens_per_round"] == pytest.approx(
+        (n_new - 1) / st["n_rounds"]
+    )
+
+    # ngram mode carries stats too
+    text, n, st = eng.generate_speculative(
+        prompt, n_new, mode="ngram", k=4, stats=True
+    )
+    assert n == n_new and eng.last_generation_ids == ref
+    assert st["n_rounds"] >= 1
