@@ -64,8 +64,12 @@ class Config:
         weight_quant: "int8" quantizes matmul weights per output channel
             (serving mode, beyond the reference; ~1.7x decode speedup at
             batch 1); "int4" uses group-wise 4-bit weights (half the weight
-            stream again, larger quality cost — see docs/QUALITY.md). None
-            keeps full-precision weights (token-exact vs HF).
+            stream again, larger quality cost — see docs/QUALITY.md);
+            "int4w8" is int4 with ONE scale group per megakernel half-tile
+            (G = TR/2) — the in-kernel dequant collapses to column scaling
+            of the dot results (megakernel_llama._int4_tile_dot fast
+            path), trading coarser scale granularity for less VPU work per
+            tile. None keeps full-precision weights (token-exact vs HF).
         megakernel: run eligible greedy batch-1 full_cache decode steps as
             ONE Pallas program (ops/pallas/megakernel.py; measured 599 ->
             375 us/step on GPT-2 small on v5e). None = auto (on on TPU);
@@ -81,7 +85,7 @@ class Config:
     batch_size: int = 1
     prompt_cap: int = 1024
     scan_unroll: Optional[int] = None
-    weight_quant: Optional[Literal["int8", "int4"]] = None
+    weight_quant: Optional[Literal["int8", "int4", "int4w8"]] = None
     megakernel: Optional[bool] = None
 
     def resolved_scan_unroll(self, n_layer: int) -> int:

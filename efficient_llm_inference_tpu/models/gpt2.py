@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from functools import partial
 from typing import Any, Optional, Tuple
 
 import jax
@@ -166,7 +167,8 @@ def _int4_dot(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
     return jnp.einsum("...kf,kf->...f", y, s[:, 0, :])
 
 
-def quantize_gpt2_weights(params: dict, mode: str = "int8") -> dict:
+def quantize_gpt2_weights(params: dict, mode: str = "int8",
+                          group: int = 128) -> dict:
     """Weight quantization for serving (mode "int8" or "int4").
 
     Beyond the reference (which only quantizes KV): batch-1 decode is
@@ -180,7 +182,10 @@ def quantize_gpt2_weights(params: dict, mode: str = "int8") -> dict:
     or `lm_q4`/`lm_s4`) while the bf16 table is kept for the (tiny)
     embedding lookups.
     """
-    q = quantize_int8_weights if mode == "int8" else quantize_int4_weights
+    if mode == "int8":
+        q = quantize_int8_weights
+    else:
+        q = partial(quantize_int4_weights, group=group)
 
     blocks = dict(params["blocks"])
     for name in ("attn_w", "attn_proj_w", "fc_w", "fc_proj_w"):

@@ -276,7 +276,8 @@ def llama_forward(
     return logits, cache
 
 
-def quantize_llama_weights(params: dict, mode: str = "int8") -> dict:
+def quantize_llama_weights(params: dict, mode: str = "int8",
+                           group: int = 128) -> dict:
     """Weight quantization for serving (mode "int8" or "int4").
 
     Same scheme as models/gpt2.py:quantize_gpt2_weights: every matmul weight
@@ -285,9 +286,14 @@ def quantize_llama_weights(params: dict, mode: str = "int8") -> dict:
     precision; the lm head (tied or untied) gets a quantized copy under
     `lm_q`/`lm_s` (int8) or `lm_q4`/`lm_s4` (int4).
     """
+    from functools import partial as _partial
+
     from .gpt2 import quantize_int4_weights, quantize_int8_weights
 
-    q = quantize_int8_weights if mode == "int8" else quantize_int4_weights
+    if mode == "int8":
+        q = quantize_int8_weights
+    else:
+        q = _partial(quantize_int4_weights, group=group)
 
     blocks = dict(params["blocks"])
     for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
@@ -318,7 +324,7 @@ def param_bytes_estimate(cfg: LlamaConfig, dtype=jnp.bfloat16) -> int:
 
 def init_quantized_llama_params(
     key: jax.Array, cfg: LlamaConfig, mode: str = "int8",
-    dtype=jnp.bfloat16,
+    dtype=jnp.bfloat16, group: int = 128,
 ) -> dict:
     """Random-init + weight-quantize ON THE HOST CPU, then place only the
     quantized tensors on the accelerator.
@@ -333,7 +339,7 @@ def init_quantized_llama_params(
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         params = init_llama_params(key, cfg, dtype)
-        q = quantize_llama_weights(params, mode=mode)
+        q = quantize_llama_weights(params, mode=mode, group=group)
         del params
     # explicit target: device_put with device=None is an IDENTITY for
     # already-committed arrays, which would leave the weights on the host

@@ -122,8 +122,35 @@ def _int4_tile_dot(xg, pk, st, gsel, TR, G, n_gh, dtype):
     sign extends the nibble — so (byte_f - lo_f) * (s/16) dequantizes with
     no shift (Mosaic cannot legalize arith.shrsi on int8 vectors) and no
     per-element sign extension.
+
+    int4w8 fast path (n_gh == 1, i.e. G == TR/2, weight_quant="int4w8"):
+    ONE scale per (half-tile plane, output column), so the scale factors
+    OUT of the contraction entirely — the dots run on the RAW nibble
+    values and the [1, TC] results are column-scaled afterwards. This
+    deletes both full-tile [TR/2, TC] scale multiplies and the scale-pane
+    broadcasts from the per-tile hot loop (the VPU work that kept the
+    grouped-int4 step at 2.07 ms vs its 0.78 ms DMA floor on Llama-1B;
+    docs/ROADMAP.md #2), at the quality cost of coarser (half-tile) group
+    granularity — measured on scale_llama in docs/QUALITY.md.
     """
     TC = pk.shape[-1]
+    if n_gh == 1:  # G == TR/2: per-(half-tile, column) scales
+        lo_f = jnp.bitwise_and(pk, 0xF).astype(dtype)  # u = v + 8
+        hi_f = pk.astype(dtype) - lo_f  # 16 * signed high value, exactly
+        y_lo = jax.lax.dot_general(
+            xg[:, : TR // 2], lo_f, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y_hi = jax.lax.dot_general(
+            xg[:, TR // 2:], hi_f, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s_lo = st[0:1].astype(jnp.float32)  # [1, TC]
+        s_hi = st[1:2].astype(jnp.float32)  # [1, TC], pre-divided by 16
+        xsum = jnp.sum(
+            xg[:, : TR // 2].astype(jnp.float32), axis=1, keepdims=True
+        )  # [1, 1] — the biased-nibble correction collapses to a scalar
+        return (y_lo - 8.0 * xsum) * s_lo + y_hi * s_hi
     s_lo = jnp.broadcast_to(
         st[:n_gh][:, None, :], (n_gh, G, TC)
     ).reshape(TR // 2, TC)

@@ -23,7 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="llama-3-1b")
-    ap.add_argument("--wq", default="int4", choices=["int4", "int8", "none"])
+    ap.add_argument("--wq", default="int4",
+                    choices=["int4", "int4w8", "int8", "none"])
     ap.add_argument("--mega", type=int, default=1)
     ap.add_argument("--max-new", type=int, default=64)
     ap.add_argument("--long-new", type=int, default=0)

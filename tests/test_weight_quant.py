@@ -195,3 +195,92 @@ def test_param_bytes_estimate():
     assert 14 * 1024**3 < est < 18 * 1024**3
     tiny = llama_mod.param_bytes_estimate(llama_mod.LlamaConfig.tiny())
     assert tiny < 1024**2
+
+
+def test_int4w8_tile_dot_fast_path_matches_dense():
+    """_int4_tile_dot with ONE group per half-tile (n_gh == 1, the int4w8
+    fast path) == dense dequantized matmul, to fp32 tolerance."""
+    from efficient_llm_inference_tpu.ops.pallas.megakernel_llama import (
+        _int4_tile_dot,
+        _pack_halves,
+    )
+
+    rng = np.random.default_rng(7)
+    TR, TC = 32, 16
+    q = rng.integers(-8, 8, size=(1, TR, TC)).astype(np.int8)
+    s_lo = rng.uniform(0.01, 0.1, size=TC).astype(np.float32)
+    s_hi = rng.uniform(0.01, 0.1, size=TC).astype(np.float32)
+    x = rng.normal(size=(3, TR)).astype(np.float32)
+
+    w_deq = q[0].astype(np.float32) * np.concatenate(
+        [np.tile(s_lo, (TR // 2, 1)), np.tile(s_hi, (TR // 2, 1))]
+    )
+    expected = x @ w_deq
+
+    pk = _pack_halves(jnp.asarray(q), TR)[0]
+    st = jnp.stack([jnp.asarray(s_lo), jnp.asarray(s_hi) / 16.0])
+    gsel = jnp.ones((TR // 2, 1), jnp.float32)
+    got = _int4_tile_dot(
+        jnp.asarray(x), pk, st, gsel, TR, TR // 2, 1, jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-5,
+                               atol=1e-4)
+
+
+def test_engine_weight_quant_int4w8_half_tile_groups():
+    """weight_quant='int4w8' quantizes with G = TR/2 (one scale per
+    half-tile), stays megakernel-packable, and generates."""
+    from efficient_llm_inference_tpu.ops.pallas.megakernel_llama import (
+        _q4_group,
+        _tile_geometry,
+    )
+
+    cfg = llama_mod.LlamaConfig(
+        vocab_size=300, hidden_size=256, intermediate_size=512, n_layer=2,
+        n_head=4, n_kv_head=2, tie_embeddings=True,
+    )
+    params = llama_mod.init_llama_params(jax.random.PRNGKey(2), cfg,
+                                         jnp.float32)
+    spec = llama_mod.llama_spec(cfg)
+    TR = _tile_geometry(cfg)[0]
+    q = llama_mod.quantize_llama_weights(params, mode="int4", group=TR // 2)
+    assert _q4_group(q["blocks"]["wq"]) == TR // 2
+
+    eng2 = InferenceEngine(
+        spec, q,
+        config=Config(model_name="t", device="cpu", dtype=jnp.float32),
+    )
+    ref = InferenceEngine(
+        spec, params,
+        config=Config(model_name="t", device="cpu", dtype=jnp.float32),
+    )
+    prompt = "the tides turn at dawn"
+    out_q = eng2.generate(prompt, "full_cache", 4)
+    assert isinstance(out_q, str) and len(out_q) > len(prompt) - 1
+    # logits stay close to fp (coarser groups than int4-128 but bounded)
+    spec_ = spec
+    toks = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size, (1, 16)),
+        jnp.int32,
+    )
+    fp = _logits(spec_, params, toks)
+    q4 = _logits(spec_, q, toks)
+    assert np.abs(q4 - fp).max() / np.abs(fp).max() < 0.35
+
+
+def test_engine_int4w8_from_model_name_routes_group():
+    """from_model_name with weight_quant='int4w8' quantizes at G = TR/2 and
+    the engine still generates (gpt2 family: uniform [E, E] tiles)."""
+    from efficient_llm_inference_tpu.ops.pallas.megakernel_llama import (
+        _q4_group,
+    )
+
+    eng = InferenceEngine.from_model_name(
+        "gpt2-tiny",
+        config=Config(model_name="t", device="cpu", dtype=jnp.float32,
+                      weight_quant="int4w8"),
+    )
+    E = eng.model.config.n_embd
+    assert _q4_group(eng.params["blocks"]["fc_w"]) == E // 2
+    text, n = eng.generate_with_cache("Hello world.", max_new_tokens=3)
+    assert n == 3 and isinstance(text, str)
