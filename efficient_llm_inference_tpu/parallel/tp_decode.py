@@ -292,3 +292,297 @@ def make_tp_decode(cfg, mesh, n_steps: int, capacity: int,
         check_vma=False,
     )
     return jax.jit(decode)
+
+
+# ---------------------------------------------------------------------------
+# Llama/GQA explicit-TP decode with optional int8 KV panes (round 4).
+#
+# Composes the two north-star axes that the GPT-2 path above leaves apart:
+# tensor parallelism x quantized KV. GQA shards CLEANLY over the model axis
+# when n_kv_head % mp == 0: each device holds Hkl = Hkv/mp KV heads plus
+# their G = Hq/Hkv query heads each (HF's query head h reads KV head h//G,
+# so contiguous head blocks stay self-contained — no cross-shard attention).
+# RoPE depends only on (position, head_dim), so it applies in-shard.
+#
+# int8 KV panes use per-(head, token) fp32 scales (QuantizedKV
+# granularity="per_head"): the per-head max over D is local to the head, so
+# quantization itself shards trivially — unlike per_token granularity, whose
+# max spans ALL heads and would need a cross-shard max every step. Per-chip
+# KV residency drops to (Hkv/mp) * 1 byte/elem (+ 4/D bytes of scale per
+# token): Llama-1B at mp=4, 2048 tokens = 16L*2*2kv*2048*64 B = 8.0 MiB/chip
+# vs 64 MiB/chip unsharded bf16 — an 8x smaller pane DMA per decode step,
+# on top of the 4x weight-stream split. Token-exact vs the unsharded
+# QuantizedKV(granularity="per_head") XLA path (tests/test_tp_decode.py).
+# ---------------------------------------------------------------------------
+
+
+def shard_llama_tp(params: dict, cfg, mesh, axis: str = "model") -> dict:
+    """Device_put Llama params in head-aligned TP layout.
+
+    wq/wk/wv outputs are already head-contiguous ([Hq*D] ordered by head),
+    so unlike GPT-2's packed qkv no rearrange is needed — only sharding:
+
+      wq [L, E, Hq*D] cols sharded | wk/wv [L, E, Hkv*D] cols sharded
+      wo [L, Hq*D, E] rows sharded | w_gate/w_up cols, w_down rows
+      ln1/ln2/ln_f/embed replicated; embed_tp [Vp, E] vocab-sharded head
+    """
+    V, E = cfg.vocab_size, cfg.hidden_size
+    mp = mesh.shape[axis]
+    assert cfg.n_kv_head % mp == 0, (
+        f"n_kv_head {cfg.n_kv_head} must divide over mesh axis {mp}"
+    )
+    assert E % mp == 0 and cfg.intermediate_size % mp == 0
+    b = params["blocks"]
+    Vp = mp * (-(-V // mp))
+    head = params["lm_head"].T if "lm_head" in params else params["embed"]
+    embed_tp = jnp.pad(head, ((0, Vp - V), (0, 0)))
+
+    tp = {
+        "wq": (b["wq"], P(None, None, axis)),
+        "wk": (b["wk"], P(None, None, axis)),
+        "wv": (b["wv"], P(None, None, axis)),
+        "wo": (b["wo"], P(None, axis, None)),
+        "w_gate": (b["w_gate"], P(None, None, axis)),
+        "w_up": (b["w_up"], P(None, None, axis)),
+        "w_down": (b["w_down"], P(None, axis, None)),
+        "ln1": (b["ln1"], P(None, None)),
+        "ln2": (b["ln2"], P(None, None)),
+        "ln_f": (params["ln_f"], P(None)),
+        "embed": (params["embed"], P(None, None)),
+        "embed_tp": (embed_tp, P(axis, None)),
+    }
+    for name in ("bq", "bk", "bv"):
+        if name in b:
+            tp[name] = (b[name], P(None, axis))
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, s))
+        for k, (v, s) in tp.items()
+    }
+
+
+def llama_tp_param_specs(params: dict, axis: str = "model") -> dict:
+    """PartitionSpec pytree matching shard_llama_tp's output layout."""
+    specs = {
+        "wq": P(None, None, axis),
+        "wk": P(None, None, axis),
+        "wv": P(None, None, axis),
+        "wo": P(None, axis, None),
+        "w_gate": P(None, None, axis),
+        "w_up": P(None, None, axis),
+        "w_down": P(None, axis, None),
+        "ln1": P(None, None),
+        "ln2": P(None, None),
+        "ln_f": P(None),
+        "embed": P(None, None),
+        "embed_tp": P(axis, None),
+    }
+    for name in ("bq", "bk", "bv"):
+        if name in params:
+            specs[name] = P(None, axis)
+    return specs
+
+
+def make_llama_tp_decode(cfg, mesh, n_steps: int, capacity: int,
+                         axis: str = "model", kv_mode: str = None):
+    """Greedy Llama/GQA TP decode with explicit AG/RS collectives.
+
+    kv_mode None: cache = (k, v, length), k/v [L, Hkv, C, D] head-sharded
+    in the model dtype. kv_mode "int8": cache = (k, v, ks, vs, length)
+    with int8 stores + per-(head, token) fp32 scales — the TP composition
+    of QuantizedKV(granularity="per_head"): past tokens dequantize on
+    read, the in-flight token stays full precision (reference
+    benchmarker.py:473-477 semantics), scales shard over heads.
+
+    Returns decode(tp_params, *cache, tok0) -> (toks [n_steps], *cache').
+    Collective traffic per step is IDENTICAL to the GPT-2 path (2 AG + 2
+    RS per block of (mp-1)/mp * E bytes + one [mp] argmax gather — KV
+    needs no collectives); what int8 panes change is the LOCAL HBM
+    read per step: C * Hkv/mp * D bytes/layer/pane instead of 2x that in
+    bf16 — at mp=4 on Llama-1B/2048-ctx, 8 MiB vs 64 MiB of per-chip KV.
+    """
+    E, L = cfg.hidden_size, cfg.n_layer
+    Hq, Hkv, D = cfg.n_head, cfg.n_kv_head, cfg.head_dim
+    I, V = cfg.intermediate_size, cfg.vocab_size
+    mp = mesh.shape[axis]
+    Hkl = Hkv // mp
+    G = Hq // Hkv
+    Hql = Hq // mp
+    Es = E // mp
+    C = capacity
+    scale = 1.0 / math.sqrt(float(D))
+    eps_q = 1e-8  # QuantizedKV default eps
+
+    inv_freq = 1.0 / (
+        cfg.rope_theta
+        ** (jnp.arange(0, D, 2, dtype=jnp.float32) / D)
+    )  # [D/2]
+
+    def rms(xg, g):
+        x32 = xg.astype(jnp.float32)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        y = x32 * jax.lax.rsqrt(var + cfg.rms_eps)
+        return (y.astype(xg.dtype) * g).astype(xg.dtype)
+
+    def rope(x, cos, sin):  # x [H, D], cos/sin [D]
+        x32 = x.astype(jnp.float32)
+        half = jnp.concatenate([-x32[:, D // 2:], x32[:, : D // 2]], axis=1)
+        return (x32 * cos[None] + half * sin[None]).astype(x.dtype)
+
+    def q8(x):  # [H, D] -> (int8 [H, D], fp32 scale [H]) per-head symmetric
+        x32 = x.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(x32), axis=1) / 127.0, eps_q)
+        q = jnp.clip(jnp.round(x32 / s[:, None]), -127, 127).astype(jnp.int8)
+        return q, s
+
+    def local_step(p, cache, length, tok):
+        idx = jax.lax.axis_index(axis)
+        dt = p["embed"].dtype
+        if kv_mode == "int8":
+            k, v, ks, vs = cache
+        else:
+            k, v = cache
+        pos = jnp.minimum(length, cfg.n_positions - 1)
+        x_full = p["embed"][tok][None].astype(dt)  # [1, E]
+        x = jax.lax.dynamic_slice(x_full, (0, idx * Es), (1, Es))
+
+        freqs = pos.astype(jnp.float32) * inv_freq  # [D/2]
+        emb = jnp.concatenate([freqs, freqs])  # [D]
+        cos, sin = jnp.cos(emb), jnp.sin(emb)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+
+        def rs_(partial):
+            return jax.lax.psum_scatter(
+                partial, axis, scatter_dimension=1, tiled=True
+            )
+
+        def ag(x_sh):
+            return jax.lax.all_gather(x_sh, axis, axis=1, tiled=True)
+
+        for l in range(L):
+            xg = ag(x)
+            h = rms(xg, p["ln1"][l])
+            q = jnp.dot(h, p["wq"][l],
+                        preferred_element_type=jnp.float32)  # [1, Hql*D]
+            kn = jnp.dot(h, p["wk"][l], preferred_element_type=jnp.float32)
+            vn = jnp.dot(h, p["wv"][l], preferred_element_type=jnp.float32)
+            if "bq" in p:
+                q = q + p["bq"][l].astype(jnp.float32)
+                kn = kn + p["bk"][l].astype(jnp.float32)
+                vn = vn + p["bv"][l].astype(jnp.float32)
+            q = rope(q.astype(dt).reshape(Hql, D), cos, sin)
+            kn = rope(kn.astype(dt).reshape(Hkl, D), cos, sin)
+            vn = vn.astype(dt).reshape(Hkl, D)
+
+            if kv_mode == "int8":
+                kq_, ks_new = q8(kn)
+                vq_, vs_new = q8(vn)
+                k = jax.lax.dynamic_update_slice(
+                    k, kq_[None, :, None, :], (l, 0, length, 0)
+                )
+                v = jax.lax.dynamic_update_slice(
+                    v, vq_[None, :, None, :], (l, 0, length, 0)
+                )
+                ks = jax.lax.dynamic_update_slice(
+                    ks, ks_new[None, :, None], (l, 0, length)
+                )
+                vs = jax.lax.dynamic_update_slice(
+                    vs, vs_new[None, :, None], (l, 0, length)
+                )
+                # dequantize past, overlay in-flight token in fp
+                # (QuantizedKV reference-numerics path)
+                k_fp = (k[l].astype(jnp.float32)
+                        * ks[l][:, :, None]).astype(dt)
+                v_fp = (v[l].astype(jnp.float32)
+                        * vs[l][:, :, None]).astype(dt)
+                k_fp = jax.lax.dynamic_update_slice(
+                    k_fp, kn[:, None, :], (0, length, 0)
+                )
+                v_fp = jax.lax.dynamic_update_slice(
+                    v_fp, vn[:, None, :], (0, length, 0)
+                )
+            else:
+                k = jax.lax.dynamic_update_slice(
+                    k, kn[None, :, None, :].astype(k.dtype),
+                    (l, 0, length, 0)
+                )
+                v = jax.lax.dynamic_update_slice(
+                    v, vn[None, :, None, :].astype(v.dtype),
+                    (l, 0, length, 0)
+                )
+                k_fp, v_fp = k[l], v[l]
+
+            qg = q.reshape(Hkl, G, D)
+            scores = jnp.einsum(
+                "kgd,kcd->kgc", qg, k_fp,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            scores = jnp.where(col[None] <= length, scores, NEG_INF)
+            probs = jax.nn.softmax(scores, axis=-1)
+            ao = jnp.einsum(
+                "kgc,kcd->kgd", probs, v_fp,
+                preferred_element_type=jnp.float32,
+            ).astype(dt).reshape(1, Hql * D)
+            partial = jnp.dot(
+                ao, p["wo"][l], preferred_element_type=jnp.float32
+            )  # [1, E] row-parallel partial
+            x = x + rs_(partial).astype(dt)
+
+            xg2 = ag(x)
+            h2 = rms(xg2, p["ln2"][l])
+            gate = jnp.dot(h2, p["w_gate"][l],
+                           preferred_element_type=jnp.float32)
+            up = jnp.dot(h2, p["w_up"][l],
+                         preferred_element_type=jnp.float32)
+            act = (jax.nn.silu(gate) * up).astype(dt)  # [1, I/mp]
+            partial2 = jnp.dot(
+                act, p["w_down"][l], preferred_element_type=jnp.float32
+            )
+            x = x + rs_(partial2).astype(dt)
+
+        xf = rms(ag(x), p["ln_f"])  # [1, E]
+        wl = p["embed_tp"]  # [Vl, E]
+        Vl = wl.shape[0]
+        logits = jnp.dot(xf, wl.T, preferred_element_type=jnp.float32)
+        lcol = jax.lax.broadcasted_iota(jnp.int32, (1, Vl), 1) + idx * Vl
+        logits = jnp.where(lcol < V, logits, NEG_INF)
+        lmax = jnp.max(logits, axis=1)
+        lidx = jnp.argmax(logits, axis=1).astype(jnp.int32) + idx * Vl
+        gmax = jax.lax.all_gather(lmax, axis, axis=0, tiled=True)
+        gidx = jax.lax.all_gather(lidx, axis, axis=0, tiled=True)
+        tok2 = gidx[jnp.argmax(gmax)]
+        if kv_mode == "int8":
+            return (k, v, ks, vs), tok2
+        return (k, v), tok2
+
+    def local_decode(p, *args):
+        *cache, length, tok0 = args
+        cache = tuple(cache)
+
+        def step(carry, _):
+            cache, length, tok = carry
+            cache, tok2 = local_step(p, cache, length, tok)
+            return (cache, length + 1, tok2), tok
+
+        (cache, length, _), toks = jax.lax.scan(
+            step, (cache, length, tok0), None, length=n_steps
+        )
+        return (toks,) + cache + (length,)
+
+    kv_spec = P(None, axis, None, None)
+    sc_spec = P(None, axis, None)
+    if kv_mode == "int8":
+        cache_specs = (kv_spec, kv_spec, sc_spec, sc_spec)
+    else:
+        cache_specs = (kv_spec, kv_spec)
+
+    def wrapped(p, *args):
+        specs = llama_tp_param_specs(p, axis)
+        return shard_map(
+            local_decode,
+            mesh=mesh,
+            in_specs=(specs,) + cache_specs + (P(), P()),
+            out_specs=(P(),) + cache_specs + (P(),),
+            check_vma=False,
+        )(p, *args)
+
+    return jax.jit(wrapped)

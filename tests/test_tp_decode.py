@@ -106,3 +106,134 @@ def test_tp_relayout_roundtrip(setup):
     np.testing.assert_array_equal(
         np.asarray(tp["wte_tp"])[: CFG.vocab_size], np.asarray(params["wte"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Llama/GQA explicit-TP decode, fp and int8-pane caches (round 4).
+# ---------------------------------------------------------------------------
+
+from efficient_llm_inference_tpu.cache.kvcache import QuantizedKV  # noqa: E402
+from efficient_llm_inference_tpu.models import llama as llama_mod  # noqa: E402
+from efficient_llm_inference_tpu.parallel.tp_decode import (  # noqa: E402
+    make_llama_tp_decode,
+    shard_llama_tp,
+)
+
+LCFG = llama_mod.LlamaConfig(
+    vocab_size=331, n_positions=128, hidden_size=64, intermediate_size=128,
+    n_layer=2, n_head=8, n_kv_head=4, rope_theta=10000.0,
+    tie_embeddings=True,
+)
+
+
+@pytest.fixture(scope="module")
+def lsetup():
+    params = llama_mod.init_llama_params(
+        jax.random.PRNGKey(7), LCFG, jnp.float32
+    )
+    return llama_mod.llama_spec(LCFG), params
+
+
+def _llama_reference_decode(spec, params, ids, n_new, capacity, quant):
+    if quant:
+        strategy = QuantizedKV(
+            n_layer=spec.n_layer, n_head=spec.n_kv_head,
+            head_dim=spec.head_dim, capacity=capacity, mode="int8",
+            granularity="per_head",
+        )
+    else:
+        strategy = DenseKV(
+            n_layer=spec.n_layer, n_head=spec.n_kv_head,
+            head_dim=spec.head_dim, capacity=capacity,
+        )
+    prefill = make_prefill(spec, strategy, None)
+    decode = make_decode(spec, strategy, None, n_new)
+    buf = np.zeros((1, 32), np.int32)
+    buf[0, : len(ids)] = ids
+    cache, last = prefill(params, jnp.asarray(buf), jnp.int32(len(ids)))
+    snap = {k_: np.asarray(v_) for k_, v_ in cache.items()}
+    last_np = np.asarray(last)
+    toks, _ = decode(params, cache, last)
+    return np.asarray(toks)[0].tolist(), snap, last_np
+
+
+@pytest.mark.parametrize("mp", [4, 2])
+def test_llama_tp_decode_token_exact(lsetup, mp):
+    """Head-sharded GQA TP decode (fp cache) == unsharded XLA decode."""
+    spec, params = lsetup
+    mesh = make_mesh((len(jax.devices()) // mp, mp), ("data", "model"))
+    ids = np.random.default_rng(1).integers(0, LCFG.vocab_size, 20).tolist()
+    n_new, C = 12, 48
+
+    want, snap, last_np = _llama_reference_decode(
+        spec, params, ids, n_new, C, quant=False
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    kv_sh = NamedSharding(mesh, P(None, "model", None, None))
+    k0 = jax.device_put(jnp.asarray(snap["k"][:, 0]), kv_sh)
+    v0 = jax.device_put(jnp.asarray(snap["v"][:, 0]), kv_sh)
+    tok0 = jnp.argmax(jnp.asarray(last_np[0])).astype(jnp.int32)
+
+    tp_params = shard_llama_tp(params, LCFG, mesh, "model")
+    decode = make_llama_tp_decode(LCFG, mesh, n_new, C, "model")
+    toks, k2, v2, length = decode(
+        tp_params, k0, v0, jnp.int32(len(ids)), tok0
+    )
+    assert np.asarray(toks).tolist() == want
+    assert int(length) == len(ids) + n_new
+    np.testing.assert_array_equal(
+        np.asarray(k2)[:, :, : len(ids)], snap["k"][:, 0, :, : len(ids)]
+    )
+
+
+@pytest.mark.parametrize("mp", [4, 2])
+def test_llama_tp_decode_int8_panes_token_exact(lsetup, mp):
+    """TP x quantized KV: head-sharded int8 panes + per-(head, token)
+    scales == unsharded QuantizedKV(granularity='per_head') decode,
+    token-exact — the two north-star axes composed."""
+    spec, params = lsetup
+    mesh = make_mesh((len(jax.devices()) // mp, mp), ("data", "model"))
+    ids = np.random.default_rng(2).integers(0, LCFG.vocab_size, 20).tolist()
+    n_new, C = 12, 48
+
+    want, snap, last_np = _llama_reference_decode(
+        spec, params, ids, n_new, C, quant=True
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    kv_sh = NamedSharding(mesh, P(None, "model", None, None))
+    sc_sh = NamedSharding(mesh, P(None, "model", None))
+    k0 = jax.device_put(jnp.asarray(snap["k"][:, 0]), kv_sh)
+    v0 = jax.device_put(jnp.asarray(snap["v"][:, 0]), kv_sh)
+    ks0 = jax.device_put(jnp.asarray(snap["k_scale"]), sc_sh)
+    vs0 = jax.device_put(jnp.asarray(snap["v_scale"]), sc_sh)
+    tok0 = jnp.argmax(jnp.asarray(last_np[0])).astype(jnp.int32)
+
+    tp_params = shard_llama_tp(params, LCFG, mesh, "model")
+    decode = make_llama_tp_decode(LCFG, mesh, n_new, C, "model",
+                                  kv_mode="int8")
+    toks, k2, v2, ks2, vs2, length = decode(
+        tp_params, k0, v0, ks0, vs0, jnp.int32(len(ids)), tok0
+    )
+    assert np.asarray(toks).tolist() == want
+    assert int(length) == len(ids) + n_new
+    # int8 stores + scales of the prompt region untouched, decode region
+    # filled with the same quantized values the unsharded path would write
+    assert np.asarray(k2).dtype == np.int8
+    np.testing.assert_array_equal(
+        np.asarray(k2)[:, :, : len(ids)], snap["k"][:, 0, :, : len(ids)]
+    )
+
+
+def test_llama_tp_relayout_roundtrip(lsetup):
+    spec, params = lsetup
+    mesh = make_mesh((2, 4), ("data", "model"))
+    tp = shard_llama_tp(params, LCFG, mesh, "model")
+    np.testing.assert_array_equal(
+        np.asarray(tp["wq"]), np.asarray(params["blocks"]["wq"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tp["embed_tp"])[: LCFG.vocab_size],
+        np.asarray(params["embed"]),
+    )
