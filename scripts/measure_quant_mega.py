@@ -25,7 +25,11 @@ def main() -> None:
     ap.add_argument("--max-new", type=int, default=64)
     ap.add_argument("--reps", type=int, default=6)
     ap.add_argument("--long", action="store_true",
-                    help="also run a 960-token prompt protocol")
+                    help="also run a long-prompt protocol (KV-read bound)")
+    ap.add_argument("--long-tokens", type=int, default=960,
+                    help="prompt length for --long (e.g. 1980 on Llama-1B)")
+    ap.add_argument("--methods", default="full_cache,quant_int8,quant_int4,"
+                    "quant_mixed")
     ap.add_argument("--weight-quant", default=None)
     ap.add_argument("--model", default="gpt2")
     args = ap.parse_args()
@@ -45,8 +49,7 @@ def main() -> None:
         rng = np.random.default_rng(0)
         ids = rng.integers(1, 255, size=n_prompt).tolist()
         prompt = "".join(chr(max(1, t % 127)) for t in ids)
-        for method in ("full_cache", "quant_int8", "quant_int4",
-                       "quant_mixed"):
+        for method in args.methods.split(","):
             r = eng.benchmark_method(
                 [prompt], method=method, max_new_tokens=args.max_new,
                 warmup=True,
@@ -67,8 +70,9 @@ def main() -> None:
           f"weight_quant={args.weight_quant}")
     run_protocol(args.prompt_tokens)
     if args.long:
-        print(f"[quant-mega] LONG prompt=960 new={args.max_new}")
-        run_protocol(960)
+        print(f"[quant-mega] LONG prompt={args.long_tokens} "
+              f"new={args.max_new}")
+        run_protocol(args.long_tokens)
 
 
 if __name__ == "__main__":
