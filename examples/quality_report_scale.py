@@ -126,16 +126,163 @@ def report(model_name: str, markdown: bool = False):
     return rows
 
 
+def weight_report(model_name: str, markdown: bool = False):
+    """Weight-quantization quality on a scale model: fp32 vs int8 vs
+    grouped int4 (G=128) vs int4w8 (half-tile groups, G=TR/2) — the
+    quality side of the int4w8 speed lever (megakernel_llama._int4_tile_dot
+    fast path). KV stays full precision; only matmul weights quantize."""
+    from efficient_llm_inference_tpu.core.config import Config
+    from efficient_llm_inference_tpu.engine.engine import InferenceEngine
+    from efficient_llm_inference_tpu.evaluation.quality import (
+        compute_method_nll,
+        text_similarity,
+        token_agreement_rate,
+    )
+    from examples.train_scale_models import load_scale_model
+
+    spec, params = load_scale_model(model_name)
+    if model_name.endswith("llama"):
+        from efficient_llm_inference_tpu.models.llama import (
+            quantize_llama_weights as qweights,
+        )
+        from efficient_llm_inference_tpu.ops.pallas.megakernel_llama import (
+            _tile_geometry,
+        )
+
+        half_tile = _tile_geometry(spec.config)[0] // 2
+    else:
+        from efficient_llm_inference_tpu.models.gpt2 import (
+            quantize_gpt2_weights as qweights,
+        )
+
+        half_tile = spec.config.n_embd // 2
+
+    variants = [
+        ("fp32", params),
+        ("int8 (per out channel)", qweights(params, mode="int8")),
+        ("int4 (G=128)", qweights(params, mode="int4", group=128)),
+        (f"int4w8 (G={half_tile})",
+         qweights(params, mode="int4", group=half_tile)),
+    ]
+    eval_texts = heldout_texts()
+    prompts = [t[:180] for t in eval_texts]
+    n_new = 48
+
+    base_ids = base_txt = base_nll = None
+    rows = []
+    for label, p in variants:
+        eng = InferenceEngine(
+            spec, p,
+            config=Config(model_name=model_name, device="cpu",
+                          dtype=jnp.float32),
+        )
+        nlls = [compute_method_nll(eng, t, "full_cache", max_tokens=256)
+                for t in eval_texts]
+        m_nll = float(np.mean(nlls))
+        ids = [eng.generate_ids(pr, "full_cache", n_new)[-n_new:]
+               for pr in prompts]
+        if base_ids is None:
+            base_ids = ids
+            base_txt = [eng.tokenizer.decode(i) for i in ids]
+            base_nll = m_nll
+        agree = float(np.mean([
+            token_agreement_rate(a, b) for a, b in zip(ids, base_ids)
+        ]))
+        sim = float(np.mean([
+            text_similarity(eng.tokenizer.decode(a), t)
+            for a, t in zip(ids, base_txt)
+        ]))
+        rows.append((label, m_nll, m_nll - base_nll, agree, sim))
+        print(f"  [{model_name}] weights {label:<24} NLL {m_nll:.4f}  "
+              f"d{m_nll - base_nll:+.4f}  agree {agree:.3f}  sim {sim:.3f}")
+    if markdown:
+        print("\n| weights | NLL | dNLL vs fp | tok agree | similarity |")
+        print("|---|---|---|---|---|")
+        for label, m_nll, d, agree, sim in rows:
+            print(f"| {label} | {m_nll:.4f} | {d:+.4f} | {agree:.3f} | "
+                  f"{sim:.3f} |")
+    return rows
+
+
+def rouge_report(model_name: str = "scale_gpt2"):
+    """ROUGE ordering across methods on bundled samples (the reference's
+    summarization-harness protocol, scale model instead of Qwen2.5-7B)."""
+    import efficient_llm_inference_tpu as elit
+    from efficient_llm_inference_tpu.core.config import Config
+    from efficient_llm_inference_tpu.engine.engine import InferenceEngine
+    from examples.train_scale_models import load_scale_model
+
+    spec, params = load_scale_model(model_name)
+    eng = InferenceEngine(
+        spec, params,
+        config=Config(model_name=model_name, device="cpu",
+                      dtype=jnp.float32),
+    )
+    ds = elit.load_cnn_dailymail(max_samples=3)
+    sb = elit.SummarizationBenchmark(eng, ds)
+    df = sb.compare_methods(
+        ["full_cache", "quant_int8", "quant_int4", "sliding_window",
+         "chunked_cache"],
+        num_samples=3, max_new_tokens=48,
+        method_configs={"sliding_window": {"window_size": 64},
+                        "chunked_cache": {"chunk_size": 16,
+                                          "keep_last": 64}},
+    )
+    cols = [c for c in ("method", "rouge1_f", "rougeL_f") if c in df.columns]
+    print(df[cols].to_string(index=False))
+    return df
+
+
+def mmlu_report(model_name: str = "scale_gpt2"):
+    """MMLU harness ordering on bundled samples (reference mmlu.py:308-334
+    protocol incl. the identical-answer diagnosis, scale model)."""
+    import efficient_llm_inference_tpu as elit
+    from efficient_llm_inference_tpu.core.config import Config
+    from efficient_llm_inference_tpu.engine.engine import InferenceEngine
+    from examples.train_scale_models import load_scale_model
+
+    spec, params = load_scale_model(model_name)
+    eng = InferenceEngine(
+        spec, params,
+        config=Config(model_name=model_name, device="cpu",
+                      dtype=jnp.float32),
+    )
+    ds = elit.load_mmlu(max_samples=4)
+    mb = elit.MMLUBenchmark(eng, ds)
+    df = mb.compare_methods(
+        ["full_cache", "quant_int8", "sliding_window"],
+        num_samples=4, max_new_tokens=8,
+        method_configs={"sliding_window": {"window_size": 64}},
+    )
+    cols = [c for c in ("method", "accuracy", "tokens_per_sec")
+            if c in df.columns]
+    print(df[cols].to_string(index=False))
+    return df
+
+
 def main():
     jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default=None,
                     help="scale_gpt2 | scale_llama (default: both)")
     ap.add_argument("--markdown", action="store_true")
+    ap.add_argument("--weights", action="store_true",
+                    help="weight-quant table instead of the method table")
+    ap.add_argument("--rouge", action="store_true",
+                    help="ROUGE ordering table (scale_gpt2)")
+    ap.add_argument("--mmlu", action="store_true",
+                    help="MMLU harness table (scale_gpt2)")
     args = ap.parse_args()
+    if args.rouge:
+        rouge_report(args.model or "scale_gpt2")
+        return
+    if args.mmlu:
+        mmlu_report(args.model or "scale_gpt2")
+        return
+    fn = weight_report if args.weights else report
     for name in ([args.model] if args.model else
                  ["scale_gpt2", "scale_llama"]):
-        report(name, markdown=args.markdown)
+        fn(name, markdown=args.markdown)
 
 
 if __name__ == "__main__":

@@ -69,11 +69,10 @@ def main() -> None:
         draft_name = PAIRS[target_name]
         tspec, tparams = load_scale_model(target_name)
         dpair = load_scale_model(draft_name)
-        eng = InferenceEngine(
-            tspec, tparams,
-            config=Config(model_name=target_name, dtype=jnp.float32,
-                          device="cpu" if args.cpu else None),
-        )
+        cfg_kw = dict(model_name=target_name, dtype=jnp.float32)
+        if args.cpu:
+            cfg_kw["device"] = "cpu"
+        eng = InferenceEngine(tspec, tparams, config=Config(**cfg_kw))
         mega = eng._mega_spec(256 + args.n_new + 16, None)
         print(f"[spec] {target_name} + {draft_name}: megakernel verify "
               f"{'ENGAGED' if mega is not None else 'not eligible'}",
