@@ -391,9 +391,20 @@ def gpt2_megabatch_quant(
                 preferred_element_type=jnp.float32,
             )
 
-        def unpack4(pk):  # [cw, E2] int8 -> (hi_vals, lo_vals) fp32
-            lo_b = jnp.bitwise_and(pk, 0xF).astype(jnp.float32)  # q_lo + 8
-            hi = (pk.astype(jnp.float32) - lo_b) * 0.0625  # q_hi, exact
+        # bf16 pane dots (round 4, see megakernel_quant.py): f32 MXU dots
+        # decompose into multiple bf16 passes; pane values and the
+        # dtype-rounded query are bf16-exact (ONE pass, identical f32
+        # accumulation); probs round to dtype (~2^-9, below the output's
+        # own rounding). Identity when dtype == f32 (interpret tests).
+        def dot_nt16(a32, b16):
+            return dot_nt(a32.astype(dtype), b16)
+
+        def pv_dot(p32, b16):
+            return dot_nn(p32.astype(dtype), b16)
+
+        def unpack4(pk):  # [cw, E2] int8 -> (hi_vals, lo_vals) in dtype
+            lo_b = jnp.bitwise_and(pk, 0xF).astype(dtype)  # q_lo + 8, exact
+            hi = (pk.astype(dtype) - lo_b) * 0.0625  # q_hi, exact
             return hi, lo_b - 8.0
 
         def quant_rows(x16, kind):
@@ -455,12 +466,13 @@ def gpt2_megabatch_quant(
                 for c0 in range(0, C, _ATTN_CHUNK):
                     cw = min(_ATTN_CHUNK, C - c0)
                     if k_kind == "int8":
-                        kc = kbuf[l % 2, b, c0:c0 + cw, :].astype(jnp.float32)
-                        raw_chunks.append(dot_nt(u, kc))  # [H, cw]
+                        kc = kbuf[l % 2, b, c0:c0 + cw, :].astype(dtype)
+                        raw_chunks.append(dot_nt16(u, kc))  # [H, cw]
                     else:
                         khi, klo = unpack4(kbuf[l % 2, b, c0:c0 + cw, :])
                         raw_chunks.append(
-                            dot_nt(u[:, :E2], khi) + dot_nt(u[:, E2:], klo)
+                            dot_nt16(u[:, :E2], khi)
+                            + dot_nt16(u[:, E2:], klo)
                         )
                 raw = jnp.concatenate(raw_chunks, axis=1)  # [H, C]
                 st = raw * ks_ref[pl.ds(l, 1), b, :] * scale
@@ -478,12 +490,12 @@ def gpt2_megabatch_quant(
                     cw = min(_ATTN_CHUNK, C - c0)
                     psc = ps[:, c0:c0 + cw]
                     if v_kind == "int8":
-                        vc = vbuf[l % 2, b, c0:c0 + cw, :].astype(jnp.float32)
-                        M = M + dot_nn(psc, vc)
+                        vc = vbuf[l % 2, b, c0:c0 + cw, :].astype(dtype)
+                        M = M + pv_dot(psc, vc)
                     else:
                         vhi, vlo = unpack4(vbuf[l % 2, b, c0:c0 + cw, :])
                         M = M + jnp.concatenate(
-                            [dot_nn(psc, vhi), dot_nn(psc, vlo)], axis=1
+                            [pv_dot(psc, vhi), pv_dot(psc, vlo)], axis=1
                         )
                 num = M + p_cur * vf[b:b + 1]  # current token, full-precision
                 ao = jnp.sum(num * selT, axis=0, keepdims=True) / jnp.sum(
@@ -891,9 +903,18 @@ def llama_megabatch_quant(
                 preferred_element_type=jnp.float32,
             )
 
-        def unpack4(pk):  # [cw, KW2] int8 -> (hi_vals, lo_vals) fp32
-            lo_b = jnp.bitwise_and(pk, 0xF).astype(jnp.float32)
-            hi = (pk.astype(jnp.float32) - lo_b) * 0.0625
+        # bf16 pane dots (round 4, see megakernel_quant.py): pane values
+        # are bf16-exact; roped queries round to dtype (matching the XLA
+        # path's model-dtype q), probs round to dtype (~2^-9).
+        def split_nt(a32, b16):
+            return dot_nt(a32.astype(dtype), b16)
+
+        def pv_dot(p32, b16):
+            return dot_nn(p32.astype(dtype), b16)
+
+        def unpack4(pk):  # [cw, KW2] int8 -> (hi_vals, lo_vals) in dtype
+            lo_b = jnp.bitwise_and(pk, 0xF).astype(dtype)
+            hi = (pk.astype(dtype) - lo_b) * 0.0625
             return hi, lo_b - 8.0
 
         def quant_rows(x16, kind):
@@ -986,13 +1007,14 @@ def llama_megabatch_quant(
                     cw = min(_ATTN_CHUNK, C - c0)
                     if k_kind == "int8":
                         kc = kbuf[pl.ds(par, 1), b, c0:c0 + cw, :][0].astype(
-                            jnp.float32)
-                        raw_chunks.append(dot_nt(U, kc))  # [Hq, cw]
+                            dtype)
+                        raw_chunks.append(split_nt(U, kc))  # [Hq, cw]
                     else:
                         khi, klo = unpack4(
                             kbuf[pl.ds(par, 1), b, c0:c0 + cw, :][0])
                         raw_chunks.append(
-                            dot_nt(U[:, :KW2], khi) + dot_nt(U[:, KW2:], klo)
+                            split_nt(U[:, :KW2], khi)
+                            + split_nt(U[:, KW2:], klo)
                         )
                 raw = jnp.concatenate(raw_chunks, axis=1)  # [Hq, C]
                 st = raw * ks_ref[pl.ds(l, 1), b, :] * scale
@@ -1011,13 +1033,13 @@ def llama_megabatch_quant(
                     psc = ps[:, c0:c0 + cw]
                     if v_kind == "int8":
                         vc = vbuf[pl.ds(par, 1), b, c0:c0 + cw, :][0].astype(
-                            jnp.float32)
-                        M = M + dot_nn(psc, vc)
+                            dtype)
+                        M = M + pv_dot(psc, vc)
                     else:
                         vhi, vlo = unpack4(
                             vbuf[pl.ds(par, 1), b, c0:c0 + cw, :][0])
                         M = M + jnp.concatenate(
-                            [dot_nn(psc, vhi), dot_nn(psc, vlo)], axis=1
+                            [pv_dot(psc, vhi), pv_dot(psc, vlo)], axis=1
                         )
                 num = M + p_cur * vcur32[b:b + 1]
                 ao_rs = []

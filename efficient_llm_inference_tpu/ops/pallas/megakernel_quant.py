@@ -406,9 +406,26 @@ def gpt2_megastep_quant(
                 preferred_element_type=jnp.float32,
             )
 
-        def unpack4(pk):  # [cw, E2] int8 -> (hi_vals, lo_vals) fp32
-            lo_b = jnp.bitwise_and(pk, 0xF).astype(jnp.float32)  # q_lo + 8
-            hi = (pk.astype(jnp.float32) - lo_b) * 0.0625  # q_hi, exact
+        # Pane-dot precision (round 4): v5e has no native f32 MXU — an f32
+        # dot lowers to multiple bf16 passes, and the attention chunk dots
+        # are LINEAR IN C, which made the quant kernel lose 20% to the bf16
+        # kernel at 2k context. int8/nibble pane values and the
+        # dtype-rounded query are EXACT in bf16, so the QK dot runs as ONE
+        # bf16 pass with identical f32-accumulated results. The fp32
+        # softmax probabilities round to dtype for the PV dot (~2^-9 on
+        # probs — below the bf16 OUTPUT rounding the attention result gets
+        # anyway, and measured: a compensated hi+lo two-pass split gave
+        # back the whole win on int4 panes). With dtype == f32
+        # (interpret-mode tests) both are exact identities.
+        def dot_nt16(a32, b16):  # a32 dtype-exact f32, b16 pane in dtype
+            return dot_nt(a32.astype(dtype), b16)
+
+        def pv_dot(p32, b16):  # [M, C] f32 probs @ [C, N] dtype pane
+            return dot_nn(p32.astype(dtype), b16)
+
+        def unpack4(pk):  # [cw, E2] int8 -> (hi_vals, lo_vals) in dtype
+            lo_b = jnp.bitwise_and(pk, 0xF).astype(dtype)  # q_lo + 8, exact
+            hi = (pk.astype(dtype) - lo_b) * 0.0625  # q_hi, exact
             return hi, lo_b - 8.0
 
         def quant_row(x16, kind):
@@ -476,12 +493,12 @@ def gpt2_megastep_quant(
             for c0 in range(0, C, _ATTN_CHUNK):
                 cw = min(_ATTN_CHUNK, C - c0)
                 if k_kind == "int8":
-                    kc = kbuf[l % 2, c0:c0 + cw, :].astype(jnp.float32)
-                    raw_chunks.append(dot_nt(u, kc))  # [H, cw]
+                    kc = kbuf[l % 2, c0:c0 + cw, :].astype(dtype)
+                    raw_chunks.append(dot_nt16(u, kc))  # [H, cw]
                 else:
                     khi, klo = unpack4(kbuf[l % 2, c0:c0 + cw, :])
                     raw_chunks.append(
-                        dot_nt(u[:, :E2], khi) + dot_nt(u[:, E2:], klo)
+                        dot_nt16(u[:, :E2], khi) + dot_nt16(u[:, E2:], klo)
                     )
             raw = jnp.concatenate(raw_chunks, axis=1)  # [H, C]
             st = raw * ks_ref[l:l + 1, :] * scale  # per-token K scales
@@ -498,12 +515,12 @@ def gpt2_megastep_quant(
                 cw = min(_ATTN_CHUNK, C - c0)
                 psc = ps[:, c0:c0 + cw]
                 if v_kind == "int8":
-                    vc = vbuf[l % 2, c0:c0 + cw, :].astype(jnp.float32)
-                    M = M + dot_nn(psc, vc)
+                    vc = vbuf[l % 2, c0:c0 + cw, :].astype(dtype)
+                    M = M + pv_dot(psc, vc)
                 else:
                     vhi, vlo = unpack4(vbuf[l % 2, c0:c0 + cw, :])
                     M = M + jnp.concatenate(
-                        [dot_nn(psc, vhi), dot_nn(psc, vlo)], axis=1
+                        [pv_dot(psc, vhi), pv_dot(psc, vlo)], axis=1
                     )
             vcf = vc16.astype(jnp.float32)
             num = M + p_cur * vcf  # current token, full-precision
@@ -882,9 +899,22 @@ def llama_megastep_quant(
                 preferred_element_type=jnp.float32,
             )
 
-        def unpack4(pk):  # [cw, W/2] int8 -> (hi_vals, lo_vals) fp32
-            lo_b = jnp.bitwise_and(pk, 0xF).astype(jnp.float32)  # q_lo + 8
-            hi = (pk.astype(jnp.float32) - lo_b) * 0.0625  # q_hi, exact
+        # Pane-dot precision (round 4, same rationale as the GPT-2 kernel
+        # above): f32 MXU dots decompose into multiple bf16 passes and the
+        # attention chunk dots are linear in C. Pane values are bf16-exact.
+        # Rounding the roped query to dtype MATCHES the XLA path (whose
+        # apply_rope returns model-dtype q); rounding the probs costs ~2^-9
+        # — below the attention output's own dtype rounding. Identity when
+        # dtype == f32 (interpret-mode tests).
+        def split_nt(a32, b16):  # [M, K] f32 @ [N, K]^T dtype pane
+            return dot_nt(a32.astype(dtype), b16)
+
+        def pv_dot(p32, b16):  # [M, C] f32 probs @ [C, N] dtype pane
+            return dot_nn(p32.astype(dtype), b16)
+
+        def unpack4(pk):  # [cw, W/2] int8 -> (hi_vals, lo_vals) in dtype
+            lo_b = jnp.bitwise_and(pk, 0xF).astype(dtype)  # q_lo + 8, exact
+            hi = (pk.astype(dtype) - lo_b) * 0.0625  # q_hi, exact
             return hi, lo_b - 8.0
 
         def quant_row(x16, kind):
@@ -982,14 +1012,14 @@ def llama_megastep_quant(
             for c0 in range(0, C, _ATTN_CHUNK):
                 cw = min(_ATTN_CHUNK, C - c0)
                 if k_kind == "int8":
-                    kc = kbuf[pl.ds(par, 1), c0:c0 + cw, :][0].astype(
-                        jnp.float32)
-                    raw_chunks.append(dot_nt(U, kc))  # [Hq, cw]
+                    kc = kbuf[pl.ds(par, 1), c0:c0 + cw, :][0].astype(dtype)
+                    raw_chunks.append(split_nt(U, kc))  # [Hq, cw]
                 else:
                     khi, klo = unpack4(
                         kbuf[pl.ds(par, 1), c0:c0 + cw, :][0])
                     raw_chunks.append(
-                        dot_nt(U[:, :KW2], khi) + dot_nt(U[:, KW2:], klo)
+                        split_nt(U[:, :KW2], khi)
+                        + split_nt(U[:, KW2:], klo)
                     )
             raw = jnp.concatenate(raw_chunks, axis=1)  # [Hq, C]
             st = raw * ks_ref[pl.ds(l, 1), :] * scale  # per-token K scales
@@ -1007,14 +1037,13 @@ def llama_megastep_quant(
                 cw = min(_ATTN_CHUNK, C - c0)
                 psc = ps[:, c0:c0 + cw]
                 if v_kind == "int8":
-                    vc = vbuf[pl.ds(par, 1), c0:c0 + cw, :][0].astype(
-                        jnp.float32)
-                    M = M + dot_nn(psc, vc)
+                    vc = vbuf[pl.ds(par, 1), c0:c0 + cw, :][0].astype(dtype)
+                    M = M + pv_dot(psc, vc)
                 else:
                     vhi, vlo = unpack4(
                         vbuf[pl.ds(par, 1), c0:c0 + cw, :][0])
                     M = M + jnp.concatenate(
-                        [dot_nn(psc, vhi), dot_nn(psc, vlo)], axis=1
+                        [pv_dot(psc, vhi), pv_dot(psc, vlo)], axis=1
                     )
             num = M + p_cur * vcur32  # current token, full-precision
 
