@@ -32,6 +32,9 @@ def main() -> None:
                     "quant_mixed")
     ap.add_argument("--weight-quant", default=None)
     ap.add_argument("--model", default="gpt2")
+    ap.add_argument("--n-positions", type=int, default=0,
+                    help="override the model's context length (random-init "
+                         "wpe rows; probes KV scaling past the stock limit)")
     args = ap.parse_args()
 
     from efficient_llm_inference_tpu.core.config import Config
@@ -43,7 +46,40 @@ def main() -> None:
 
     enable_compilation_cache()
     cfg = Config(model_name=args.model, weight_quant=args.weight_quant)
-    eng = InferenceEngine.from_model_name(args.model, config=cfg)
+    if args.n_positions:
+        import dataclasses
+
+        from efficient_llm_inference_tpu.models.registry import (
+            spec_by_name,
+            spec_with_config,
+        )
+
+        from efficient_llm_inference_tpu.models import gpt2 as gpt2_mod
+        from efficient_llm_inference_tpu.data.tokenizer import (
+            load_tokenizer,
+        )
+
+        spec = spec_by_name(args.model)
+        unroll = cfg.resolved_scan_unroll(spec.n_layer)
+        spec = spec_with_config(
+            spec, dataclasses.replace(
+                spec.config, n_positions=args.n_positions,
+                scan_unroll=unroll,
+            )
+        )
+        if spec.name != "gpt2":
+            raise SystemExit("--n-positions only wired for gpt2 here")
+        params = gpt2_mod.init_gpt2_params(
+            cfg.prng_key(), spec.config, cfg.dtype
+        )
+        if cfg.weight_quant:
+            params = gpt2_mod.quantize_gpt2_weights(
+                params, mode={"int4w8": "int4"}.get(
+                    cfg.weight_quant, cfg.weight_quant)
+            )
+        eng = InferenceEngine(spec, params, load_tokenizer(args.model), cfg)
+    else:
+        eng = InferenceEngine.from_model_name(args.model, config=cfg)
 
     def run_protocol(n_prompt: int):
         rng = np.random.default_rng(0)
