@@ -586,3 +586,69 @@ def make_llama_tp_decode(cfg, mesh, n_steps: int, capacity: int,
         )(p, *args)
 
     return jax.jit(wrapped)
+
+
+def tp_generate(spec, params, mesh, ids, max_new_tokens: int,
+                axis: str = "model", kv_mode: str = None):
+    """End-to-end explicit-TP greedy generation from token ids.
+
+    The serving composition the per-kernel builders above leave to the
+    caller: XLA prefill over the prompt (replicated weights — prefill is
+    compute-bound, one dispatch), cache buffers resharded over KV heads,
+    then the explicit-collective shard_map decode loop. Returns the
+    generated token ids (length max_new_tokens).
+
+    spec/params: a ModelSpec + params pytree (models/gpt2.py or
+    models/llama.py families). kv_mode None = fp cache; "int8" (llama
+    family only) = int8 KV panes + per-(head, token) scales, the TP
+    composition of QuantizedKV(granularity="per_head").
+    """
+    import numpy as np
+
+    from ..cache.kvcache import DenseKV, QuantizedKV
+    from ..engine.generate import make_prefill
+
+    cfg = spec.config
+    family = spec.name
+    assert family in ("gpt2", "llama"), family
+    assert kv_mode in (None, "int8")
+    if kv_mode == "int8":
+        assert family == "llama", "int8 TP panes are wired for llama/GQA"
+
+    n = len(ids)
+    cap = n + max_new_tokens + 1
+    bucket = max(8, -(-n // 8) * 8)
+    kw = dict(n_layer=spec.n_layer, n_head=spec.n_kv_head,
+              head_dim=spec.head_dim, capacity=cap)
+    strategy = (
+        QuantizedKV(**kw, mode="int8", granularity="per_head", fused=False)
+        if kv_mode == "int8" else DenseKV(**kw)
+    )
+    prefill = make_prefill(spec, strategy, None)
+    buf = np.zeros((1, bucket), np.int32)
+    buf[0, :n] = ids
+    cache, last = prefill(params, jnp.asarray(buf), jnp.int32(n))
+    tok0 = jnp.argmax(last[0]).astype(jnp.int32)
+
+    kv_sh = NamedSharding(mesh, P(None, axis, None, None))
+    k0 = jax.device_put(cache["k"][:, 0], kv_sh)
+    v0 = jax.device_put(cache["v"][:, 0], kv_sh)
+
+    if family == "gpt2":
+        tp_params = shard_gpt2_tp(params, cfg, mesh, axis)
+        decode = make_tp_decode(cfg, mesh, max_new_tokens, cap, axis)
+        toks, *_ = decode(tp_params, k0, v0, jnp.int32(n), tok0)
+    else:
+        tp_params = shard_llama_tp(params, cfg, mesh, axis)
+        decode = make_llama_tp_decode(
+            cfg, mesh, max_new_tokens, cap, axis, kv_mode=kv_mode
+        )
+        if kv_mode == "int8":
+            sc_sh = NamedSharding(mesh, P(None, axis, None))
+            ks0 = jax.device_put(cache["k_scale"], sc_sh)
+            vs0 = jax.device_put(cache["v_scale"], sc_sh)
+            toks, *_ = decode(tp_params, k0, v0, ks0, vs0,
+                              jnp.int32(n), tok0)
+        else:
+            toks, *_ = decode(tp_params, k0, v0, jnp.int32(n), tok0)
+    return np.asarray(toks).tolist()

@@ -237,3 +237,32 @@ def test_llama_tp_relayout_roundtrip(lsetup):
         np.asarray(tp["embed_tp"])[: LCFG.vocab_size],
         np.asarray(params["embed"]),
     )
+
+
+def test_tp_generate_end_to_end(lsetup):
+    """Public tp_generate (prefill -> reshard -> shard_map decode) matches
+    the unsharded decode for both families, incl. int8 panes."""
+    from efficient_llm_inference_tpu.parallel.tp_decode import tp_generate
+
+    spec, params = lsetup
+    mesh = make_mesh((2, 4), ("data", "model"))
+    ids = np.random.default_rng(3).integers(0, LCFG.vocab_size, 18).tolist()
+    n_new = 10
+
+    want, _, _ = _llama_reference_decode(spec, params, ids, n_new, 48,
+                                         quant=False)
+    got = tp_generate(spec, params, mesh, ids, n_new)
+    assert got == want
+
+    want_q, _, _ = _llama_reference_decode(spec, params, ids, n_new, 48,
+                                           quant=True)
+    got_q = tp_generate(spec, params, mesh, ids, n_new, kv_mode="int8")
+    assert got_q == want_q
+
+    # gpt2 family through the same entry
+    gspec = gpt2_spec(CFG)
+    gparams = gpt2_mod.init_gpt2_params(jax.random.PRNGKey(6), CFG,
+                                        jnp.float32)
+    gwant, _, _, _ = _reference_decode(gspec, gparams, ids, n_new, 48)
+    ggot = tp_generate(gspec, gparams, mesh, ids, n_new)
+    assert ggot == gwant
