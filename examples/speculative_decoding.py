@@ -48,10 +48,19 @@ def main():
 
     for mode, kw in (("ngram", dict(k=8)), ("self_draft", dict(k=4, draft_layers=1))):
         t0 = time.perf_counter()
-        text, n = eng.generate_speculative(prompt, n_new, mode=mode, **kw)
+        text, n, st = eng.generate_speculative(
+            prompt, n_new, mode=mode, stats=True, **kw
+        )
         dt = time.perf_counter() - t0
         same = eng.last_generation_ids == plain_ids
-        print(f"{mode:10s}: {n / dt:.1f} tok/s, token-exact vs plain: {same}")
+        print(f"{mode:10s}: {n / dt:.1f} tok/s, "
+              f"accept {st['tokens_per_round']:.2f} tok/round "
+              f"({st['n_rounds']} verify rounds), "
+              f"token-exact vs plain: {same}")
+
+    # trained draft/target pairs (examples/train_scale_models.py) show the
+    # real acceptance picture — scripts/measure_spec_accept.py measures
+    # them on the chip; docs/BENCHMARKS.md "Speculation acceptance".
 
 
 if __name__ == "__main__":
