@@ -185,7 +185,12 @@ def main():
                 "metric": "gpt2_decode_tokens_per_sec_full_cache_1chip",
                 "value": round(value, 2),
                 "unit": "tok/s",
-                "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+                "vs_baseline": round(vs_baseline, 3),
+                "ref_tps_pinned": PINNED_REF_TPS,
+                "ref_tps_live": round(ref_tps, 2) if ref_tps else None,
+                "vs_baseline_live": (
+                    round(value / ref_tps, 3) if ref_tps else None
+                ),
             }
         )
     )
