@@ -462,3 +462,30 @@ def test_megabatch_server_eos_bursts(params):
     assert len(calls_noeos) == len(calls_none)
     for a, b in zip(reqs_n, reqs_e):
         assert a.out_ids == b.out_ids
+
+
+def test_generate_batch_encode_cap_matches_quant_method(params):
+    """Prompts longer than prompt_cap (but within n_positions): the batch
+    path with kv_mode must encode like the quant_* methods it emulates
+    (which do NOT truncate at prompt_cap — reference parity), so both
+    paths see the same tokens (round-4 advice fix)."""
+    from efficient_llm_inference_tpu.core.config import Config
+    from efficient_llm_inference_tpu.engine.engine import InferenceEngine
+    from efficient_llm_inference_tpu.models.registry import gpt2_spec
+
+    spec = gpt2_spec(CFG)
+    eng = InferenceEngine(
+        spec, params,
+        config=Config(dtype=jnp.float32, megakernel=True, device="cpu",
+                      prompt_cap=16),
+    )
+    long_prompt = "counting words over and over " * 4  # > 16 byte tokens
+    assert len(eng.tokenizer.encode(long_prompt)) > 16
+    got = eng.generate_batch([long_prompt], max_new_tokens=5,
+                             kv_mode="int8")
+    want = [eng.generate(long_prompt, "quant_int8", max_new_tokens=5)]
+    assert got == want
+    # and the batch ids match the UNtruncated encode
+    assert eng._encode(long_prompt, "quant_int8") == list(
+        eng.tokenizer.encode(long_prompt)
+    )[: spec.n_positions]
