@@ -161,3 +161,19 @@ def test_summarization_harness_rejects_mmlu_only_methods(engine):
     with pytest.raises(ValueError, match="Unknown method"):
         sb.generate_summaries(["short article"], method="prefix_window",
                               max_new_tokens=2)
+
+
+def test_estimate_kv_bytes_public_helper(engine):
+    """engine.estimate_kv_bytes: quantized < full < paged-with-slack;
+    trim methods report the post-trim steady state (round-4 public API,
+    reference benchmarker.py:707-787 accounting semantics)."""
+    full = engine.estimate_kv_bytes("full_cache", 256)
+    q8 = engine.estimate_kv_bytes("quant_int8", 256)
+    q4 = engine.estimate_kv_bytes("quant_int4", 256)
+    slide = engine.estimate_kv_bytes("sliding_window", 256, window_size=64)
+    paged = engine.estimate_kv_bytes("paged_attention", 250, block_size=32)
+    assert q4 < q8 < full
+    assert slide == engine.estimate_kv_bytes("sliding_window", 64,
+                                             window_size=64)
+    # paged accounts allocated blocks incl. slack: 250 tokens -> 8 blocks
+    assert paged >= engine.estimate_kv_bytes("full_cache", 250)
