@@ -68,6 +68,17 @@ def model_specs():
             )),
             gpt2_mod.init_gpt2_params,
         ),
+        # GPT-2-small geometry at byte vocab (~85M params): a WEIGHT-BOUND
+        # speculation target (the 5M scale_gpt2 is dispatch/VPU-bound, so
+        # even 5 tok/round nets <=1x there — docs/BENCHMARKS.md round 4).
+        # Uses draft_gpt2 as its trained draft (same byte vocab).
+        "scale_gpt2_big": (
+            gpt2_spec(gpt2_mod.GPT2Config(
+                vocab_size=VOCAB, n_positions=N_POS, n_embd=768,
+                n_layer=12, n_head=12,
+            )),
+            gpt2_mod.init_gpt2_params,
+        ),
         "draft_llama": (
             llama_spec(llama_mod.LlamaConfig(
                 vocab_size=VOCAB, n_positions=N_POS, hidden_size=256,
