@@ -619,34 +619,37 @@ class InferenceEngine:
         bucket = min(bucket_for(true_len), self.model.n_positions)
         key = ("speculative", mode, bucket, max_new_tokens, k, draft_layers,
                stats, id(draft[1]) if draft is not None else None)
-        if key not in self._fns:
-            mega = self._mega_spec(bucket + max_new_tokens + k + 1, None)
+
+        def _build_gen(mega):
             if mode == "ngram":
-                gen = make_ngram_speculative_generate(
+                return make_ngram_speculative_generate(
                     self.model, max_new_tokens, k=k, prompt_bucket=bucket,
                     mega=mega, dtype=self.config.dtype, stats=stats,
                 )
-            elif mode in ("self_draft", "draft"):
+            if mode in ("self_draft", "draft"):
                 if mode == "draft":
-                    assert draft is not None, "mode='draft' needs draft=(spec, params)"
+                    assert draft is not None, \
+                        "mode='draft' needs draft=(spec, params)"
                     dspec, dparams = draft
                 else:
                     dspec, dparams = make_self_draft(
                         self.model, self.params, draft_layers
                     )
-                gen = make_speculative_generate(
+                base = make_speculative_generate(
                     self.model, dspec, max_new_tokens, k=k,
                     prompt_bucket=bucket, mega=mega, dtype=self.config.dtype,
                     stats=stats,
                 )
-                base = gen
 
                 def gen(tp, tokens, tl, _g=base, _dp=dparams):  # noqa: E731
                     return _g(tp, _dp, tokens, tl)
 
-            else:
-                raise ValueError(f"unknown speculative mode: {mode}")
-            self._fns[key] = ("speculative", gen, mega)
+                return gen
+            raise ValueError(f"unknown speculative mode: {mode}")
+
+        if key not in self._fns:
+            mega = self._mega_spec(bucket + max_new_tokens + k + 1, None)
+            self._fns[key] = ("speculative", _build_gen(mega), mega)
         _, gen, mega = self._fns[key]
 
         buf = np.zeros((1, bucket), np.int32)
@@ -655,9 +658,20 @@ class InferenceEngine:
             dict(self.params, __mega_packed__=mega["packed"])
             if mega is not None else self.params
         )
-        res = jax.device_get(
-            gen(params, jnp.asarray(buf), jnp.int32(true_len))
-        )
+        try:
+            res = jax.device_get(
+                gen(params, jnp.asarray(buf), jnp.int32(true_len))
+            )
+        except ValueError as e:
+            # the R-row verify pass reserves more VMEM than the decode step
+            # the eligibility check models; degrade to the XLA k-row verify
+            if mega is None or "does not fit VMEM" not in str(e):
+                raise
+            gen, mega = _build_gen(None), None
+            self._fns[key] = ("speculative", gen, mega)
+            res = jax.device_get(
+                gen(self.params, jnp.asarray(buf), jnp.int32(true_len))
+            )
         out, n = res[0], int(res[1])
         out_ids = ids + np.asarray(out)[:n].tolist()
         self.last_generation_ids = out_ids

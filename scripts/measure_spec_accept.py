@@ -48,6 +48,10 @@ def main() -> None:
     ap.add_argument("--n-new", type=int, default=96)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="bfloat16 = serving dtype (the f32 verify kernel "
+                         "may not fit VMEM on larger targets)")
     args = ap.parse_args()
 
     import jax
@@ -68,11 +72,12 @@ def main() -> None:
     enable_compilation_cache()
     prompts = [t[:160] for t in heldout_texts(n=3, chunk=512)]
 
+    dtype = getattr(jnp, args.dtype)
     for target_name in [args.model] if args.model else list(PAIRS):
         draft_name = PAIRS[target_name]
-        tspec, tparams = load_scale_model(target_name)
-        dpair = load_scale_model(draft_name)
-        cfg_kw = dict(model_name=target_name, dtype=jnp.float32)
+        tspec, tparams = load_scale_model(target_name, dtype=dtype)
+        dpair = load_scale_model(draft_name, dtype=dtype)
+        cfg_kw = dict(model_name=target_name, dtype=dtype)
         if args.cpu:
             cfg_kw["device"] = "cpu"
         eng = InferenceEngine(tspec, tparams, config=Config(**cfg_kw))

@@ -333,3 +333,32 @@ def test_engine_speculative_stats_and_external_draft(setup):
     )
     assert n == n_new and eng.last_generation_ids == ref
     assert st["n_rounds"] >= 1
+
+
+def test_engine_speculative_vmem_fallback(setup, monkeypatch):
+    """When the verify megakernel reports it does not fit VMEM at this
+    capacity, generate_speculative degrades to the XLA k-row verify
+    instead of raising (round 4: f32 verify on larger targets)."""
+    t_cfg, _, t_params, _, eng = setup
+    prompt = "the tides turn at dawn"
+    n_new = 8
+    ref = eng.generate_ids(prompt, "full_cache", n_new)
+
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise ValueError("megakernel does not fit VMEM at this capacity")
+
+    # seed the fn cache with a fake mega gen that always raises
+    ids = eng._encode(prompt, "full_cache")
+    from efficient_llm_inference_tpu.engine.engine import bucket_for
+
+    bucket = min(bucket_for(len(ids)), eng.model.n_positions)
+    key = ("speculative", "ngram", bucket, n_new, 4, 1, False, None)
+    eng._fns[key] = ("speculative", boom, {"packed": {}, "kind": "gpt2"})
+    text, n = eng.generate_speculative(prompt, n_new, mode="ngram", k=4)
+    assert calls["n"] == 1 and n == n_new
+    assert eng.last_generation_ids == ref
+    # the cache now holds the XLA fallback (mega=None)
+    assert eng._fns[key][2] is None
