@@ -79,6 +79,16 @@ def model_specs():
             )),
             gpt2_mod.init_gpt2_params,
         ),
+        # Weight-bound GQA/RoPE target (~71M): llama_megaverify's
+        # weight-bound operating point; draft_llama is its trained draft.
+        "scale_llama_big": (
+            llama_spec(llama_mod.LlamaConfig(
+                vocab_size=VOCAB, n_positions=N_POS, hidden_size=1024,
+                intermediate_size=2048, n_layer=8, n_head=16, n_kv_head=4,
+                rope_theta=10000.0, tie_embeddings=True,
+            )),
+            llama_mod.init_llama_params,
+        ),
         "draft_llama": (
             llama_spec(llama_mod.LlamaConfig(
                 vocab_size=VOCAB, n_positions=N_POS, hidden_size=256,

@@ -35,9 +35,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 PAIRS = {
     "scale_gpt2": "draft_gpt2",
     "scale_llama": "draft_llama",
-    # weight-bound target (85M, GPT-2-small geometry at byte vocab): the
-    # regime where acceptance x weight-stream savings must compound
+    # weight-bound targets (85M GPT-2 geometry / 71M GQA): the regime
+    # where acceptance x weight-stream savings must compound
     "scale_gpt2_big": "draft_gpt2",
+    "scale_llama_big": "draft_llama",
 }
 
 
