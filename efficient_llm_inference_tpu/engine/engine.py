@@ -620,6 +620,35 @@ class InferenceEngine:
         key = ("speculative", mode, bucket, max_new_tokens, k, draft_layers,
                stats, id(draft[1]) if draft is not None else None)
 
+        def _draft_mega_spec(dspec, dparams, mega):
+            """Megakernel spec for the DRAFT model (draft-side megastep
+            bursts): packed each build — drafts are small by definition."""
+            if mega is None:
+                return None
+            if dspec.name == "gpt2":
+                from ..ops.pallas.megakernel import (
+                    mega_supported as sup,
+                    pack_gpt2_mega as pack,
+                )
+            elif dspec.name == "llama":
+                from ..ops.pallas.megakernel_llama import (
+                    mega_supported as sup,
+                    pack_llama_mega as pack,
+                )
+            else:
+                return None
+            if not sup(dspec.config, mega["capacity"], dparams):
+                return None
+            packed = pack(dparams, dspec.config)
+            if packed is None:
+                return None
+            return {
+                "packed": packed,
+                "cfg": dspec.config,
+                "kind": dspec.name,
+                "interpret": self.config.device != "tpu",
+            }
+
         def _build_gen(mega):
             if mode == "ngram":
                 return make_ngram_speculative_generate(
@@ -639,6 +668,7 @@ class InferenceEngine:
                     self.model, dspec, max_new_tokens, k=k,
                     prompt_bucket=bucket, mega=mega, dtype=self.config.dtype,
                     stats=stats,
+                    draft_mega=_draft_mega_spec(dspec, dparams, mega),
                 )
 
                 def gen(tp, tokens, tl, _g=base, _dp=dparams):  # noqa: E731

@@ -79,6 +79,7 @@ def make_speculative_generate(
     mega: Optional[dict] = None,
     dtype: Any = jnp.float32,
     stats: bool = False,
+    draft_mega: Optional[dict] = None,
 ):
     """Build jitted (t_params, d_params, tokens [1,bucket], true_len) ->
     (out_tokens [max_new + k], n_emitted) — or, with `stats=True`,
@@ -98,8 +99,18 @@ def make_speculative_generate(
     packed tile stream must ride in as t_params["__mega_packed__"] (a
     closure-captured GiB array becomes a traced constant — see
     engine/generate.py).
+
+    `draft_mega` (same dict shape, requires `mega`) additionally runs
+    EACH DRAFT STEP as a whole-step megakernel program (round 4: on
+    weight-bound GQA targets the k sequential XLA draft forwards came to
+    dominate the round — 4.48 tok/round accepted yet 0.93x end-to-end —
+    so the draft gets the same treatment as the target). Draft packed
+    streams are small (the draft is small by definition), so they ride as
+    closure constants.
     """
     assert target.vocab_size == draft.vocab_size
+    assert draft_mega is None or mega is not None, \
+        "draft_mega requires the mega verify path"
     cap = prompt_bucket + max_new_tokens + k + 1
     if mega is not None:
         assert mega.get("kind", "gpt2") in ("gpt2", "llama")
@@ -235,6 +246,18 @@ def make_speculative_generate(
                 llama_megaverify as _verify,
             )
 
+        dkind = (draft_mega or {}).get("kind", "gpt2")
+        if draft_mega is not None:
+            if dkind == "gpt2":
+                from ..ops.pallas.megakernel import (
+                    gpt2_megastep as _draft_step_kernel,
+                )
+            else:
+                from ..models.llama import rope_cos_sin as _rcs
+                from ..ops.pallas.megakernel_llama import (
+                    llama_megastep as _draft_step_kernel,
+                )
+
         t_params = dict(t_params)
         packed = t_params.pop("__mega_packed__")
         cfg = mega["cfg"]
@@ -250,6 +273,47 @@ def make_speculative_generate(
         else:
             embed = t_params["embed"]
 
+        if draft_mega is not None:
+            # draft cache also lives in mega layout; its packed stream is
+            # small (drafts are small), so it rides as a closure constant
+            dk0 = to_mega_layout(d_cache["k"])
+            dv0 = to_mega_layout(d_cache["v"])
+            dlen0 = d_cache["length"]
+            dpacked = draft_mega["packed"]
+            dcfg = draft_mega["cfg"]
+            dinterp = draft_mega.get("interpret", False)
+
+            def draft_burst(dk, dv, dlen, current):
+                def d_step(carry, _):
+                    dk, dv, dlen, tok = carry
+                    pos = jnp.minimum(dlen, draft.n_positions - 1)
+                    if dkind == "gpt2":
+                        x = (d_params["wte"][tok]
+                             + d_params["wpe"][pos])[None]
+                        x = x.astype(d_params["wte"].dtype)
+                        nxt, dk, dv = _draft_step_kernel(
+                            dpacked, dk, dv, dlen, x,
+                            cfg=dcfg, capacity=cap, interpret=dinterp,
+                        )
+                    else:
+                        x = d_params["embed"][tok][None]
+                        x = x.astype(d_params["embed"].dtype)
+                        cos, sin = _rcs(
+                            pos[None, None], dcfg.head_dim, dcfg.rope_theta
+                        )  # [1, 1, D]
+                        cos_q = jnp.tile(cos[0], (1, dcfg.n_head))
+                        sin_q = jnp.tile(sin[0], (1, dcfg.n_head))
+                        nxt, dk, dv = _draft_step_kernel(
+                            dpacked, dk, dv, dlen, x, cos_q, sin_q,
+                            cfg=dcfg, capacity=cap, interpret=dinterp,
+                        )
+                    return (dk, dv, dlen + 1, nxt), nxt
+
+                (dk, dv, dlen, _), proposals = jax.lax.scan(
+                    d_step, (dk, dv, dlen, current), None, length=k
+                )
+                return dk, dv, dlen, proposals
+
         out = jnp.zeros((OUT,), jnp.int32)
         out = out.at[0].set(first)
 
@@ -260,21 +324,31 @@ def make_speculative_generate(
             tk, tv, t_len, d_cache, out, n_emitted, n_rounds = state
             current = out[n_emitted - 1]
 
-            def d_step(carry, _):
-                d_cache, tok = carry
-                pos = jnp.minimum(d_cache["length"], draft.n_positions - 1)
-                logits, d_cache = draft.forward(
-                    d_params, tok[None, None],
-                    pos[None, None].astype(jnp.int32),
-                    d_cache, d_strategy, None,
-                )
-                d_cache = d_strategy.set_length(d_cache, d_cache["length"] + 1)
-                nxt = _greedy(logits[0, 0])
-                return (d_cache, nxt), nxt
+            if draft_mega is not None:
+                dk, dv, dlen = d_cache
+                dk, dv, dlen, proposals = draft_burst(dk, dv, dlen, current)
+                d_cache = (dk, dv, dlen)
+            else:
 
-            (d_cache, _), proposals = jax.lax.scan(
-                d_step, (d_cache, current), None, length=k
-            )
+                def d_step(carry, _):
+                    d_cache, tok = carry
+                    pos = jnp.minimum(
+                        d_cache["length"], draft.n_positions - 1
+                    )
+                    logits, d_cache = draft.forward(
+                        d_params, tok[None, None],
+                        pos[None, None].astype(jnp.int32),
+                        d_cache, d_strategy, None,
+                    )
+                    d_cache = d_strategy.set_length(
+                        d_cache, d_cache["length"] + 1
+                    )
+                    nxt = _greedy(logits[0, 0])
+                    return (d_cache, nxt), nxt
+
+                (d_cache, _), proposals = jax.lax.scan(
+                    d_step, (d_cache, current), None, length=k
+                )
 
             # --- target verify: ONE whole-step Pallas pass over k rows ----
             verify_in = jnp.concatenate([current[None], proposals[:-1]])  # [k]
@@ -322,12 +396,19 @@ def make_speculative_generate(
             # next round's verify rows
             t_keep = jnp.minimum(1 + n_acc, k)
             t_len = t_len + t_keep
-            d_len0 = d_cache["length"] - k
-            d_cache = d_strategy.set_length(d_cache, d_len0 + t_keep)
+            if draft_mega is not None:
+                dk, dv, dlen = d_cache
+                d_cache = (dk, dv, dlen - k + t_keep)
+            else:
+                d_len0 = d_cache["length"] - k
+                d_cache = d_strategy.set_length(d_cache, d_len0 + t_keep)
 
             return (tk, tv, t_len, d_cache, out, n_emitted, n_rounds + 1)
 
-        state = (tk, tv, t_len0_all, d_cache, out, jnp.ones((), jnp.int32),
+        d_state = (
+            (dk0, dv0, dlen0) if draft_mega is not None else d_cache
+        )
+        state = (tk, tv, t_len0_all, d_state, out, jnp.ones((), jnp.int32),
                  jnp.zeros((), jnp.int32))
         tk, tv, t_len, d_cache, out, n_emitted, n_rounds = jax.lax.while_loop(
             cond, body, state

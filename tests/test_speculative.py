@@ -362,3 +362,102 @@ def test_engine_speculative_vmem_fallback(setup, monkeypatch):
     assert eng.last_generation_ids == ref
     # the cache now holds the XLA fallback (mega=None)
     assert eng._fns[key][2] is None
+
+
+def test_mega_draft_burst_matches_target_greedy():
+    """Draft-side megakernel (each draft step = a gpt2_megastep program)
+    composed with the mega verify == plain greedy, exactly (fp32,
+    interpret) — draft must be mega-eligible (E % 128 == 0)."""
+    from efficient_llm_inference_tpu.ops.pallas.megakernel import (
+        mega_supported,
+        pack_gpt2_mega,
+    )
+
+    cfg = gpt2_mod.GPT2Config(
+        vocab_size=300, n_positions=256, n_embd=128, n_layer=2, n_head=2
+    )
+    d_cfg = gpt2_mod.GPT2Config(
+        vocab_size=300, n_positions=256, n_embd=128, n_layer=1, n_head=2
+    )
+    params = gpt2_mod.init_gpt2_params(jax.random.PRNGKey(0), cfg,
+                                       jnp.float32)
+    d_params = gpt2_mod.init_gpt2_params(jax.random.PRNGKey(8), d_cfg,
+                                         jnp.float32)
+    spec, dspec = gpt2_spec(cfg), gpt2_spec(d_cfg)
+    eng = InferenceEngine(
+        spec, params,
+        config=Config(model_name="t", device="cpu", dtype=jnp.float32),
+    )
+    prompt = "the quick brown fox jumps over the lazy dog"
+    n_new = 16
+    ids = eng.tokenizer.encode(prompt)
+    ref = eng.generate_ids(prompt, "full_cache", n_new)[-n_new:]
+
+    mega = {"packed": pack_gpt2_mega(params, cfg), "cfg": cfg,
+            "kind": "gpt2", "interpret": True}
+    assert mega_supported(d_cfg, 96, d_params)
+    dmega = {"packed": pack_gpt2_mega(d_params, d_cfg), "cfg": d_cfg,
+             "kind": "gpt2", "interpret": True}
+    assert mega["packed"] is not None and dmega["packed"] is not None
+
+    gen = make_speculative_generate(
+        spec, dspec, n_new, k=4, prompt_bucket=64, mega=mega,
+        draft_mega=dmega, stats=True,
+    )
+    buf = np.zeros((1, 64), np.int32)
+    buf[0, : len(ids)] = ids
+    tp = dict(params, __mega_packed__=mega["packed"])
+    out, n, rounds = gen(tp, d_params, jnp.asarray(buf),
+                         jnp.int32(len(ids)))
+    got = np.asarray(out)[: int(n)].tolist()
+    assert got == ref, (got, ref)
+    assert int(rounds) >= 1
+
+
+def test_llama_mega_draft_burst_matches_target_greedy():
+    """Llama draft-side megastep bursts + llama verify == plain greedy."""
+    from efficient_llm_inference_tpu.models import llama as llama_mod
+    from efficient_llm_inference_tpu.models.llama import llama_spec
+    from efficient_llm_inference_tpu.ops.pallas.megakernel_llama import (
+        mega_supported,
+        pack_llama_mega,
+    )
+
+    cfg = llama_mod.LlamaConfig(
+        vocab_size=300, hidden_size=256, intermediate_size=512, n_layer=2,
+        n_head=4, n_kv_head=2, tie_embeddings=True, rope_theta=10000.0,
+    )
+    d_cfg = llama_mod.LlamaConfig(
+        vocab_size=300, hidden_size=256, intermediate_size=512, n_layer=1,
+        n_head=4, n_kv_head=2, tie_embeddings=True, rope_theta=10000.0,
+    )
+    params = llama_mod.init_llama_params(jax.random.PRNGKey(1), cfg,
+                                         jnp.float32)
+    d_params = llama_mod.init_llama_params(jax.random.PRNGKey(9), d_cfg,
+                                           jnp.float32)
+    spec, dspec = llama_spec(cfg), llama_spec(d_cfg)
+    eng = InferenceEngine(
+        spec, params,
+        config=Config(model_name="t", device="cpu", dtype=jnp.float32),
+    )
+    prompt = "counting stars beyond the ridge"
+    n_new = 12
+    ids = eng.tokenizer.encode(prompt)
+    ref = eng.generate_ids(prompt, "full_cache", n_new)[-n_new:]
+
+    mega = {"packed": pack_llama_mega(params, cfg), "cfg": cfg,
+            "kind": "llama", "interpret": True}
+    assert mega_supported(d_cfg, 96, d_params)
+    dmega = {"packed": pack_llama_mega(d_params, d_cfg), "cfg": d_cfg,
+             "kind": "llama", "interpret": True}
+
+    gen = make_speculative_generate(
+        spec, dspec, n_new, k=4, prompt_bucket=64, mega=mega,
+        draft_mega=dmega,
+    )
+    buf = np.zeros((1, 64), np.int32)
+    buf[0, : len(ids)] = ids
+    tp = dict(params, __mega_packed__=mega["packed"])
+    out, n = gen(tp, d_params, jnp.asarray(buf), jnp.int32(len(ids)))
+    got = np.asarray(out)[: int(n)].tolist()
+    assert got == ref, (got, ref)
