@@ -114,6 +114,28 @@ class InferenceEngine:
                 from ..ops.pallas.megakernel_llama import _tile_geometry
 
                 wq_group = _tile_geometry(spec.config)[0] // 2
+                # TR/2 must divide EVERY weight's contraction dim, or
+                # quantize_int4_weights silently widens that weight's scale
+                # group to the whole column (quality cliff) and
+                # pack_llama_mega drops the megakernel on the non-uniform
+                # groups. Degrade LOUDLY to plain grouped int4 instead.
+                c = spec.config
+                contractions = (
+                    c.hidden_size,
+                    c.n_head * c.head_dim,
+                    c.intermediate_size,
+                )
+                if any(d % wq_group for d in contractions):
+                    import warnings
+
+                    warnings.warn(
+                        "weight_quant='int4w8': half-tile group "
+                        f"{wq_group} does not divide all contraction dims "
+                        f"{contractions}; falling back to weight_quant="
+                        "'int4' (group=128)",
+                        stacklevel=2,
+                    )
+                    wq_group = 128
             elif spec.name == "gpt2":
                 wq_group = spec.config.n_embd // 2  # uniform [E, E] tiles
             else:

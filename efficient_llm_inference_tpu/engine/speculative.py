@@ -307,6 +307,10 @@ def make_speculative_generate(
                             dpacked, dk, dv, dlen, x, cos_q, sin_q,
                             cfg=dcfg, capacity=cap, interpret=dinterp,
                         )
+                    # clip before the embedding lookup (as the mega decode
+                    # body does) rather than relying on the kernels' padded
+                    # lm-head NEG_INF masking
+                    nxt = jnp.clip(nxt, 0, draft.vocab_size - 1)
                     return (dk, dv, dlen + 1, nxt), nxt
 
                 (dk, dv, dlen, _), proposals = jax.lax.scan(

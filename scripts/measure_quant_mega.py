@@ -73,9 +73,16 @@ def main() -> None:
             cfg.prng_key(), spec.config, cfg.dtype
         )
         if cfg.weight_quant:
+            # mirror InferenceEngine.from_model_name's wq_group routing:
+            # int4w8 needs ONE scale group per megakernel half-tile
+            wq_group = (
+                spec.config.n_embd // 2
+                if cfg.weight_quant == "int4w8" else 128
+            )
             params = gpt2_mod.quantize_gpt2_weights(
                 params, mode={"int4w8": "int4"}.get(
-                    cfg.weight_quant, cfg.weight_quant)
+                    cfg.weight_quant, cfg.weight_quant),
+                group=wq_group,
             )
         eng = InferenceEngine(spec, params, load_tokenizer(args.model), cfg)
     else:
