@@ -75,7 +75,18 @@ class MegaBatchServer:
         eos_id: Optional[int] = None,
         kv_mode: Optional[str] = None,
         interpret: bool = False,
+        spec: Optional[str] = None,
+        spec_k: int = 8,
+        ngram_n: int = 2,
     ):
+        """`spec="ngram"` turns every decode chunk into SPECULATIVE rounds:
+        per-slot prompt-lookup proposals (mined on-device from each slot's
+        own token stream, zero model cost) verified by the B-slot R-row
+        verify megakernel (ops/pallas/megakernel_batch_verify.py), so a
+        round advances each slot 1..spec_k tokens for ~one batched weight
+        pass. Greedy acceptance keeps per-request outputs IDENTICAL to the
+        plain server for any proposal source. Currently gpt2-family, bf16
+        panes (kv_mode=None) only; `spec_k <= 8` (one RMW window)."""
         from ..ops.pallas.megakernel_batch import (
             llama_mega_batch_supported,
             mega_batch_supported,
@@ -93,6 +104,28 @@ class MegaBatchServer:
         self.eos_id = eos_id
         self.kv_mode = kv_mode  # None = bf16 panes; int8/int4/mixed = quant
         self.interpret = interpret
+        self.spec = spec
+        self.spec_k = spec_k
+        self.ngram_n = ngram_n
+        if spec is not None:
+            from ..ops.pallas.megakernel_batch_verify import (
+                mega_batch_verify_supported,
+            )
+
+            if spec != "ngram":
+                raise ValueError(f"unknown spec mode: {spec!r}")
+            if model.name != "gpt2" or kv_mode:
+                raise ValueError(
+                    "spec serving currently needs a gpt2-family model "
+                    "with bf16 panes (kv_mode=None)"
+                )
+            if not mega_batch_verify_supported(
+                model.config, pool.capacity, params, pool.n_slots, spec_k
+            ):
+                raise ValueError(
+                    "batched verify megakernel unsupported at this "
+                    "(model, n_slots, capacity, spec_k)"
+                )
         cfg = model.config
         if model.name == "gpt2":
             from ..ops.pallas.megakernel import pack_gpt2_mega as pack
@@ -145,6 +178,10 @@ class MegaBatchServer:
         self.active = np.zeros((B,), bool)
         self.last_token = np.zeros((B,), np.int32)
         self.slot_req: List[Optional[Request]] = [None] * B
+        # spec mode: per-slot token stream (prompt + emitted), host mirror;
+        # slen counts tokens in the stream (KV cursor == slen - 1)
+        self.seq = np.zeros((B, C), np.int32)
+        self.slen = np.ones((B,), np.int32)
 
         self._prefills: Dict = {}
         self._chunks: Dict = {}
@@ -288,23 +325,133 @@ class MegaBatchServer:
 
         return jax.jit(chunk, donate_argnums=(2,))
 
+    def _make_spec_chunk(self, n_rounds: int) -> Callable:
+        """One dispatch = n_rounds speculative verify rounds (all slots).
+
+        Each round: per-slot n-gram proposals mined from the slot's own
+        token stream (`seq`), ONE batched R-row verify megakernel pass,
+        per-slot greedy acceptance (emit accepted prefix + the target's
+        own token at the first mismatch), rollback as a pure per-slot
+        length update. Inactive slots verify junk into their own pane
+        (cursor clamped in-pane) and emit nothing — the zombie contract
+        of the plain chunk path.
+        """
+        from ..ops.pallas.megakernel_batch_verify import gpt2_megabatch_verify
+
+        model = self.model
+        cfg = model.config
+        C = self.pool_cfg.capacity
+        Bn = self.pool_cfg.n_slots
+        R = self.spec_k
+        ngram = self.ngram_n
+        interpret = self.interpret
+        S = C  # stream buffer: prompt + emitted fits the pane by admission
+
+        def propose(seq, slen):
+            """Per-slot prompt-lookup: [B, S], [B] -> [B, R] proposals.
+
+            Latest earlier position whose trailing `ngram` tokens match
+            the slot's current tail proposes the R tokens that followed
+            it; falls back to repeating the slot's last token (any
+            proposal is correct — acceptance just drops)."""
+            idx = jnp.arange(S, dtype=jnp.int32)[None]  # [1, S]
+            L = slen[:, None]
+            valid = (idx >= ngram - 1) & (idx < L - 1)
+            match = jnp.ones(seq.shape, bool)
+            for j in range(ngram):
+                shifted = jnp.roll(seq, j, axis=1)
+                tail = jnp.take_along_axis(
+                    seq, jnp.maximum(slen - 1 - j, 0)[:, None], axis=1
+                )  # [B, 1]
+                match = match & (shifted == tail)
+            match = match & valid
+            q = jnp.max(jnp.where(match, idx, -1), axis=1)  # [B]
+            found = q >= 0
+            base = jnp.where(found, q + 1, 0)
+            cont = jax.vmap(
+                lambda s, b: jax.lax.dynamic_slice(s, (b,), (R,))
+            )(seq, base)
+            last = jnp.take_along_axis(seq, (slen - 1)[:, None], axis=1)
+            return jnp.where(
+                found[:, None], cont, jnp.broadcast_to(last, (Bn, R))
+            )
+
+        def chunk(params, packed, pools, seq, slen, active):
+            wte, wpe = params["wte"], params["wpe"]
+
+            def round_(carry, _):
+                k_pool, v_pool, seq, slen = carry
+                props = propose(seq, slen)  # [B, R]
+                cur = jnp.take_along_axis(seq, (slen - 1)[:, None], axis=1)
+                vin = jnp.concatenate([cur, props[:, :-1]], axis=1)  # [B, R]
+                vin = jnp.clip(vin, 0, model.vocab_size - 1)
+                pos = jnp.minimum(
+                    (slen - 1)[:, None]
+                    + jnp.arange(R, dtype=jnp.int32)[None],
+                    model.n_positions - 1,
+                )
+                x = (wte[vin] + wpe[pos]).astype(wte.dtype)
+                greedy, k_pool, v_pool = gpt2_megabatch_verify(
+                    packed, k_pool, v_pool, slen - 1,
+                    x.reshape(Bn * R, cfg.n_embd),
+                    cfg=cfg, capacity=C, rows=R, interpret=interpret,
+                )  # greedy: [B, R]
+                greedy = jnp.clip(greedy, 0, model.vocab_size - 1)
+                agree = props == greedy
+                n_acc = jnp.argmin(
+                    jnp.concatenate(
+                        [agree, jnp.zeros((Bn, 1), bool)], axis=1
+                    ).astype(jnp.int32),
+                    axis=1,
+                ).astype(jnp.int32)  # [B] first mismatch (== R if none)
+                ar = jnp.arange(R + 1, dtype=jnp.int32)[None]
+                prop_pad = jnp.concatenate(
+                    [props, jnp.zeros((Bn, 1), jnp.int32)], axis=1
+                )
+                greedy_pad = jnp.concatenate([greedy, greedy[:, -1:]],
+                                             axis=1)
+                emitted = jnp.where(
+                    ar < n_acc[:, None], prop_pad,
+                    jnp.where(ar == n_acc[:, None], greedy_pad, 0),
+                )  # [B, R+1]
+                n_new = jnp.where(n_acc == R, R, n_acc + 1)
+                n_new = jnp.where(active, n_new, 0)
+                seq = jax.vmap(
+                    lambda s, e, L: jax.lax.dynamic_update_slice(s, e, (L,))
+                )(seq, emitted[:, :R], slen)
+                # rollback = length update; the clamp keeps the verify RMW
+                # window in-pane (slen <= C-8 makes gbase <= C-16; zombie
+                # past the clamp, as the plain path's C-1 cursor clamp)
+                slen = jnp.minimum(slen + n_new, C - 8)
+                return (k_pool, v_pool, seq, slen), (emitted[:, :R], n_new)
+
+            k_pool, v_pool = pools
+            (k_pool, v_pool, seq, slen), (em, nn) = jax.lax.scan(
+                round_, (k_pool, v_pool, seq, slen), None, length=n_rounds
+            )
+            return (k_pool, v_pool), seq, slen, em, nn
+
+        return jax.jit(chunk, donate_argnums=(2,))
+
     # ------------------------------------------------------------------
     def _admit(self, queue: List[Request]) -> int:
         """Prefill a wave of queued requests into free slots (one dispatch)."""
         C = self.pool_cfg.capacity
+        # spec mode needs room for a 16-row verify RMW window at the cursor
+        margin = 16 if self.spec else 8
         free = [s for s in range(self.pool_cfg.n_slots) if not self.active[s]]
         wave = []
         while queue and free:
             req = queue[0]
             ids = req.prompt_ids[: self.pool_cfg.prompt_bucket]
-            if len(ids) >= C:  # cannot fit the prompt + 1 token
-                ids = ids[: C - 8]
+            if len(ids) >= C - (margin - 8):  # cannot fit prompt + 1 token
+                ids = ids[: C - margin]
             wave.append((free.pop(0), queue.pop(0), ids))
         if not wave:
             return 0
         Tmax = max(len(ids) for _, _, ids in wave)
         Tpad = min(bucket_for(Tmax), self.pool_cfg.prompt_bucket)
-        Tpad = min(Tpad, C - 8)
+        Tpad = min(Tpad, C - margin)
         W = next(w for w in _WAVE_BUCKETS if w >= len(wave))
         key = (W, Tpad)
         if key not in self._prefills:
@@ -337,6 +484,11 @@ class MegaBatchServer:
             self.active[slot] = True
             self.lengths[slot] = len(ids)
             self.last_token[slot] = int(tok0[w])
+            if self.spec:
+                self.seq[slot] = 0
+                self.seq[slot, : len(ids)] = ids
+                self.seq[slot, len(ids)] = int(tok0[w])
+                self.slen[slot] = len(ids) + 1
             req.out_ids.append(int(tok0[w]))
             if len(req.out_ids) >= req.max_new_tokens or (
                 self.eos_id is not None and req.out_ids[-1] == self.eos_id
@@ -345,6 +497,7 @@ class MegaBatchServer:
                 self.active[slot] = False
                 self.slot_req[slot] = None
                 self.lengths[slot] = 0
+                self.slen[slot] = 1
         return len(wave)
 
     def _harvest(self, toks_all: np.ndarray) -> None:
@@ -375,6 +528,93 @@ class MegaBatchServer:
                 self.lengths[slot] = 0
                 self.last_token[slot] = 0
 
+    def _harvest_spec(self, em: np.ndarray, nn: np.ndarray) -> None:
+        """Book a fetched spec block (em [rounds, B, R], nn [rounds, B])."""
+        n_rounds = em.shape[0]
+        for slot in range(self.pool_cfg.n_slots):
+            req = self.slot_req[slot]
+            if req is None or not self.active[slot]:
+                continue
+            for i in range(n_rounds):
+                take = int(nn[i, slot])
+                for j in range(take):
+                    if len(req.out_ids) >= req.max_new_tokens:
+                        break
+                    if (self.eos_id is not None and req.out_ids
+                            and req.out_ids[-1] == self.eos_id):
+                        break
+                    req.out_ids.append(int(em[i, slot, j]))
+            hit_eos = (
+                self.eos_id is not None
+                and req.out_ids
+                and req.out_ids[-1] == self.eos_id
+            )
+            if hit_eos or len(req.out_ids) >= req.max_new_tokens:
+                req.done = True
+                self.active[slot] = False
+                self.slot_req[slot] = None
+                self.lengths[slot] = 0
+                self.slen[slot] = 1
+                self.last_token[slot] = 0
+
+    # every chunk advances each slot >= chunk rounds >= chunk tokens, but
+    # actual progress (1..spec_k tok/round) is only known at the fetch:
+    # cap spec bursts so zombie rounds and admission delay stay bounded
+    _SPEC_BURST_CAP = 4
+
+    def _run_spec(
+        self, requests: List[Request], progress: Optional[Callable]
+    ) -> List[Request]:
+        """Speculative serve loop: chunks count verify ROUNDS; scheduling
+        uses the worst case (1 token/round) and discards overshoot at
+        harvest, so per-request outputs match the plain server exactly."""
+        queue = list(requests)
+        chunk = self.pool_cfg.max_chunk
+        if ("spec", chunk) not in self._chunks:
+            self._chunks[("spec", chunk)] = self._make_spec_chunk(chunk)
+        step_fn = self._chunks[("spec", chunk)]
+        total_steps = 0
+        while queue or self.active.any():
+            self._admit(queue)
+            if not self.active.any():
+                continue
+            rem = {
+                s: self.slot_req[s].max_new_tokens
+                - len(self.slot_req[s].out_ids)
+                for s in range(self.pool_cfg.n_slots) if self.active[s]
+            }
+            per_slot = [-(-r // chunk) for r in rem.values()]
+            n_burst = min(per_slot) if queue else max(per_slot)
+            n_burst = max(1, min(n_burst, self._SPEC_BURST_CAP))
+            active_c = jnp.asarray(self.active.copy())
+            seq_c = jnp.asarray(self.seq)
+            slen_c = jnp.asarray(self.slen)
+            pools = (self.k_pool, self.v_pool)
+            blocks = []
+            for _ in range(n_burst):
+                pools, seq_c, slen_c, em, nn = step_fn(
+                    self.params, self.packed, pools, seq_c, slen_c, active_c
+                )
+                blocks.append((em, nn))
+            self.k_pool, self.v_pool = pools
+            fetched, seq_np, slen_np = jax.device_get(
+                (blocks, seq_c, slen_c)
+            )
+            was_active = self.active.copy()
+            for em, nn in fetched:
+                self._harvest_spec(np.asarray(em), np.asarray(nn))
+            # mirror device state for slots still running
+            for s in range(self.pool_cfg.n_slots):
+                if was_active[s] and self.active[s]:
+                    self.seq[s] = seq_np[s]
+                    self.slen[s] = int(slen_np[s])
+                    self.lengths[s] = int(slen_np[s]) - 1
+                    self.last_token[s] = int(seq_np[s][slen_np[s] - 1])
+            total_steps += chunk * n_burst
+            if progress:
+                progress(total_steps, self)
+        return requests
+
     def run(
         self, requests: List[Request], progress: Optional[Callable] = None
     ) -> List[Request]:
@@ -393,6 +633,8 @@ class MegaBatchServer:
         _EOS_BURST_CAP chunks so a fetch confirms EOS retirements every
         few chunks (bounds zombie work and admission delay).
         """
+        if self.spec is not None:
+            return self._run_spec(requests, progress)
         queue = list(requests)
         chunk = self.pool_cfg.max_chunk
         if chunk not in self._chunks:

@@ -39,6 +39,10 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--eos", type=int, default=None,
                     help="set an eos_id (exercises speculative bursts)")
+    ap.add_argument("--spec", default=None, choices=[None, "ngram"],
+                    help="speculative decode chunks (batched verify kernel)")
+    ap.add_argument("--spec-k", type=int, default=8)
+    ap.add_argument("--ngram-n", type=int, default=2)
     args = ap.parse_args()
 
     import efficient_llm_inference_tpu as elit
@@ -72,6 +76,9 @@ def main() -> None:
         dtype=cfg.dtype,
         eos_id=args.eos,
         kv_mode=None if args.kv == "none" else args.kv,
+        spec=args.spec,
+        spec_k=args.spec_k,
+        ngram_n=args.ngram_n,
     )
     rng = np.random.default_rng(0)
     words = ["weather", "mountain", "river", "engine", "tensor", "kernel",
@@ -95,7 +102,8 @@ def main() -> None:
     print(f"[measure] {args.model} wq={args.wq} kv={args.kv} "
           f"slots={args.slots} cap={args.capacity} chunk={args.chunk} "
           f"reqs={args.requests} max_new={args.max_new} "
-          f"prompt_tokens={args.prompt_tokens or 'short'}",
+          f"prompt_tokens={args.prompt_tokens or 'short'} "
+          f"spec={args.spec} k={args.spec_k}",
           file=sys.stderr)
     srv.run(make_reqs())  # warmup: compiles prefill buckets + chunk
     best = None
