@@ -107,6 +107,10 @@ class MegaBatchServer:
         self.spec = spec
         self.spec_k = spec_k
         self.ngram_n = ngram_n
+        # live acceptance estimate (booked tokens / productive round),
+        # persists across run() calls so warmed servers schedule well
+        self._acc_est = 2.0
+        self.spec_stats = {"rounds": 0, "tokens": 0}
         if spec is not None:
             from ..ops.pallas.megakernel_batch_verify import (
                 mega_batch_verify_supported,
@@ -528,14 +532,27 @@ class MegaBatchServer:
                 self.lengths[slot] = 0
                 self.last_token[slot] = 0
 
-    def _harvest_spec(self, em: np.ndarray, nn: np.ndarray) -> None:
-        """Book a fetched spec block (em [rounds, B, R], nn [rounds, B])."""
+    def _harvest_spec(self, em: np.ndarray, nn: np.ndarray):
+        """Book a fetched spec block (em [rounds, B, R], nn [rounds, B]).
+
+        Returns (rounds_used, tokens_booked) summed over slots — the live
+        acceptance sample that drives burst scheduling (zombie rounds
+        after a slot met its budget are excluded, so the estimate is the
+        true emitted-tokens-per-round of productive rounds)."""
         n_rounds = em.shape[0]
+        rounds_used = 0
+        tokens_booked = 0
         for slot in range(self.pool_cfg.n_slots):
             req = self.slot_req[slot]
             if req is None or not self.active[slot]:
                 continue
             for i in range(n_rounds):
+                if len(req.out_ids) >= req.max_new_tokens:
+                    break
+                if (self.eos_id is not None and req.out_ids
+                        and req.out_ids[-1] == self.eos_id):
+                    break
+                rounds_used += 1
                 take = int(nn[i, slot])
                 for j in range(take):
                     if len(req.out_ids) >= req.max_new_tokens:
@@ -544,6 +561,7 @@ class MegaBatchServer:
                             and req.out_ids[-1] == self.eos_id):
                         break
                     req.out_ids.append(int(em[i, slot, j]))
+                    tokens_booked += 1
             hit_eos = (
                 self.eos_id is not None
                 and req.out_ids
@@ -556,24 +574,34 @@ class MegaBatchServer:
                 self.lengths[slot] = 0
                 self.slen[slot] = 1
                 self.last_token[slot] = 0
+        return rounds_used, tokens_booked
 
     # every chunk advances each slot >= chunk rounds >= chunk tokens, but
     # actual progress (1..spec_k tok/round) is only known at the fetch:
-    # cap spec bursts so zombie rounds and admission delay stay bounded
-    _SPEC_BURST_CAP = 4
+    # cap spec bursts so zombie rounds and admission delay stay bounded.
+    # spec chunks are SHORT (8 rounds) — scheduling granularity is one
+    # chunk, and a round can emit up to spec_k tokens, so long chunks
+    # overshoot budgets with pure zombie rounds
+    _SPEC_BURST_CAP = 6
+    _SPEC_CHUNK = 8
 
     def _run_spec(
         self, requests: List[Request], progress: Optional[Callable]
     ) -> List[Request]:
-        """Speculative serve loop: chunks count verify ROUNDS; scheduling
-        uses the worst case (1 token/round) and discards overshoot at
-        harvest, so per-request outputs match the plain server exactly."""
+        """Speculative serve loop: chunks count verify ROUNDS; bursts are
+        sized from a live acceptance estimate (EMA of booked tokens per
+        productive round) — worst-case 1-token/round scheduling dispatched
+        up to spec_k x the needed rounds as zombie work. Over-estimating
+        just ends a burst early (another burst follows); overshoot is
+        discarded at harvest, so per-request outputs match the plain
+        server exactly either way."""
         queue = list(requests)
-        chunk = self.pool_cfg.max_chunk
+        chunk = min(self.pool_cfg.max_chunk, self._SPEC_CHUNK)
         if ("spec", chunk) not in self._chunks:
             self._chunks[("spec", chunk)] = self._make_spec_chunk(chunk)
         step_fn = self._chunks[("spec", chunk)]
         total_steps = 0
+        self.spec_stats = {"rounds": 0, "tokens": 0}
         while queue or self.active.any():
             self._admit(queue)
             if not self.active.any():
@@ -583,8 +611,10 @@ class MegaBatchServer:
                 - len(self.slot_req[s].out_ids)
                 for s in range(self.pool_cfg.n_slots) if self.active[s]
             }
-            per_slot = [-(-r // chunk) for r in rem.values()]
-            n_burst = min(per_slot) if queue else max(per_slot)
+            est = min(max(self._acc_est, 1.0), float(self.spec_k))
+            rounds_needed = [-(-r // est) for r in rem.values()]
+            need = min(rounds_needed) if queue else max(rounds_needed)
+            n_burst = -(-int(need) // chunk)
             n_burst = max(1, min(n_burst, self._SPEC_BURST_CAP))
             active_c = jnp.asarray(self.active.copy())
             seq_c = jnp.asarray(self.seq)
@@ -601,8 +631,18 @@ class MegaBatchServer:
                 (blocks, seq_c, slen_c)
             )
             was_active = self.active.copy()
+            b_rounds = b_tokens = 0
             for em, nn in fetched:
-                self._harvest_spec(np.asarray(em), np.asarray(nn))
+                r_used, t_booked = self._harvest_spec(
+                    np.asarray(em), np.asarray(nn)
+                )
+                b_rounds += r_used
+                b_tokens += t_booked
+            if b_rounds:
+                obs = b_tokens / b_rounds
+                self._acc_est = 0.5 * self._acc_est + 0.5 * obs
+                self.spec_stats["rounds"] += b_rounds
+                self.spec_stats["tokens"] += b_tokens
             # mirror device state for slots still running
             for s in range(self.pool_cfg.n_slots):
                 if was_active[s] and self.active[s]:

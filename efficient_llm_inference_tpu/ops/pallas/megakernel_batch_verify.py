@@ -188,10 +188,26 @@ def gpt2_megabatch_verify(
             g_ids = jax.lax.broadcasted_iota(jnp.int32, (E // 2, n_gh), 1)
             gsel = (r_ids == g_ids).astype(dtype)
 
-        e_ids = jax.lax.broadcasted_iota(jnp.int32, (E, H), 0) // D
-        h_ids = jax.lax.broadcasted_iota(jnp.int32, (E, H), 1)
-        sel = (e_ids == h_ids).astype(jnp.float32)  # [E, H]
-        selT = sel.T
+        # Fused R-row transposed attention constants: all R rows of a slot
+        # ride ONE [R*H, E]-row dot per pane chunk (score orientation of
+        # megakernel_quant.py, extended to a row block) — program size is
+        # R-independent, vs the per-row chunk loops of the single-stream
+        # verify kernel (compile time at B=16 R=8 made per-row loops
+        # impractical: 128 unrolled bodies/layer).
+        RH = R * H
+        i_head = jax.lax.broadcasted_iota(jnp.int32, (RH, E), 0) % H
+        e_seg = jax.lax.broadcasted_iota(jnp.int32, (RH, E), 1) // D
+        selT_t = (e_seg == i_head).astype(jnp.float32)  # [RH, E]
+        rep = (
+            jax.lax.broadcasted_iota(jnp.int32, (RH, R), 0) // H
+            == jax.lax.broadcasted_iota(jnp.int32, (RH, R), 1)
+        ).astype(jnp.float32)  # [RH, R]: repeat q row r into H head rows
+        fold = rep.T  # [R, RH]: sum a slot's H head rows back per verify row
+        blk_ok = (
+            jax.lax.broadcasted_iota(jnp.int32, (RH, R), 1)
+            <= jax.lax.broadcasted_iota(jnp.int32, (RH, R), 0) // H
+        )  # in-block causal: row (r, h) may see block key j <= r
+        col_rc = jax.lax.broadcasted_iota(jnp.int32, (RH, C), 1)
 
         def wdma(slot, s):
             lo = s * tps
@@ -281,15 +297,15 @@ def gpt2_megabatch_verify(
                 y = y + b32
             return y
 
-        def seg_reduce(x32):  # [N, E] fp32 -> [N, H]
+        def dot_nn(a, b):  # [M, K] @ [K, N] -> [M, N] fp32
             return jax.lax.dot_general(
-                x32, sel, (((1,), (0,)), ((), ())),
+                a, b, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
-        def seg_bcast(x32):  # [N, H] fp32 -> [N, E]
+        def dot_nt(a, b):  # [M, K] @ [N, K]^T -> [M, N] fp32
             return jax.lax.dot_general(
-                x32, selT, (((1,), (0,)), ((), ())),
+                a, b, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
@@ -316,50 +332,55 @@ def gpt2_megabatch_verify(
             kdma(l % 2, l).wait()
             vdma(l % 2, l).wait()
 
-            # per-slot verify-block attention: row (b, r) sees slot b's
-            # pane columns < lengths[b] plus slot b's rows j <= r
+            # per-slot fused verify-block attention: all R rows of slot b
+            # ride one [RH, *] dot per pane chunk; row (b, r) sees slot
+            # b's pane columns < lengths[b] plus slot b's rows j <= r.
+            # U row (r*H + h) = q_r masked to head h's lane segment, so
+            # dot_nt(U, pane) yields per-(row, head) scores [RH, C] and
+            # the softmax runs rowwise over lanes (megakernel_quant.py's
+            # transposed orientation, extended to a row block).
             qf = q32.astype(dtype).astype(jnp.float32)  # [B*R, E]
-            kf = kc16.astype(jnp.float32)
-            vf = vc16.astype(jnp.float32)
-            rowc = jax.lax.broadcasted_iota(jnp.int32, (C, H), 0)
-            jidx = jax.lax.broadcasted_iota(jnp.int32, (R, H), 0)
             a_rows = []
             for b in range(B):
                 cur_b = len_ref[b, 0]
-                kf_b = kf[b * R:(b + 1) * R]  # [R, E] slot verify keys
-                vf_b = vf[b * R:(b + 1) * R]
-                for r in range(R):
-                    qr = qf[b * R + r:b * R + r + 1]  # [1, E]
-                    s_chunks = []
-                    for c0 in range(0, C, _ATTN_CHUNK):
-                        cw = min(_ATTN_CHUNK, C - c0)
-                        kc = kbuf[l % 2, b, c0:c0 + cw, :].astype(jnp.float32)
-                        s_chunks.append(seg_reduce(kc * qr))
-                    scores = jnp.concatenate(s_chunks, axis=0) * scale
-                    scores = jnp.where(rowc < cur_b, scores, NEG_INF)
-                    # in-block causal keys: ONE [R, E] reduce, mask j > r
-                    s_blk = seg_reduce(kf_b * qr) * scale  # [R, H]
-                    s_blk = jnp.where(jidx <= r, s_blk, NEG_INF)
-                    mx = jnp.maximum(
-                        jnp.max(scores, axis=0, keepdims=True),
-                        jnp.max(s_blk, axis=0, keepdims=True),
+                qf_b = qf[b * R:(b + 1) * R]  # [R, E] f32
+                qrep = dot_nn(rep, qf_b)  # [RH, E]: q row r into H rows
+                U = (selT_t * qrep).astype(dtype)  # dtype-exact products
+                kf_b = kc16[b * R:(b + 1) * R]  # [R, E] dtype
+                vf_b = vc16[b * R:(b + 1) * R]
+                s_chunks = []
+                for c0 in range(0, C, _ATTN_CHUNK):
+                    cw = min(_ATTN_CHUNK, C - c0)
+                    s_chunks.append(dot_nt(U, kbuf[l % 2, b, c0:c0 + cw, :]))
+                scores = jnp.concatenate(s_chunks, axis=1) * scale  # [RH, C]
+                scores = jnp.where(col_rc < cur_b, scores, NEG_INF)
+                s_blk = dot_nt(U, kf_b) * scale  # [RH, R] in-block keys
+                s_blk = jnp.where(blk_ok, s_blk, NEG_INF)
+                mx = jnp.maximum(
+                    jnp.max(scores, axis=1, keepdims=True),
+                    jnp.max(s_blk, axis=1, keepdims=True),
+                )  # [RH, 1]
+                p = jnp.exp(scores - mx)
+                p_blk = jnp.exp(s_blk - mx)  # 0 where masked
+                denom = (
+                    jnp.sum(p, axis=1, keepdims=True)
+                    + jnp.sum(p_blk, axis=1, keepdims=True)
+                )  # [RH, 1]
+                M = jnp.zeros((RH, E), jnp.float32)
+                for c0 in range(0, C, _ATTN_CHUNK):
+                    cw = min(_ATTN_CHUNK, C - c0)
+                    M = M + dot_nn(
+                        p[:, c0:c0 + cw].astype(dtype),
+                        vbuf[l % 2, b, c0:c0 + cw, :],
                     )
-                    p = jnp.exp(scores - mx)  # [C, H]
-                    p_blk = jnp.exp(s_blk - mx)  # [R, H], 0 where masked
-                    denom = (
-                        jnp.sum(p, axis=0, keepdims=True)
-                        + jnp.sum(p_blk, axis=0, keepdims=True)
-                    )
-                    ao = jnp.zeros((1, E), jnp.float32)
-                    for c0 in range(0, C, _ATTN_CHUNK):
-                        cw = min(_ATTN_CHUNK, C - c0)
-                        vc = vbuf[l % 2, b, c0:c0 + cw, :].astype(jnp.float32)
-                        pe = seg_bcast(p[c0:c0 + cw])
-                        ao = ao + jnp.sum(pe * vc, axis=0, keepdims=True)
-                    ao = ao + jnp.sum(
-                        seg_bcast(p_blk) * vf_b, axis=0, keepdims=True
-                    )
-                    a_rows.append(ao / seg_bcast(denom))
+                M = M + dot_nn(p_blk.astype(dtype), vf_b)
+                # fold the H head rows back per verify row; each lane has
+                # exactly one live head row (selT_t), so the 0/1 fold
+                # matmul is an exact selection for both numerator and the
+                # row's own softmax denominator
+                num = dot_nn(fold, M * selT_t)  # [R, E]
+                den = dot_nn(fold, denom * selT_t)
+                a_rows.append(num / den)
             a = jnp.concatenate(a_rows, axis=0).astype(dtype)  # [B*R, E]
 
             x = x + mm(a, base + 3, sm(7)).astype(dtype)

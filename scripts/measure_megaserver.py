@@ -113,8 +113,14 @@ def main() -> None:
         srv.run(reqs)
         dt = time.perf_counter() - t0
         total = sum(len(r.out_ids) for r in reqs)
+        extra = ""
+        if args.spec:
+            st = srv.spec_stats
+            if st["rounds"]:
+                extra = (f"  acc={st['tokens']/st['rounds']:.2f} tok/round "
+                         f"({st['rounds']} rounds)")
         print(f"[rep {i}] {total} tokens in {dt:.2f}s = {total/dt:.0f} "
-              f"tok/s aggregate", file=sys.stderr)
+              f"tok/s aggregate{extra}", file=sys.stderr)
         best = max(best or 0, total / dt)
     print(f"BEST: {best:.0f} tok/s aggregate")
 
