@@ -87,6 +87,13 @@ class Config:
     scan_unroll: Optional[int] = None
     weight_quant: Optional[Literal["int8", "int4", "int4w8"]] = None
     megakernel: Optional[bool] = None
+    # tensor parallelism degree (0/1 = off). With tp >= 2 the engine routes
+    # greedy full_cache / quant_* generation through the explicit-collective
+    # shard_map decode (parallel/tp_decode.py) on a ("data", "model") mesh
+    # over the first tp*ceil(n/tp) local devices — weights and KV panes
+    # shard over heads, quant scales shard with them. Requires n_kv_head %
+    # tp == 0 and hidden % tp == 0 (loud ValueError otherwise).
+    tp: int = 0
 
     def resolved_scan_unroll(self, n_layer: int) -> int:
         if self.scan_unroll is not None:

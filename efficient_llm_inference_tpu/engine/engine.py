@@ -527,6 +527,74 @@ class InferenceEngine:
         # position_ids saturate when the cache hits the context limit).
         return list(ids[:cap])
 
+    # ------------------------------------------------------------------
+    def _tp_mesh(self):
+        """("data", "model") mesh for Config.tp, built once per engine."""
+        if getattr(self, "_tp_mesh_cache", None) is None:
+            from ..parallel.mesh import make_mesh
+
+            tp = self.config.tp
+            nd = len(jax.devices())
+            if tp > nd:
+                raise ValueError(f"Config.tp={tp} but only {nd} devices")
+            E = getattr(self.model.config, "hidden_size", None) or getattr(
+                self.model.config, "n_embd"
+            )
+            if self.model.n_kv_head % tp or E % tp:
+                raise ValueError(
+                    f"Config.tp={tp} does not divide the model's heads/"
+                    "hidden — pick a degree that shards head-aligned"
+                )
+            self._tp_mesh_cache = make_mesh((1, tp), ("data", "model"))
+        return self._tp_mesh_cache
+
+    def _run_tp(
+        self, ids: List[int], method: str, max_new_tokens: int
+    ) -> Tuple[str, int, object, int]:
+        """Explicit-TP route for greedy full_cache / quant_* generation
+        (Config.tp >= 2): parallel/tp_decode.py tp_generate with the
+        sharded weights cached on the engine. Strategy accounting objects
+        match the single-device methods' (same est_bytes semantics)."""
+        from ..cache.kvcache import DenseKV, QuantizedKV
+        from ..parallel.tp_decode import (
+            shard_gpt2_tp,
+            shard_llama_tp,
+            tp_generate,
+        )
+
+        mesh = self._tp_mesh()
+        kv_mode = (
+            None if method == "full_cache" else method.replace("quant_", "")
+        )
+        if getattr(self, "_tp_params_cache", None) is None:
+            shard = shard_gpt2_tp if self.model.name == "gpt2" else \
+                shard_llama_tp
+            self._tp_params_cache = shard(
+                self.params, self.model.config, mesh, "model"
+            )
+        toks = tp_generate(
+            self.model, self.params, mesh, ids, max_new_tokens,
+            kv_mode=kv_mode, tp_params=self._tp_params_cache,
+        )
+        out_ids = list(ids) + toks
+        self.last_generation_ids = out_ids
+        n = len(ids)
+        cap = n + max_new_tokens + 1
+        kw = dict(n_layer=self.model.n_layer, n_head=self.model.n_kv_head,
+                  head_dim=self.model.head_dim, capacity=cap,
+                  dtype=self.config.dtype)
+        strategy = (
+            QuantizedKV(**kw, mode=kv_mode, granularity="per_head",
+                        fused=False)
+            if kv_mode else DenseKV(**kw)
+        )
+        return (
+            self.tokenizer.decode(out_ids, skip_special_tokens=True),
+            max_new_tokens,
+            strategy,
+            n + max_new_tokens,
+        )
+
     def _run(
         self, prompt: str, method: str, max_new_tokens: int,
         sampling: Optional[SamplingParams] = None, **kw
@@ -535,6 +603,11 @@ class InferenceEngine:
         ids = self._encode(prompt, method)
         true_len = len(ids)
         assert true_len > 0, "empty prompt"
+        if (
+            self.config.tp and self.config.tp > 1 and sampling is None
+            and (method == "full_cache" or method.startswith("quant_"))
+        ):
+            return self._run_tp(ids, method, max_new_tokens)
         bucket = min(bucket_for(true_len), self.model.n_positions)
 
         kind, fns, strategy, extra = self._build(

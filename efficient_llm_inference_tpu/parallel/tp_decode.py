@@ -50,6 +50,7 @@ TPU-native scaling story (SURVEY.md §2.3).
 
 from __future__ import annotations
 
+import functools
 import math
 from functools import partial
 from typing import Tuple
@@ -153,16 +154,20 @@ def tp_param_specs(axis: str = "model") -> dict:
     }
 
 
+@functools.lru_cache(maxsize=32)
 def make_tp_decode(cfg, mesh, n_steps: int, capacity: int,
-                   axis: str = "model"):
+                   axis: str = "model", kv_mode: str = None):
     """Greedy TP decode loop with explicit collectives.
 
-    Returns decode(tp_params, k, v, length, tok0) -> (toks [n_steps] i32,
-    k, v, length'): k/v are head-sharded [L, H, C, D] caches, tok0 the
-    first feed token, length the tokens already cached. Token-exact vs the
-    unsharded XLA decode up to psum partial-sum reassociation (greedy
-    argmax is robust to it; asserted on the 8-device CPU mesh in
-    tests/test_tp_decode.py).
+    Returns decode(tp_params, *cache, tok0) -> (toks [n_steps] i32,
+    *cache', length'): cache is (k, v) head-sharded [L, H, C, D] in the
+    model dtype, or — with kv_mode "int8" | "int4" | "mixed" — (k, v,
+    ks, vs) quantized stores + per-(head, token) fp32 scales, the TP
+    composition of QuantizedKV(granularity="per_head") for the MHA
+    family (identical scheme to the Llama path below; GPT-2 just has
+    Hkv == Hq). Token-exact vs the unsharded XLA decode up to psum
+    partial-sum reassociation (greedy argmax is robust to it; asserted
+    on the 8-device CPU mesh in tests/test_tp_decode.py).
     """
     E, H, D, L = cfg.n_embd, cfg.n_head, cfg.head_dim, cfg.n_layer
     V = cfg.vocab_size
@@ -182,10 +187,17 @@ def make_tp_decode(cfg, mesh, n_steps: int, capacity: int,
             xg.dtype
         )
 
-    def local_step(p, k, v, length, tok):
+    if kv_mode is not None:
+        k_kind, v_kind = _kv_kinds_tp(kv_mode)
+
+    def local_step(p, cache, length, tok):
         """One decode step on one device's shard (runs under shard_map)."""
         idx = jax.lax.axis_index(axis)
         dt = p["wte"].dtype
+        if kv_mode is not None:
+            k, v, ks, vs = cache
+        else:
+            k, v = cache
         pos = jnp.minimum(length, p["wpe"].shape[0] - 1)
         x_full = (p["wte"][tok] + p["wpe"][pos])[None].astype(dt)  # [1, E]
         x = jax.lax.dynamic_slice(x_full, (0, idx * Es), (1, Es))
@@ -213,19 +225,47 @@ def make_tp_decode(cfg, mesh, n_steps: int, capacity: int,
             q = qkv[0, :, :D]  # [Hl, D]
             kn = qkv[0, :, D:2 * D]
             vn = qkv[0, :, 2 * D:]
-            k = jax.lax.dynamic_update_slice(
-                k, kn[None, :, None, :].astype(k.dtype), (l, 0, length, 0)
-            )
-            v = jax.lax.dynamic_update_slice(
-                v, vn[None, :, None, :].astype(v.dtype), (l, 0, length, 0)
-            )
+            if kv_mode is not None:
+                kq_, ks_new = _q_rows(kn, k_kind)
+                vq_, vs_new = _q_rows(vn, v_kind)
+                k = jax.lax.dynamic_update_slice(
+                    k, kq_[None, :, None, :], (l, 0, length, 0)
+                )
+                v = jax.lax.dynamic_update_slice(
+                    v, vq_[None, :, None, :], (l, 0, length, 0)
+                )
+                ks = jax.lax.dynamic_update_slice(
+                    ks, ks_new[None, :, None], (l, 0, length)
+                )
+                vs = jax.lax.dynamic_update_slice(
+                    vs, vs_new[None, :, None], (l, 0, length)
+                )
+                # dequantize past, overlay in-flight token in fp
+                k_fp = _dequant_pane(k[l], ks[l], k_kind, dt)
+                v_fp = _dequant_pane(v[l], vs[l], v_kind, dt)
+                k_fp = jax.lax.dynamic_update_slice(
+                    k_fp, kn[:, None, :].astype(dt), (0, length, 0)
+                )
+                v_fp = jax.lax.dynamic_update_slice(
+                    v_fp, vn[:, None, :].astype(dt), (0, length, 0)
+                )
+            else:
+                k = jax.lax.dynamic_update_slice(
+                    k, kn[None, :, None, :].astype(k.dtype),
+                    (l, 0, length, 0)
+                )
+                v = jax.lax.dynamic_update_slice(
+                    v, vn[None, :, None, :].astype(v.dtype),
+                    (l, 0, length, 0)
+                )
+                k_fp, v_fp = k[l], v[l]
             scores = jnp.einsum(
-                "hd,hcd->hc", q, k[l], preferred_element_type=jnp.float32
+                "hd,hcd->hc", q, k_fp, preferred_element_type=jnp.float32
             ) * scale
             scores = jnp.where(col <= length, scores, NEG_INF)
             probs = jax.nn.softmax(scores, axis=-1)
             ao = jnp.einsum(
-                "hc,hcd->hd", probs, v[l], preferred_element_type=jnp.float32
+                "hc,hcd->hd", probs, v_fp, preferred_element_type=jnp.float32
             ).astype(dt)  # [Hl, D]
             partial = jnp.einsum(
                 "hd,hde->e", ao, p["attn_proj_w"][l],
@@ -269,26 +309,36 @@ def make_tp_decode(cfg, mesh, n_steps: int, capacity: int,
         gidx = jax.lax.all_gather(lidx, axis, axis=0, tiled=True)
         # first-max-wins across shards == jnp.argmax over the full vocab
         tok2 = gidx[jnp.argmax(gmax)]
-        return k, v, tok2
+        if kv_mode is not None:
+            return (k, v, ks, vs), tok2
+        return (k, v), tok2
 
-    def local_decode(p, k, v, length, tok0):
+    def local_decode(p, *args):
+        *cache, length, tok0 = args
+        cache = tuple(cache)
+
         def step(carry, _):
-            k, v, length, tok = carry
-            k, v, tok2 = local_step(p, k, v, length, tok)
-            return (k, v, length + 1, tok2), tok
+            cache, length, tok = carry
+            cache, tok2 = local_step(p, cache, length, tok)
+            return (cache, length + 1, tok2), tok
 
-        (k, v, length, _), toks = jax.lax.scan(
-            step, (k, v, length, tok0), None, length=n_steps
+        (cache, length, _), toks = jax.lax.scan(
+            step, (cache, length, tok0), None, length=n_steps
         )
-        return toks, k, v, length
+        return (toks,) + cache + (length,)
 
     pspecs = tp_param_specs(axis)
     kv_spec = P(None, axis, None, None)
+    sc_spec = P(None, axis, None)
+    if kv_mode is not None:
+        cache_specs = (kv_spec, kv_spec, sc_spec, sc_spec)
+    else:
+        cache_specs = (kv_spec, kv_spec)
     decode = shard_map(
         local_decode,
         mesh=mesh,
-        in_specs=(pspecs, kv_spec, kv_spec, P(), P()),
-        out_specs=(P(), kv_spec, kv_spec, P()),
+        in_specs=(pspecs,) + cache_specs + (P(), P()),
+        out_specs=(P(),) + cache_specs + (P(),),
         check_vma=False,
     )
     return jax.jit(decode)
@@ -382,12 +432,53 @@ def llama_tp_param_specs(params: dict, axis: str = "model") -> dict:
     return specs
 
 
+def _kv_kinds_tp(kv_mode: str):
+    """(k_kind, v_kind) — mirrors cache/kvcache.py QuantizedKV."""
+    k_kind = "int8" if kv_mode in ("int8", "mixed") else "int4"
+    v_kind = "int8" if kv_mode == "int8" else "int4"
+    return k_kind, v_kind
+
+
+def _q_rows(x, kind: str, eps: float = 1e-8):
+    """[H, D] new row -> (store row, fp32 scale [H]), per-head symmetric.
+
+    int8: reference scale math (max|x|/127). int4: packed uint8 [H, D/2],
+    even index in the HIGH nibble (+8 offset) — byte-identical to
+    ops/quantization.py quantize_int4_packed, so TP panes interoperate
+    with QuantizedKV(granularity="per_head") prefill buffers.
+    """
+    x32 = x.astype(jnp.float32)
+    if kind == "int8":
+        s = jnp.maximum(jnp.max(jnp.abs(x32), axis=1) / 127.0, eps)
+        q = jnp.clip(jnp.round(x32 / s[:, None]), -127, 127).astype(jnp.int8)
+        return q, s
+    s = jnp.maximum(jnp.max(jnp.abs(x32), axis=1) / 7.0, eps)
+    q = jnp.clip(jnp.round(x32 / s[:, None]), -8, 7).astype(jnp.int8)
+    q_u = (q + 8).astype(jnp.uint8)
+    return (q_u[:, 0::2] << 4) | q_u[:, 1::2], s
+
+
+def _dequant_pane(store, scales, kind: str, dt):
+    """[H, C, D(/2)] store + [H, C] scales -> [H, C, D] values in dt."""
+    if kind == "int8":
+        vals = store.astype(jnp.float32)
+    else:
+        hi = ((store >> 4) & 0x0F).astype(jnp.int8) - 8
+        lo = (store & 0x0F).astype(jnp.int8) - 8
+        vals = jnp.stack([hi, lo], axis=-1).reshape(
+            *store.shape[:-1], 2 * store.shape[-1]
+        ).astype(jnp.float32)
+    return (vals * scales[:, :, None]).astype(dt)
+
+
+@functools.lru_cache(maxsize=32)
 def make_llama_tp_decode(cfg, mesh, n_steps: int, capacity: int,
                          axis: str = "model", kv_mode: str = None):
     """Greedy Llama/GQA TP decode with explicit AG/RS collectives.
 
     kv_mode None: cache = (k, v, length), k/v [L, Hkv, C, D] head-sharded
-    in the model dtype. kv_mode "int8": cache = (k, v, ks, vs, length)
+    in the model dtype. kv_mode "int8" | "int4" | "mixed" (K int8, V
+    int4): cache = (k, v, ks, vs, length)
     with int8 stores + per-(head, token) fp32 scales — the TP composition
     of QuantizedKV(granularity="per_head"): past tokens dequantize on
     read, the in-flight token stays full precision (reference
@@ -428,16 +519,13 @@ def make_llama_tp_decode(cfg, mesh, n_steps: int, capacity: int,
         half = jnp.concatenate([-x32[:, D // 2:], x32[:, : D // 2]], axis=1)
         return (x32 * cos[None] + half * sin[None]).astype(x.dtype)
 
-    def q8(x):  # [H, D] -> (int8 [H, D], fp32 scale [H]) per-head symmetric
-        x32 = x.astype(jnp.float32)
-        s = jnp.maximum(jnp.max(jnp.abs(x32), axis=1) / 127.0, eps_q)
-        q = jnp.clip(jnp.round(x32 / s[:, None]), -127, 127).astype(jnp.int8)
-        return q, s
+    if kv_mode is not None:
+        k_kind, v_kind = _kv_kinds_tp(kv_mode)
 
     def local_step(p, cache, length, tok):
         idx = jax.lax.axis_index(axis)
         dt = p["embed"].dtype
-        if kv_mode == "int8":
+        if kv_mode is not None:
             k, v, ks, vs = cache
         else:
             k, v = cache
@@ -473,9 +561,9 @@ def make_llama_tp_decode(cfg, mesh, n_steps: int, capacity: int,
             kn = rope(kn.astype(dt).reshape(Hkl, D), cos, sin)
             vn = vn.astype(dt).reshape(Hkl, D)
 
-            if kv_mode == "int8":
-                kq_, ks_new = q8(kn)
-                vq_, vs_new = q8(vn)
+            if kv_mode is not None:
+                kq_, ks_new = _q_rows(kn, k_kind, eps_q)
+                vq_, vs_new = _q_rows(vn, v_kind, eps_q)
                 k = jax.lax.dynamic_update_slice(
                     k, kq_[None, :, None, :], (l, 0, length, 0)
                 )
@@ -490,10 +578,8 @@ def make_llama_tp_decode(cfg, mesh, n_steps: int, capacity: int,
                 )
                 # dequantize past, overlay in-flight token in fp
                 # (QuantizedKV reference-numerics path)
-                k_fp = (k[l].astype(jnp.float32)
-                        * ks[l][:, :, None]).astype(dt)
-                v_fp = (v[l].astype(jnp.float32)
-                        * vs[l][:, :, None]).astype(dt)
+                k_fp = _dequant_pane(k[l], ks[l], k_kind, dt)
+                v_fp = _dequant_pane(v[l], vs[l], v_kind, dt)
                 k_fp = jax.lax.dynamic_update_slice(
                     k_fp, kn[:, None, :], (0, length, 0)
                 )
@@ -550,7 +636,7 @@ def make_llama_tp_decode(cfg, mesh, n_steps: int, capacity: int,
         gmax = jax.lax.all_gather(lmax, axis, axis=0, tiled=True)
         gidx = jax.lax.all_gather(lidx, axis, axis=0, tiled=True)
         tok2 = gidx[jnp.argmax(gmax)]
-        if kv_mode == "int8":
+        if kv_mode is not None:
             return (k, v, ks, vs), tok2
         return (k, v), tok2
 
@@ -570,7 +656,7 @@ def make_llama_tp_decode(cfg, mesh, n_steps: int, capacity: int,
 
     kv_spec = P(None, axis, None, None)
     sc_spec = P(None, axis, None)
-    if kv_mode == "int8":
+    if kv_mode is not None:
         cache_specs = (kv_spec, kv_spec, sc_spec, sc_spec)
     else:
         cache_specs = (kv_spec, kv_spec)
@@ -588,8 +674,23 @@ def make_llama_tp_decode(cfg, mesh, n_steps: int, capacity: int,
     return jax.jit(wrapped)
 
 
+_PREFILL_CACHE: dict = {}
+
+
+def _cached_prefill(spec, strategy):
+    """make_prefill once per (model config, strategy) — a fresh closure per
+    call would defeat jax.jit's cache and recompile every generation."""
+    from ..engine.generate import make_prefill
+
+    key = (spec.name, spec.config, strategy)
+    if key not in _PREFILL_CACHE:
+        _PREFILL_CACHE[key] = make_prefill(spec, strategy, None)
+    return _PREFILL_CACHE[key]
+
+
 def tp_generate(spec, params, mesh, ids, max_new_tokens: int,
-                axis: str = "model", kv_mode: str = None):
+                axis: str = "model", kv_mode: str = None,
+                tp_params=None):
     """End-to-end explicit-TP greedy generation from token ids.
 
     The serving composition the per-kernel builders above leave to the
@@ -599,21 +700,18 @@ def tp_generate(spec, params, mesh, ids, max_new_tokens: int,
     generated token ids (length max_new_tokens).
 
     spec/params: a ModelSpec + params pytree (models/gpt2.py or
-    models/llama.py families). kv_mode None = fp cache; "int8" (llama
-    family only) = int8 KV panes + per-(head, token) scales, the TP
-    composition of QuantizedKV(granularity="per_head").
+    models/llama.py families). kv_mode None = fp cache; "int8" | "int4" |
+    "mixed" = quantized KV panes + per-(head, token) scales, the TP
+    composition of QuantizedKV(granularity="per_head"), both families.
     """
     import numpy as np
 
     from ..cache.kvcache import DenseKV, QuantizedKV
-    from ..engine.generate import make_prefill
 
     cfg = spec.config
     family = spec.name
     assert family in ("gpt2", "llama"), family
-    assert kv_mode in (None, "int8")
-    if kv_mode == "int8":
-        assert family == "llama", "int8 TP panes are wired for llama/GQA"
+    assert kv_mode in (None, "int8", "int4", "mixed")
 
     n = len(ids)
     cap = n + max_new_tokens + 1
@@ -621,10 +719,12 @@ def tp_generate(spec, params, mesh, ids, max_new_tokens: int,
     kw = dict(n_layer=spec.n_layer, n_head=spec.n_kv_head,
               head_dim=spec.head_dim, capacity=cap)
     strategy = (
-        QuantizedKV(**kw, mode="int8", granularity="per_head", fused=False)
-        if kv_mode == "int8" else DenseKV(**kw)
+        QuantizedKV(**kw, mode=kv_mode, granularity="per_head", fused=False)
+        if kv_mode else DenseKV(**kw)
     )
-    prefill = make_prefill(spec, strategy, None)
+    if kv_mode in ("int4", "mixed"):
+        assert spec.head_dim % 2 == 0, "int4 panes need an even head_dim"
+    prefill = _cached_prefill(spec, strategy)
     buf = np.zeros((1, bucket), np.int32)
     buf[0, :n] = ids
     cache, last = prefill(params, jnp.asarray(buf), jnp.int32(n))
@@ -633,22 +733,25 @@ def tp_generate(spec, params, mesh, ids, max_new_tokens: int,
     kv_sh = NamedSharding(mesh, P(None, axis, None, None))
     k0 = jax.device_put(cache["k"][:, 0], kv_sh)
     v0 = jax.device_put(cache["v"][:, 0], kv_sh)
+    if kv_mode:
+        sc_sh = NamedSharding(mesh, P(None, axis, None))
+        ks0 = jax.device_put(cache["k_scale"], sc_sh)
+        vs0 = jax.device_put(cache["v_scale"], sc_sh)
+        cache_args = (k0, v0, ks0, vs0)
+    else:
+        cache_args = (k0, v0)
 
     if family == "gpt2":
-        tp_params = shard_gpt2_tp(params, cfg, mesh, axis)
-        decode = make_tp_decode(cfg, mesh, max_new_tokens, cap, axis)
-        toks, *_ = decode(tp_params, k0, v0, jnp.int32(n), tok0)
+        if tp_params is None:
+            tp_params = shard_gpt2_tp(params, cfg, mesh, axis)
+        decode = make_tp_decode(
+            cfg, mesh, max_new_tokens, cap, axis, kv_mode=kv_mode
+        )
     else:
-        tp_params = shard_llama_tp(params, cfg, mesh, axis)
+        if tp_params is None:
+            tp_params = shard_llama_tp(params, cfg, mesh, axis)
         decode = make_llama_tp_decode(
             cfg, mesh, max_new_tokens, cap, axis, kv_mode=kv_mode
         )
-        if kv_mode == "int8":
-            sc_sh = NamedSharding(mesh, P(None, axis, None))
-            ks0 = jax.device_put(cache["k_scale"], sc_sh)
-            vs0 = jax.device_put(cache["v_scale"], sc_sh)
-            toks, *_ = decode(tp_params, k0, v0, ks0, vs0,
-                              jnp.int32(n), tok0)
-        else:
-            toks, *_ = decode(tp_params, k0, v0, jnp.int32(n), tok0)
+    toks, *_ = decode(tp_params, *cache_args, jnp.int32(n), tok0)
     return np.asarray(toks).tolist()

@@ -43,6 +43,10 @@ def main() -> None:
                     help="speculative decode chunks (batched verify kernel)")
     ap.add_argument("--spec-k", type=int, default=8)
     ap.add_argument("--ngram-n", type=int, default=2)
+    ap.add_argument("--compare", action="store_true",
+                    help="run plain AND spec servers in THIS process "
+                         "(within-run comparison — the one that matters "
+                         "under the +-20%% session drift)")
     args = ap.parse_args()
 
     import efficient_llm_inference_tpu as elit
@@ -64,22 +68,26 @@ def main() -> None:
     if args.prompt_tokens:
         bucket = min(args.capacity - args.max_new,
                      -(-args.prompt_tokens // 8) * 8)
-    srv = MegaBatchServer(
-        eng.model,
-        eng.params,
-        pool=MegaPoolConfig(
-            n_slots=args.slots,
-            capacity=args.capacity,
-            max_chunk=args.chunk,
-            prompt_bucket=bucket,
-        ),
-        dtype=cfg.dtype,
-        eos_id=args.eos,
-        kv_mode=None if args.kv == "none" else args.kv,
-        spec=args.spec,
-        spec_k=args.spec_k,
-        ngram_n=args.ngram_n,
-    )
+
+    def make_srv(spec):
+        return MegaBatchServer(
+            eng.model,
+            eng.params,
+            pool=MegaPoolConfig(
+                n_slots=args.slots,
+                capacity=args.capacity,
+                max_chunk=args.chunk,
+                prompt_bucket=bucket,
+            ),
+            dtype=cfg.dtype,
+            eos_id=args.eos,
+            kv_mode=None if args.kv == "none" else args.kv,
+            spec=spec,
+            spec_k=args.spec_k,
+            ngram_n=args.ngram_n,
+        )
+
+    srv = make_srv(args.spec)
     rng = np.random.default_rng(0)
     words = ["weather", "mountain", "river", "engine", "tensor", "kernel",
              "stream", "window", "matrix", "garden"]
@@ -105,24 +113,35 @@ def main() -> None:
           f"prompt_tokens={args.prompt_tokens or 'short'} "
           f"spec={args.spec} k={args.spec_k}",
           file=sys.stderr)
-    srv.run(make_reqs())  # warmup: compiles prefill buckets + chunk
-    best = None
-    for i in range(args.reps):
-        reqs = make_reqs()
-        t0 = time.perf_counter()
-        srv.run(reqs)
-        dt = time.perf_counter() - t0
-        total = sum(len(r.out_ids) for r in reqs)
-        extra = ""
-        if args.spec:
-            st = srv.spec_stats
-            if st["rounds"]:
-                extra = (f"  acc={st['tokens']/st['rounds']:.2f} tok/round "
-                         f"({st['rounds']} rounds)")
-        print(f"[rep {i}] {total} tokens in {dt:.2f}s = {total/dt:.0f} "
-              f"tok/s aggregate{extra}", file=sys.stderr)
-        best = max(best or 0, total / dt)
-    print(f"BEST: {best:.0f} tok/s aggregate")
+
+    def bench(srv, label):
+        srv.run(make_reqs())  # warmup: compiles prefill buckets + chunk
+        best = None
+        for i in range(args.reps):
+            reqs = make_reqs()
+            t0 = time.perf_counter()
+            srv.run(reqs)
+            dt = time.perf_counter() - t0
+            total = sum(len(r.out_ids) for r in reqs)
+            extra = ""
+            if srv.spec:
+                st = srv.spec_stats
+                if st["rounds"]:
+                    extra = (
+                        f"  acc={st['tokens']/st['rounds']:.2f} tok/round "
+                        f"({st['rounds']} rounds)")
+            print(f"[{label} rep {i}] {total} tokens in {dt:.2f}s = "
+                  f"{total/dt:.0f} tok/s aggregate{extra}", file=sys.stderr)
+            best = max(best or 0, total / dt)
+        return best
+
+    if args.compare:
+        best_plain = bench(make_srv(None), "plain")
+        best_spec = bench(make_srv("ngram"), "spec")
+        print(f"BEST: plain {best_plain:.0f} | spec {best_spec:.0f} tok/s "
+              f"aggregate ({best_spec/best_plain:+.1%} within-run)")
+    else:
+        print(f"BEST: {bench(srv, 'rep'):.0f} tok/s aggregate")
 
 
 if __name__ == "__main__":

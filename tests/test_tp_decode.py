@@ -266,3 +266,109 @@ def test_tp_generate_end_to_end(lsetup):
     gwant, _, _, _ = _reference_decode(gspec, gparams, ids, n_new, 48)
     ggot = tp_generate(gspec, gparams, mesh, ids, n_new)
     assert ggot == gwant
+
+
+# ---------------------------------------------------------------------------
+# Round 5: quant panes across both families and all modes via tp_generate.
+# ---------------------------------------------------------------------------
+
+
+def _oracle_decode(spec, params, ids, n_new, capacity, mode=None):
+    """Unsharded XLA greedy decode with the matching cache strategy."""
+    if mode:
+        strategy = QuantizedKV(
+            n_layer=spec.n_layer, n_head=spec.n_kv_head,
+            head_dim=spec.head_dim, capacity=capacity, mode=mode,
+            granularity="per_head", fused=False,
+        )
+    else:
+        strategy = DenseKV(
+            n_layer=spec.n_layer, n_head=spec.n_kv_head,
+            head_dim=spec.head_dim, capacity=capacity,
+        )
+    prefill = make_prefill(spec, strategy, None)
+    decode = make_decode(spec, strategy, None, n_new)
+    buf = np.zeros((1, 32), np.int32)
+    buf[0, : len(ids)] = ids
+    cache, last = prefill(params, jnp.asarray(buf), jnp.int32(len(ids)))
+    toks, _ = decode(params, cache, last)
+    return np.asarray(toks)[0].tolist()
+
+
+@pytest.mark.parametrize("kv_mode", ["int4", "mixed"])
+def test_llama_tp_generate_int4_mixed_panes(lsetup, kv_mode):
+    """TP x packed-int4 / mixed KV panes == unsharded per-head QuantizedKV
+    (scales shard over heads exactly like int8 — round-5 extension)."""
+    from efficient_llm_inference_tpu.parallel.tp_decode import tp_generate
+
+    spec, params = lsetup
+    mesh = make_mesh((2, 4), ("data", "model"))
+    ids = np.random.default_rng(4).integers(0, LCFG.vocab_size, 17).tolist()
+    n_new = 10
+    want = _oracle_decode(spec, params, ids, n_new, 40, mode=kv_mode)
+    got = tp_generate(spec, params, mesh, ids, n_new, kv_mode=kv_mode)
+    assert got == want
+
+
+@pytest.mark.parametrize("kv_mode", ["int8", "int4", "mixed"])
+def test_gpt2_tp_generate_quant_panes(setup, kv_mode):
+    """GPT-2 (MHA) TP decode with quantized per-head panes — the same
+    scheme as the Llama path (Hkv == Hq), all three modes."""
+    from efficient_llm_inference_tpu.parallel.tp_decode import tp_generate
+
+    spec, params = setup
+    mesh = make_mesh((2, 4), ("data", "model"))
+    ids = np.random.default_rng(5).integers(0, CFG.vocab_size, 19).tolist()
+    n_new = 9
+    want = _oracle_decode(spec, params, ids, n_new, 40, mode=kv_mode)
+    got = tp_generate(spec, params, mesh, ids, n_new, kv_mode=kv_mode)
+    assert got == want
+
+
+def test_engine_tp_routing(setup, lsetup):
+    """Config.tp routes benchmark_method / generate_ids through the
+    explicit-TP decode — token-exact vs the tp=0 engine, incl. quant
+    modes, with the same metric-dict schema."""
+    from efficient_llm_inference_tpu.core.config import Config
+    from efficient_llm_inference_tpu.engine.engine import InferenceEngine
+
+    for (spec, params) in (setup, lsetup):
+        eng0 = InferenceEngine(
+            spec, params,
+            config=Config(dtype=jnp.float32, megakernel=False, device="cpu"),
+        )
+        eng4 = InferenceEngine(
+            spec, params,
+            config=Config(dtype=jnp.float32, megakernel=False, device="cpu",
+                          tp=4),
+        )
+        prompt = "the quick brown fox jumps over"
+        for method in ("full_cache", "quant_int8", "quant_mixed"):
+            # tp quant uses per_head granularity (TPU-native), the
+            # single-device quant_* methods per_token (reference parity):
+            # compare against the per_head oracle instead
+            want_ids = eng0.generate_ids(prompt, "full_cache",
+                                         max_new_tokens=8)
+            got_ids = eng4.generate_ids(prompt, method, max_new_tokens=8)
+            if method == "full_cache":
+                assert got_ids == want_ids
+            else:
+                mode = method.replace("quant_", "")
+                ids = eng0._encode(prompt, method)
+                oracle = _oracle_decode(spec, params, ids, 8, 40, mode=mode)
+                assert got_ids == list(ids) + oracle
+        r = eng4.benchmark_method([prompt], method="quant_int8",
+                                  max_new_tokens=8, warmup=False)
+        assert r["method"] == "quant_int8"
+        assert r["total_new_tokens"] == 8
+        assert r["est_kv_cache_mb_avg"] > 0
+
+    # indivisible degree fails loudly
+    spec, params = lsetup  # n_kv_head = 4
+    eng3 = InferenceEngine(
+        spec, params,
+        config=Config(dtype=jnp.float32, megakernel=False, device="cpu",
+                      tp=3),
+    )
+    with pytest.raises(ValueError):
+        eng3.generate_ids("hello world", "full_cache", max_new_tokens=4)
