@@ -182,10 +182,18 @@ class MegaBatchServer:
         self.active = np.zeros((B,), bool)
         self.last_token = np.zeros((B,), np.int32)
         self.slot_req: List[Optional[Request]] = [None] * B
-        # spec mode: per-slot token stream (prompt + emitted), host mirror;
-        # slen counts tokens in the stream (KV cursor == slen - 1)
-        self.seq = np.zeros((B, C), np.int32)
-        self.slen = np.ones((B,), np.int32)
+        # spec mode: the per-slot token stream (prompt + emitted) LIVES ON
+        # DEVICE (seq_dev [B, C], slen_dev [B]) — admission prefills write
+        # the prompt AND the prefill token into it device-side, so
+        # admitting a wave costs no blocking device_get (the first burst
+        # fetch books the prefill token: `pending` marks slots whose first
+        # token is still device-only, `plen` remembers where it sits)
+        self.slen = np.ones((B,), np.int32)  # host mirror (scheduling)
+        if spec is not None:
+            self.seq_dev = jnp.zeros((B, C), jnp.int32)
+            self.slen_dev = jnp.ones((B,), jnp.int32)
+        self.pending = np.zeros((B,), bool)
+        self.plen = np.zeros((B,), np.int32)
 
         self._prefills: Dict = {}
         self._chunks: Dict = {}
@@ -213,8 +221,10 @@ class MegaBatchServer:
                 quantize_panes_batch,
             )
 
+        spec_stream = self.spec is not None
+
         def prefill(params, tokens, true_lens, slots, k_pool, v_pool,
-                    ks_pool=None, vs_pool=None):
+                    ks_pool=None, vs_pool=None, seq=None, slen=None):
             cache = strategy.init()
             pos = jnp.minimum(
                 jax.lax.broadcasted_iota(jnp.int32, (W, Tpad), 1),
@@ -250,11 +260,29 @@ class MegaBatchServer:
                     vs_pool = jax.lax.dynamic_update_slice(
                         vs_pool, vsw[:, w:w + 1], (0, slots[w], 0)
                     )
+            if spec_stream:
+                # write the prompt + prefill token into the DEVICE token
+                # stream — no host fetch at admission (the first burst
+                # fetch books tok0; see __init__'s `pending`)
+                for w in range(W):
+                    seq = jax.lax.dynamic_update_slice(
+                        seq, tokens[w:w + 1], (slots[w], 0)
+                    )
+                    seq = jax.lax.dynamic_update_slice(
+                        seq, tok0[w][None, None], (slots[w], true_lens[w])
+                    )
+                    slen = slen.at[slots[w]].set(true_lens[w] + 1)
+                return k_pool, v_pool, seq, slen
             if kv_mode:
                 return k_pool, v_pool, ks_pool, vs_pool, tok0
             return k_pool, v_pool, tok0
 
-        donate = (4, 5, 6, 7) if kv_mode else (4, 5)
+        if spec_stream:
+            donate = (4, 5, 8, 9)
+        elif kv_mode:
+            donate = (4, 5, 6, 7)
+        else:
+            donate = (4, 5)
         return jax.jit(prefill, donate_argnums=donate)
 
     def _make_chunk(self, n_steps: int) -> Callable:
@@ -469,6 +497,25 @@ class MegaBatchServer:
             buf[w, : len(ids)] = ids
             lens[w] = len(ids)
             slots[w] = slot
+        if self.spec:
+            # fully device-side admission: prompt + prefill token land in
+            # seq_dev; NO blocking fetch here (the first burst fetch books
+            # tok0 for `pending` slots)
+            (self.k_pool, self.v_pool, self.seq_dev,
+             self.slen_dev) = self._prefills[key](
+                self.params, jnp.asarray(buf), jnp.asarray(lens),
+                jnp.asarray(slots), self.k_pool, self.v_pool,
+                None, None, self.seq_dev, self.slen_dev,
+            )
+            for slot, req, ids in wave:
+                ids = ids[:Tpad]
+                self.slot_req[slot] = req
+                self.active[slot] = True
+                self.pending[slot] = True
+                self.plen[slot] = len(ids)
+                self.lengths[slot] = len(ids)
+                self.slen[slot] = len(ids) + 1
+            return len(wave)
         if self.kv_mode:
             (self.k_pool, self.v_pool, self.ks_pool, self.vs_pool,
              tok0) = self._prefills[key](
@@ -488,11 +535,6 @@ class MegaBatchServer:
             self.active[slot] = True
             self.lengths[slot] = len(ids)
             self.last_token[slot] = int(tok0[w])
-            if self.spec:
-                self.seq[slot] = 0
-                self.seq[slot, : len(ids)] = ids
-                self.seq[slot, len(ids)] = int(tok0[w])
-                self.slen[slot] = len(ids) + 1
             req.out_ids.append(int(tok0[w]))
             if len(req.out_ids) >= req.max_new_tokens or (
                 self.eos_id is not None and req.out_ids[-1] == self.eos_id
@@ -501,7 +543,6 @@ class MegaBatchServer:
                 self.active[slot] = False
                 self.slot_req[slot] = None
                 self.lengths[slot] = 0
-                self.slen[slot] = 1
         return len(wave)
 
     def _harvest(self, toks_all: np.ndarray) -> None:
@@ -579,11 +620,12 @@ class MegaBatchServer:
     # every chunk advances each slot >= chunk rounds >= chunk tokens, but
     # actual progress (1..spec_k tok/round) is only known at the fetch:
     # cap spec bursts so zombie rounds and admission delay stay bounded.
-    # spec chunks are SHORT (8 rounds) — scheduling granularity is one
-    # chunk, and a round can emit up to spec_k tokens, so long chunks
-    # overshoot budgets with pure zombie rounds
-    _SPEC_BURST_CAP = 6
-    _SPEC_CHUNK = 8
+    # chunk length trades zombie overshoot (scheduling granularity is one
+    # chunk; a round can emit up to spec_k tokens) against per-dispatch
+    # relay cost + fetches: measured on protocol 2, 8-round chunks spent
+    # the whole kernel-time win on extra dispatches/fetches
+    _SPEC_BURST_CAP = 8
+    _SPEC_CHUNK = 16
 
     def _run_spec(
         self, requests: List[Request], progress: Optional[Callable]
@@ -617,9 +659,8 @@ class MegaBatchServer:
             n_burst = -(-int(need) // chunk)
             n_burst = max(1, min(n_burst, self._SPEC_BURST_CAP))
             active_c = jnp.asarray(self.active.copy())
-            seq_c = jnp.asarray(self.seq)
-            slen_c = jnp.asarray(self.slen)
             pools = (self.k_pool, self.v_pool)
+            seq_c, slen_c = self.seq_dev, self.slen_dev
             blocks = []
             for _ in range(n_burst):
                 pools, seq_c, slen_c, em, nn = step_fn(
@@ -627,10 +668,27 @@ class MegaBatchServer:
                 )
                 blocks.append((em, nn))
             self.k_pool, self.v_pool = pools
+            self.seq_dev, self.slen_dev = seq_c, slen_c
             fetched, seq_np, slen_np = jax.device_get(
                 (blocks, seq_c, slen_c)
             )
             was_active = self.active.copy()
+            # book the prefill token of freshly admitted slots first (it
+            # lives at seq[plen] — admission never fetched it)
+            for s in range(self.pool_cfg.n_slots):
+                if self.pending[s] and self.active[s]:
+                    req = self.slot_req[s]
+                    req.out_ids.append(int(seq_np[s, self.plen[s]]))
+                    self.pending[s] = False
+                    if len(req.out_ids) >= req.max_new_tokens or (
+                        self.eos_id is not None
+                        and req.out_ids[-1] == self.eos_id
+                    ):  # satisfied by the prefill token alone
+                        req.done = True
+                        self.active[s] = False
+                        self.slot_req[s] = None
+                        self.lengths[s] = 0
+                        self.slen[s] = 1
             b_rounds = b_tokens = 0
             for em, nn in fetched:
                 r_used, t_booked = self._harvest_spec(
@@ -646,7 +704,6 @@ class MegaBatchServer:
             # mirror device state for slots still running
             for s in range(self.pool_cfg.n_slots):
                 if was_active[s] and self.active[s]:
-                    self.seq[s] = seq_np[s]
                     self.slen[s] = int(slen_np[s])
                     self.lengths[s] = int(slen_np[s]) - 1
                     self.last_token[s] = int(seq_np[s][slen_np[s] - 1])

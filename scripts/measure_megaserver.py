@@ -139,7 +139,7 @@ def main() -> None:
         best_plain = bench(make_srv(None), "plain")
         best_spec = bench(make_srv("ngram"), "spec")
         print(f"BEST: plain {best_plain:.0f} | spec {best_spec:.0f} tok/s "
-              f"aggregate ({best_spec/best_plain:+.1%} within-run)")
+              f"aggregate ({best_spec/best_plain - 1:+.1%} within-run)")
     else:
         print(f"BEST: {bench(srv, 'rep'):.0f} tok/s aggregate")
 
