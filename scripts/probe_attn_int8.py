@@ -116,7 +116,9 @@ def main() -> None:
         return acc + jnp.zeros((Hp, 128))
 
     def score_i8(i, u_ref, k_ref):
-        ui = u_ref[:] + i.astype(jnp.int8)  # keep loop-dependent
+        # loop-dependence via an i16 add (Mosaic has no i8 vector add)
+        ui = (u_ref[:].astype(jnp.int16)
+              + i.astype(jnp.int16)).astype(jnp.int8)
         acc = jnp.zeros((Hp, 1), jnp.float32)
         for c0 in range(0, C, CH):
             kc = k_ref[c0:c0 + CH, :]  # raw int8
@@ -135,7 +137,8 @@ def main() -> None:
         return jnp.sum(acc, axis=1, keepdims=True) + jnp.zeros((Hp, 128))
 
     def pv_i8(i, p_ref, v_ref):
-        pi = p_ref[:] + i.astype(jnp.int8)
+        pi = (p_ref[:].astype(jnp.int16)
+              + i.astype(jnp.int16)).astype(jnp.int8)
         acc = jnp.zeros((Hp, E), jnp.float32)
         for c0 in range(0, C, CH):
             vc = v_ref[c0:c0 + CH, :]  # raw int8
