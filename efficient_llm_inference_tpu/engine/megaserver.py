@@ -78,6 +78,9 @@ class MegaBatchServer:
         spec: Optional[str] = None,
         spec_k: int = 8,
         ngram_n: int = 2,
+        enable_prefix_cache: bool = False,
+        prefix_grain: int = 64,
+        prefix_cache_max: int = 4,
     ):
         """`spec="ngram"` turns every decode chunk into SPECULATIVE rounds:
         per-slot prompt-lookup proposals (mined on-device from each slot's
@@ -194,6 +197,18 @@ class MegaBatchServer:
             self.slen_dev = jnp.ones((B,), jnp.int32)
         self.pending = np.zeros((B,), bool)
         self.plen = np.zeros((B,), np.int32)
+        # shared-prefix cache: grain-aligned prompt prefix (token tuple) ->
+        # POOL-format pane slices, LRU-bounded. Admission groups its wave
+        # by prefix hit and prefills ONLY the suffix of hit requests (the
+        # cached prefix is written into the slot pane, dense pools read it
+        # back exactly; quant pools read it back at pool precision — the
+        # same divergence class as the paged engine's prefix path).
+        self.enable_prefix_cache = enable_prefix_cache
+        self.prefix_grain = prefix_grain
+        self.prefix_cache_max = prefix_cache_max
+        from collections import OrderedDict
+
+        self._prefix_reg: "OrderedDict[tuple, dict]" = OrderedDict()
 
         self._prefills: Dict = {}
         self._chunks: Dict = {}
@@ -284,6 +299,222 @@ class MegaBatchServer:
         else:
             donate = (4, 5)
         return jax.jit(prefill, donate_argnums=donate)
+
+    def _make_wave_prefill_suffix(
+        self, W: int, Spad: int, P: int, Fpad: int
+    ) -> Callable:
+        """Suffix-only prefill against a cached shared prefix.
+
+        W suffixes (per-row lengths) forward with the prefix KV as
+        attention context (cache pre-loaded at length P); the
+        [prefix | suffix] panes land in the admitted slots. Quant pools:
+        the prefix region is overwritten with the cached RAW pool bytes +
+        scales, so pool contents are bit-identical to the run that
+        registered the prefix; the suffix forward reads the prefix at
+        pool precision (dense pools: exact)."""
+        from ..cache.kvcache import DenseKV
+        from ..ops.pallas.megakernel_batch import to_mega_layout_batch
+
+        model = self.model
+        C = self.pool_cfg.capacity
+        H, D = model.n_kv_head, model.head_dim
+        L = model.n_layer
+        strategy = DenseKV(
+            n_layer=L, n_head=H, head_dim=D, capacity=C, batch=W,
+            dtype=self.dtype,
+        )
+        kv_mode = self.kv_mode
+        spec_stream = self.spec is not None
+        dtype = self.dtype
+        if kv_mode:
+            from ..ops.pallas.megakernel_batch_quant import (
+                quantize_panes_batch,
+            )
+            from ..ops.pallas.megakernel_quant import _kv_kinds
+
+            k_kind, v_kind = _kv_kinds(kv_mode)
+
+        def dense_prefix(store, scales, kind):
+            """Pool-format [L, P, Wp] + [L, P] scales -> dense [L, P, KW]."""
+            if kind == "int8":
+                vals = store.astype(jnp.float32)
+            else:  # kernel half-split packing: byte = 16*q_hi + (q_lo + 8)
+                lo_b = jnp.bitwise_and(store, 0xF).astype(jnp.float32)
+                hi = (store.astype(jnp.float32) - lo_b) * 0.0625
+                vals = jnp.concatenate([hi, lo_b - 8.0], axis=-1)
+            return (vals * scales[..., None]).astype(dtype)
+
+        def prefill(params, suffix, slens, slots, pk, pv, pks, pvs,
+                    k_pool, v_pool, ks_pool=None, vs_pool=None,
+                    seq=None, slen=None, prompt=None, flens=None):
+            if kv_mode:
+                kd = dense_prefix(pk, pks, k_kind)  # [L, P, KW]
+                vd = dense_prefix(pv, pvs, v_kind)
+            else:
+                kd, vd = pk.astype(dtype), pv.astype(dtype)
+            kd_c = kd.reshape(L, P, H, D).transpose(0, 2, 1, 3)[:, None]
+            vd_c = vd.reshape(L, P, H, D).transpose(0, 2, 1, 3)[:, None]
+            cache = strategy.init()
+            cache["k"] = jax.lax.dynamic_update_slice(
+                cache["k"], jnp.broadcast_to(
+                    kd_c, (L, W, H, P, D)).astype(cache["k"].dtype),
+                (0, 0, 0, 0, 0),
+            )
+            cache["v"] = jax.lax.dynamic_update_slice(
+                cache["v"], jnp.broadcast_to(
+                    vd_c, (L, W, H, P, D)).astype(cache["v"].dtype),
+                (0, 0, 0, 0, 0),
+            )
+            cache = strategy.set_length(cache, P)
+            pos = jnp.minimum(
+                P + jax.lax.broadcasted_iota(jnp.int32, (W, Spad), 1),
+                model.n_positions - 1,
+            )
+            col = jax.lax.broadcasted_iota(jnp.int32, (W, Spad), 1)
+            seq_mask = col < slens[:, None]
+            logits, cache = model.forward(
+                params, suffix, pos, cache, strategy, seq_mask
+            )
+            last = jnp.take_along_axis(
+                logits, (slens - 1)[:, None, None], axis=1
+            )[:, 0]
+            tok0 = jnp.clip(
+                jnp.argmax(last, axis=-1).astype(jnp.int32), 0,
+                model.vocab_size - 1,
+            )
+            kb = to_mega_layout_batch(cache["k"])  # [L, W, C, KW]
+            vb = to_mega_layout_batch(cache["v"])
+            if kv_mode:
+                kb, vb, ksw, vsw = quantize_panes_batch(kb, vb, kv_mode)
+                # prefix region: cached RAW pool bytes + scales, verbatim
+                kb = jax.lax.dynamic_update_slice(
+                    kb, jnp.broadcast_to(
+                        pk[:, None], (L, W) + pk.shape[1:]),
+                    (0, 0, 0, 0),
+                )
+                vb = jax.lax.dynamic_update_slice(
+                    vb, jnp.broadcast_to(
+                        pv[:, None], (L, W) + pv.shape[1:]),
+                    (0, 0, 0, 0),
+                )
+                ksw = jax.lax.dynamic_update_slice(
+                    ksw, jnp.broadcast_to(pks[:, None], (L, W, P)),
+                    (0, 0, 0),
+                )
+                vsw = jax.lax.dynamic_update_slice(
+                    vsw, jnp.broadcast_to(pvs[:, None], (L, W, P)),
+                    (0, 0, 0),
+                )
+            for w in range(W):
+                k_pool = jax.lax.dynamic_update_slice(
+                    k_pool, kb[:, w:w + 1], (0, slots[w], 0, 0)
+                )
+                v_pool = jax.lax.dynamic_update_slice(
+                    v_pool, vb[:, w:w + 1], (0, slots[w], 0, 0)
+                )
+                if kv_mode:
+                    ks_pool = jax.lax.dynamic_update_slice(
+                        ks_pool, ksw[:, w:w + 1], (0, slots[w], 0)
+                    )
+                    vs_pool = jax.lax.dynamic_update_slice(
+                        vs_pool, vsw[:, w:w + 1], (0, slots[w], 0)
+                    )
+            if spec_stream:
+                for w in range(W):
+                    seq = jax.lax.dynamic_update_slice(
+                        seq, prompt[w:w + 1], (slots[w], 0)
+                    )
+                    seq = jax.lax.dynamic_update_slice(
+                        seq, tok0[w][None, None], (slots[w], flens[w])
+                    )
+                    slen = slen.at[slots[w]].set(flens[w] + 1)
+                return k_pool, v_pool, seq, slen
+            if kv_mode:
+                return k_pool, v_pool, ks_pool, vs_pool, tok0
+            return k_pool, v_pool, tok0
+
+        if spec_stream:
+            donate = (8, 9, 12, 13)
+        elif kv_mode:
+            donate = (8, 9, 10, 11)
+        else:
+            donate = (8, 9)
+        return jax.jit(prefill, donate_argnums=donate)
+
+    def _dispatch_suffix_group(self, wave, P: int, pkey) -> int:
+        """Admit a prefix-HIT group: one suffix-only prefill dispatch."""
+        C = self.pool_cfg.capacity
+        margin = 16 if self.spec else 8
+        entry = self._prefix_reg[pkey]
+        sufs = [(slot, req, ids, ids[P:]) for slot, req, ids in wave]
+        Smax = max(len(s) for *_, s in sufs)
+        Spad = min(bucket_for(Smax), C - P - margin)
+        Spad = max(Spad, 8)
+        W = next(w for w in _WAVE_BUCKETS if w >= len(wave))
+        Fpad = min(-(-(P + Spad) // 8) * 8, C)
+        key = ("sfx", W, Spad, P, Fpad)
+        if key not in self._prefills:
+            self._prefills[key] = self._make_wave_prefill_suffix(
+                W, Spad, P, Fpad
+            )
+        buf = np.zeros((W, Spad), np.int32)
+        lens = np.zeros((W,), np.int32)
+        slots = np.zeros((W,), np.int32)
+        pbuf = np.zeros((W, Fpad), np.int32)
+        flens = np.zeros((W,), np.int32)
+        for w in range(W):
+            slot, req, ids, suf = sufs[min(w, len(sufs) - 1)]
+            suf = suf[:Spad]
+            buf[w, : len(suf)] = suf
+            lens[w] = len(suf)
+            slots[w] = slot
+            pbuf[w, : len(ids)] = ids[:Fpad]
+            flens[w] = min(len(ids), Fpad)
+        none_s = jnp.zeros((1,), jnp.float32)
+        args = (
+            self.params, jnp.asarray(buf), jnp.asarray(lens),
+            jnp.asarray(slots), entry["k"], entry["v"],
+            entry.get("ks", none_s), entry.get("vs", none_s),
+            self.k_pool, self.v_pool,
+        )
+        if self.spec:
+            (self.k_pool, self.v_pool, self.seq_dev,
+             self.slen_dev) = self._prefills[key](
+                *args, None, None, self.seq_dev, self.slen_dev,
+                jnp.asarray(pbuf), jnp.asarray(flens),
+            )
+            for slot, req, ids, _ in sufs[: len(wave)]:
+                self.slot_req[slot] = req
+                self.active[slot] = True
+                self.pending[slot] = True
+                self.plen[slot] = len(ids)
+                self.lengths[slot] = len(ids)
+                self.slen[slot] = len(ids) + 1
+                self._register_prefix(slot, ids)
+            return len(wave)
+        if self.kv_mode:
+            (self.k_pool, self.v_pool, self.ks_pool, self.vs_pool,
+             tok0) = self._prefills[key](
+                *args, self.ks_pool, self.vs_pool,
+            )
+        else:
+            self.k_pool, self.v_pool, tok0 = self._prefills[key](*args)
+        tok0 = np.asarray(jax.device_get(tok0))
+        for w, (slot, req, ids, _) in enumerate(sufs[: len(wave)]):
+            self.slot_req[slot] = req
+            self.active[slot] = True
+            self.lengths[slot] = len(ids)
+            self.last_token[slot] = int(tok0[w])
+            req.out_ids.append(int(tok0[w]))
+            self._register_prefix(slot, ids)
+            if len(req.out_ids) >= req.max_new_tokens or (
+                self.eos_id is not None and req.out_ids[-1] == self.eos_id
+            ):
+                req.done = True
+                self.active[slot] = False
+                self.slot_req[slot] = None
+                self.lengths[slot] = 0
+        return len(wave)
 
     def _make_chunk(self, n_steps: int) -> Callable:
         """One dispatch = n_steps batched megakernel decode steps."""
@@ -466,8 +697,39 @@ class MegaBatchServer:
         return jax.jit(chunk, donate_argnums=(2,))
 
     # ------------------------------------------------------------------
+    def _match_prefix(self, ids):
+        """Longest registered grain-aligned prefix of ids that leaves at
+        least one suffix token. Returns (P, key) or (0, None)."""
+        g = self.prefix_grain
+        for k in range((len(ids) - 1) // g, 0, -1):
+            key = tuple(ids[: k * g])
+            if key in self._prefix_reg:
+                self._prefix_reg.move_to_end(key)  # LRU touch
+                return k * g, key
+        return 0, None
+
+    def _register_prefix(self, slot, ids) -> None:
+        """Cache the slot's grain-aligned prompt-prefix pane slices."""
+        g = self.prefix_grain
+        P = ((len(ids) - 1) // g) * g
+        if P < g:
+            return
+        key = tuple(ids[:P])
+        if key in self._prefix_reg:
+            return
+        entry = {
+            "k": self.k_pool[:, slot, :P],
+            "v": self.v_pool[:, slot, :P],
+        }
+        if self.kv_mode:
+            entry["ks"] = self.ks_pool[:, slot, :P]
+            entry["vs"] = self.vs_pool[:, slot, :P]
+        self._prefix_reg[key] = entry
+        while len(self._prefix_reg) > self.prefix_cache_max:
+            self._prefix_reg.popitem(last=False)
+
     def _admit(self, queue: List[Request]) -> int:
-        """Prefill a wave of queued requests into free slots (one dispatch)."""
+        """Prefill a wave of queued requests into free slots."""
         C = self.pool_cfg.capacity
         # spec mode needs room for a 16-row verify RMW window at the cursor
         margin = 16 if self.spec else 8
@@ -481,6 +743,24 @@ class MegaBatchServer:
             wave.append((free.pop(0), queue.pop(0), ids))
         if not wave:
             return 0
+        if self.enable_prefix_cache:
+            groups: Dict = {}
+            for slot, req, ids in wave:
+                P, pkey = self._match_prefix(ids)
+                groups.setdefault((P, pkey), []).append((slot, req, ids))
+            n = 0
+            for (P, pkey), members in groups.items():
+                n += self._dispatch_group(members, P, pkey)
+            return n
+        return self._dispatch_group(wave, 0, None)
+
+    def _dispatch_group(self, wave, P: int, pkey) -> int:
+        """Prefill one admission group (shared prefix length P) in one
+        dispatch; P == 0 is the plain full-prompt path."""
+        C = self.pool_cfg.capacity
+        margin = 16 if self.spec else 8
+        if P > 0:
+            return self._dispatch_suffix_group(wave, P, pkey)
         Tmax = max(len(ids) for _, _, ids in wave)
         Tpad = min(bucket_for(Tmax), self.pool_cfg.prompt_bucket)
         Tpad = min(Tpad, C - margin)
@@ -515,6 +795,8 @@ class MegaBatchServer:
                 self.plen[slot] = len(ids)
                 self.lengths[slot] = len(ids)
                 self.slen[slot] = len(ids) + 1
+                if self.enable_prefix_cache:
+                    self._register_prefix(slot, ids)
             return len(wave)
         if self.kv_mode:
             (self.k_pool, self.v_pool, self.ks_pool, self.vs_pool,
@@ -536,6 +818,8 @@ class MegaBatchServer:
             self.lengths[slot] = len(ids)
             self.last_token[slot] = int(tok0[w])
             req.out_ids.append(int(tok0[w]))
+            if self.enable_prefix_cache:
+                self._register_prefix(slot, ids)
             if len(req.out_ids) >= req.max_new_tokens or (
                 self.eos_id is not None and req.out_ids[-1] == self.eos_id
             ):  # satisfied by the prefill token alone
