@@ -429,6 +429,7 @@ class InferenceEngine:
     def generate_batch(
         self, prompts: List[str], max_new_tokens: int = 32,
         kv_mode: Optional[str] = None,
+        mesh=None, mesh_axis: str = "data",
     ) -> List[str]:
         """Static-batch greedy generation: B prompts decode together.
 
@@ -452,6 +453,11 @@ class InferenceEngine:
         assert min(true_lens) > 0, "empty prompt"
         B = len(prompts)
         bucket = min(bucket_for(max(true_lens)), self.model.n_positions)
+        if mesh is not None:
+            return self._generate_batch_sharded(
+                prompts, ids_list, true_lens, bucket, max_new_tokens,
+                kv_mode, mesh, mesh_axis, method,
+            )
         mega = self._mega_batch_spec(bucket + max_new_tokens, B, kv_mode)
         if mega is None:  # correctness fallback: one stream at a time
             return [
@@ -484,6 +490,76 @@ class InferenceEngine:
                 dict(self.params, __mega_packed__=mega["packed"]),
                 jnp.asarray(buf),
                 jnp.asarray(true_lens, jnp.int32),
+            )
+        )
+        return [
+            self.tokenizer.decode(
+                ids_list[b] + np.asarray(toks)[b].tolist(),
+                skip_special_tokens=True,
+            )
+            for b in range(B)
+        ]
+
+    def _generate_batch_sharded(
+        self, prompts, ids_list, true_lens, bucket, max_new_tokens,
+        kv_mode, mesh, mesh_axis, method,
+    ) -> List[str]:
+        """Mesh-sharded batched serving: rows shard over `mesh_axis` and
+        each device runs the batched whole-step megakernel on ITS rows
+        (data-parallel serving — streams are independent, so shard_map
+        needs zero collectives; the weight stream is paid once per DEVICE
+        per step instead of once per pool). Per-row outputs are identical
+        to the unsharded batched path (the kernel runs at B/n rows —
+        per-row math is row-independent). Rows are padded to a multiple
+        of the axis size by repeating the last prompt."""
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.tp_decode import shard_map
+
+        n = mesh.shape[mesh_axis]
+        B = len(prompts)
+        B_eff = -(-B // n) * n
+        ids_eff = ids_list + [ids_list[-1]] * (B_eff - B)
+        lens_eff = true_lens + [true_lens[-1]] * (B_eff - B)
+        B_local = B_eff // n
+        mega = self._mega_batch_spec(
+            bucket + max_new_tokens, B_local, kv_mode
+        )
+        if mega is None:  # correctness fallback: one stream at a time
+            return [
+                self.generate(p, method, max_new_tokens) for p in prompts
+            ]
+        key = ("batch_dp", mesh, mesh_axis, B_eff, bucket, max_new_tokens,
+               kv_mode)
+        if key not in self._fns:
+            strategy = DenseKV(
+                n_layer=self.model.n_layer,
+                n_head=self.model.n_kv_head,
+                head_dim=self.model.head_dim,
+                capacity=mega["capacity"],
+                batch=B_local,
+                dtype=self.config.dtype,
+            )
+            local = make_generate_batch(
+                self.model, strategy, max_new_tokens, mega
+            )
+            fn = jax.jit(shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(), P(mesh_axis, None), P(mesh_axis)),
+                out_specs=(P(mesh_axis, None), P(mesh_axis)),
+                check_vma=False,
+            ))
+            self._fns[key] = ("batch_dp", fn, None, mega)
+        _, fn, _, mega = self._fns[key]
+        buf = np.zeros((B_eff, bucket), np.int32)
+        for b, ids in enumerate(ids_eff):
+            buf[b, : len(ids)] = ids
+        toks, _ = jax.device_get(
+            fn(
+                dict(self.params, __mega_packed__=mega["packed"]),
+                jnp.asarray(buf),
+                jnp.asarray(lens_eff, jnp.int32),
             )
         )
         return [

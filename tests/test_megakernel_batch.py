@@ -489,3 +489,32 @@ def test_generate_batch_encode_cap_matches_quant_method(params):
     assert eng._encode(long_prompt, "quant_int8") == list(
         eng.tokenizer.encode(long_prompt)
     )[: spec.n_positions]
+
+
+def test_generate_batch_mesh_sharded_matches_unsharded(params):
+    """Mesh-sharded batched serving (rows over the data axis, batched
+    megakernel per shard) == the unsharded batched path per row, incl. a
+    batch that does not divide the axis (padded by repeating the last)."""
+    from efficient_llm_inference_tpu.core.config import Config
+    from efficient_llm_inference_tpu.engine.engine import InferenceEngine
+    from efficient_llm_inference_tpu.models.registry import gpt2_spec
+    from efficient_llm_inference_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    spec = gpt2_spec(CFG)
+    eng = InferenceEngine(
+        spec, params,
+        config=Config(dtype=jnp.float32, megakernel=True, device="cpu"),
+    )
+    mesh = make_mesh((4, 2), ("data", "model"))
+    prompts = [
+        "the quick brown fox",
+        "pack my box with five dozen liquor jugs",
+        "a",
+        "hello world again",
+        "one more prompt",  # B=5 on a 4-way axis -> padded to 8
+    ]
+    want = eng.generate_batch(prompts, max_new_tokens=6)
+    got = eng.generate_batch(prompts, max_new_tokens=6, mesh=mesh)
+    assert got == want
