@@ -76,6 +76,23 @@ class SummarizationDataset:
             self._records = self._records[: self.max_samples]
         print(f"Loaded {len(self._records)} samples")
 
+    @classmethod
+    def from_records(
+        cls, records: List[Tuple[str, str]], name: str = "custom"
+    ) -> "SummarizationDataset":
+        """Wrap pre-built (article, summary) pairs (e.g. corpus-mined
+        held-out tasks, data/corpus_tasks.py) in the dataset interface."""
+        self = cls.__new__(cls)
+        self.dataset_name = name
+        self.version = ""
+        self.split = "custom"
+        self.max_samples = None
+        self.offline_fallback = False
+        self.article_key, self.summary_key = "article", "highlights"
+        self._records = list(records)
+        self._source = "records"
+        return self
+
     def __len__(self) -> int:
         return len(self._records)
 
@@ -207,6 +224,21 @@ class MMLUDataset:
         if isinstance(answer, str):
             answer = ord(answer.upper()) - ord("A")
         return question, choices, int(answer)
+
+    @classmethod
+    def from_records(
+        cls, records: List[Tuple[str, List[str], int]]
+    ) -> "MMLUDataset":
+        """Wrap pre-built (question, choices, answer) triples (e.g.
+        corpus-mined held-out tasks, data/corpus_tasks.py)."""
+        self = cls.__new__(cls)
+        self.split = "custom"
+        self.subject = None
+        self.max_samples = None
+        self.offline_fallback = False
+        self._records = list(records)
+        self._source = "records"
+        return self
 
     def __len__(self) -> int:
         return len(self._records)
