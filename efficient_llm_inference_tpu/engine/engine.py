@@ -754,6 +754,76 @@ class InferenceEngine:
         self._run(prompt, method, max_new_tokens, **kw)
         return list(self.last_generation_ids)
 
+    def generate_speculative_auto(
+        self,
+        prompt: str,
+        max_new_tokens: int = 32,
+        draft: Optional[tuple] = None,
+        stats: bool = False,
+    ):
+        """Acceptance-driven speculation: k and proposal mode disappear
+        from user space (round-4 verdict #5b).
+
+        Candidates — ngram k=8 / k=4, plus trained-draft k=8 / k=4 when
+        `draft=(spec, params)` is given — are each probed once (every
+        call runs with the stats hook on), then the engine commits to the
+        candidate with the best EXPECTED tokens per round-cost:
+        acceptance_EMA / round_cost, where a round costs ~1 target pass
+        for ngram and ~1 + k * (draft_params / target_params) for a
+        draft. Every 8th call re-probes the runner-up so a drifting
+        workload can flip the choice. Output equals plain greedy for any
+        candidate (the usual unconditional-acceptance guarantee).
+        """
+        cands = [("ngram", 8, None), ("ngram", 4, None)]
+        if draft is not None:
+            cands += [("draft", 8, draft), ("draft", 4, draft)]
+        st = getattr(self, "_spec_auto", None)
+        if st is None or st["draft_id"] != (
+            id(draft[1]) if draft is not None else None
+        ):
+            st = self._spec_auto = {
+                "acc": {},  # (mode, k) -> EMA tokens/round
+                "calls": 0,
+                "draft_id": id(draft[1]) if draft is not None else None,
+            }
+
+        def cost(mode, k, d):
+            if mode == "ngram":
+                return 1.0
+            dspec = d[0]
+            rel = (dspec.n_layer * dspec.config.hidden_size ** 2) / max(
+                self.model.n_layer
+                * getattr(self.model.config, "hidden_size",
+                          getattr(self.model.config, "n_embd", 1)) ** 2,
+                1,
+            )
+            return 1.0 + k * max(rel, 0.02)
+
+        unprobed = [c for c in cands if (c[0], c[1]) not in st["acc"]]
+        if unprobed:
+            mode, k, d = unprobed[0]
+        else:
+            scored = sorted(
+                cands,
+                key=lambda c: st["acc"][(c[0], c[1])] / cost(*c),
+                reverse=True,
+            )
+            mode, k, d = (
+                scored[1] if st["calls"] % 8 == 7 and len(scored) > 1
+                else scored[0]
+            )
+        st["calls"] += 1
+        out = self.generate_speculative(
+            prompt, max_new_tokens, mode=mode, k=k, draft=d, stats=True
+        )
+        text, n_new, s = out
+        key = (mode, k)
+        prev = st["acc"].get(key)
+        obs = s["tokens_per_round"]
+        st["acc"][key] = obs if prev is None else 0.5 * prev + 0.5 * obs
+        s = dict(s, mode=mode, k=k)
+        return (text, n_new, s) if stats else (text, n_new)
+
     def generate_speculative(
         self,
         prompt: str,

@@ -461,3 +461,38 @@ def test_llama_mega_draft_burst_matches_target_greedy():
     out, n = gen(tp, d_params, jnp.asarray(buf), jnp.int32(len(ids)))
     got = np.asarray(out)[: int(n)].tolist()
     assert got == ref, (got, ref)
+
+
+def test_generate_speculative_auto_matches_greedy():
+    """mode-auto speculation: probes candidates, commits to the best by
+    acceptance/cost, output always equals plain greedy."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficient_llm_inference_tpu.core.config import Config
+    from efficient_llm_inference_tpu.engine.engine import InferenceEngine
+    from efficient_llm_inference_tpu.models import gpt2 as gpt2_mod
+    from efficient_llm_inference_tpu.models.registry import gpt2_spec
+
+    cfg = gpt2_mod.GPT2Config(
+        vocab_size=300, n_positions=256, n_embd=64, n_layer=2, n_head=2
+    )
+    params = gpt2_mod.init_gpt2_params(jax.random.PRNGKey(0), cfg,
+                                       jnp.float32)
+    eng = InferenceEngine(
+        gpt2_spec(cfg), params,
+        config=Config(dtype=jnp.float32, megakernel=False, device="cpu"),
+    )
+    prompt = "the cat sat on the cat sat"
+    want = eng.generate(prompt, "full_cache", max_new_tokens=10)
+    picks = []
+    for _ in range(4):
+        text, n, s = eng.generate_speculative_auto(
+            prompt, max_new_tokens=10, stats=True
+        )
+        assert text == want and n == 10
+        picks.append((s["mode"], s["k"]))
+    # both ngram candidates probed, then a committed (repeatable) choice
+    assert ("ngram", 8) in picks and ("ngram", 4) in picks
+    assert picks[2] == picks[3]
+    assert set(eng._spec_auto["acc"]) == {("ngram", 8), ("ngram", 4)}
