@@ -47,6 +47,11 @@ def main() -> None:
                     help="run plain AND spec servers in THIS process "
                          "(within-run comparison — the one that matters "
                          "under the +-20%% session drift)")
+    ap.add_argument("--shared-prefix", type=int, default=0,
+                    help="prompt = SHARED prefix of this many tokens + a "
+                         "per-request random suffix (suffix-tokens below); "
+                         "runs prefix-cache OFF then ON in this process")
+    ap.add_argument("--suffix-tokens", type=int, default=60)
     args = ap.parse_args()
 
     import efficient_llm_inference_tpu as elit
@@ -68,8 +73,13 @@ def main() -> None:
     if args.prompt_tokens:
         bucket = min(args.capacity - args.max_new,
                      -(-args.prompt_tokens // 8) * 8)
+    if args.shared_prefix:
+        bucket = min(
+            args.capacity - args.max_new,
+            -(-(args.shared_prefix + args.suffix_tokens) // 8) * 8,
+        )
 
-    def make_srv(spec):
+    def make_srv(spec, prefix_cache=False):
         return MegaBatchServer(
             eng.model,
             eng.params,
@@ -85,6 +95,7 @@ def main() -> None:
             spec=spec,
             spec_k=args.spec_k,
             ngram_n=args.ngram_n,
+            enable_prefix_cache=prefix_cache,
         )
 
     srv = make_srv(args.spec)
@@ -92,9 +103,22 @@ def main() -> None:
     words = ["weather", "mountain", "river", "engine", "tensor", "kernel",
              "stream", "window", "matrix", "garden"]
 
+    shared_prefix = None
+    if args.shared_prefix:
+        shared_prefix = rng.integers(
+            1, eng.model.vocab_size - 1, size=args.shared_prefix
+        ).tolist()
+
     def make_reqs():
         reqs = []
         for i in range(args.requests):
+            if shared_prefix is not None:
+                suf = rng.integers(
+                    1, eng.model.vocab_size - 1, size=args.suffix_tokens
+                ).tolist()
+                reqs.append(Request(i, shared_prefix + suf,
+                                    max_new_tokens=args.max_new))
+                continue
             if args.prompt_tokens:
                 ids = rng.integers(
                     1, eng.model.vocab_size - 1, size=args.prompt_tokens
@@ -135,7 +159,13 @@ def main() -> None:
             best = max(best or 0, total / dt)
         return best
 
-    if args.compare:
+    if args.shared_prefix:
+        best_off = bench(make_srv(args.spec, prefix_cache=False), "nocache")
+        best_on = bench(make_srv(args.spec, prefix_cache=True), "pfxcache")
+        print(f"BEST: no-cache {best_off:.0f} | prefix-cache "
+              f"{best_on:.0f} tok/s aggregate "
+              f"({best_on/best_off - 1:+.1%} within-run)")
+    elif args.compare:
         best_plain = bench(make_srv(None), "plain")
         best_spec = bench(make_srv("ngram"), "spec")
         print(f"BEST: plain {best_plain:.0f} | spec {best_spec:.0f} tok/s "
