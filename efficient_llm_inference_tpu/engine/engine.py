@@ -883,12 +883,29 @@ class InferenceEngine:
             packed = pack(dparams, dspec.config)
             if packed is None:
                 return None
-            return {
+            out = {
                 "packed": packed,
                 "cfg": dspec.config,
                 "kind": dspec.name,
                 "interpret": self.config.device != "tpu",
             }
+            # VMEM-resident full-precision drafts additionally get the
+            # ONE-program burst (megakernel_draft.py): k draft steps in a
+            # single kernel — make_speculative_generate gates on capacity
+            # and prefers it
+            if dspec.name == "gpt2" and not isinstance(
+                dparams["blocks"]["attn_w"], dict
+            ):
+                from ..ops.pallas.megakernel_draft import pack_gpt2_draft
+
+                out["burst_packed"] = pack_gpt2_draft(dparams, dspec.config)
+            elif dspec.name == "llama" and not isinstance(
+                dparams["blocks"]["wq"], dict
+            ) and dspec.config.tie_embeddings:
+                from ..ops.pallas.megakernel_draft import pack_llama_draft
+
+                out["burst_packed"] = pack_llama_draft(dparams, dspec.config)
+            return out
 
         def _build_gen(mega):
             if mode == "ngram":

@@ -247,16 +247,32 @@ def make_speculative_generate(
             )
 
         dkind = (draft_mega or {}).get("kind", "gpt2")
+        use_burst = False
         if draft_mega is not None:
             if dkind == "gpt2":
                 from ..ops.pallas.megakernel import (
                     gpt2_megastep as _draft_step_kernel,
+                )
+                from ..ops.pallas.megakernel_draft import (
+                    gpt2_draft_burst as _burst_kernel,
+                    gpt2_draft_burst_supported as _burst_sup,
                 )
             else:
                 from ..models.llama import rope_cos_sin as _rcs
                 from ..ops.pallas.megakernel_llama import (
                     llama_megastep as _draft_step_kernel,
                 )
+                from ..ops.pallas.megakernel_draft import (
+                    llama_draft_burst as _burst_kernel,
+                    llama_draft_burst_supported as _burst_sup,
+                )
+            # prefer the ONE-program burst (k in-kernel steps) when the
+            # draft fits VMEM: a speculation round is then draft-burst +
+            # verify = TWO programs instead of k+1
+            use_burst = (
+                draft_mega.get("burst_packed") is not None
+                and _burst_sup(draft_mega["cfg"], cap, dtype)
+            )
 
         t_params = dict(t_params)
         packed = t_params.pop("__mega_packed__")
@@ -280,10 +296,19 @@ def make_speculative_generate(
             dv0 = to_mega_layout(d_cache["v"])
             dlen0 = d_cache["length"]
             dpacked = draft_mega["packed"]
+            dpacked_burst = draft_mega.get("burst_packed")
             dcfg = draft_mega["cfg"]
             dinterp = draft_mega.get("interpret", False)
 
             def draft_burst(dk, dv, dlen, current):
+                if use_burst:
+                    props, dk, dv = _burst_kernel(
+                        dpacked_burst, dk, dv, dlen, current,
+                        cfg=dcfg, capacity=cap, k=k, interpret=dinterp,
+                    )
+                    props = jnp.clip(props, 0, draft.vocab_size - 1)
+                    return dk, dv, dlen + k, props
+
                 def d_step(carry, _):
                     dk, dv, dlen, tok = carry
                     pos = jnp.minimum(dlen, draft.n_positions - 1)
