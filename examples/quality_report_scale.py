@@ -291,14 +291,20 @@ def harness_report(model_name: str = "scale_gpt2_big",
     ds = docstring_dataset(n=n_sum)
     print(f"({len(ds)} mined pairs)")
     sb = elit.SummarizationBenchmark(eng, ds)
+    # the scale models have n_positions = 256: the article must be
+    # truncated so the "\n\nSummary:" cue survives the context window
+    # (untruncated bodies pushed it out and every method extracted an
+    # empty summary -> ROUGE 0.000 across the board); 160 article chars
+    # + the 40-char instruction + 36 new tokens stays inside 256
+    methods = ["full_cache", "quant_int8", "quant_int4", "quant_mixed",
+               "paged_attention", "sliding_window", "chunked_cache"]
+    cfgs = {m: {"max_article_length": 160} for m in methods}
+    cfgs["sliding_window"]["window_size"] = 64
+    cfgs["paged_attention"]["block_size"] = 32
+    cfgs["chunked_cache"].update(chunk_size=16, keep_last=64)
     df = sb.compare_methods(
-        ["full_cache", "quant_int8", "quant_int4", "quant_mixed",
-         "paged_attention", "sliding_window", "chunked_cache"],
-        num_samples=len(ds), max_new_tokens=48,
-        method_configs={"sliding_window": {"window_size": 64},
-                        "paged_attention": {"block_size": 32},
-                        "chunked_cache": {"chunk_size": 16,
-                                          "keep_last": 64}},
+        methods, num_samples=len(ds), max_new_tokens=36,
+        method_configs=cfgs,
     )
     cols = [c for c in ("method", "rouge1_f", "rouge2_f", "rougeL_f")
             if c in df.columns]
