@@ -53,20 +53,27 @@ def heldout_files(
     strictly beyond the byte cap. A file straddling the train/eval
     boundary is excluded (partially trained)."""
     files = corpus_files()
-    out: List[pathlib.Path] = []
+    # replicate build_corpus's accounting EXACTLY (read_bytes, skip
+    # unreadable files before their separator counts) so the boundary
+    # cannot misclassify a partially-trained file as held-out
+    spans = []  # (start, file) for files that contribute bytes
     total = 0
+    capped_at = len(files)
     for i, p in enumerate(files):
         try:
-            n = p.stat().st_size
+            n = len(p.read_bytes())
         except OSError:
-            n = 0
-        start = total
+            continue
+        spans.append((total, p))
         total += len(_SEP % str(p).encode()) + n
-        if start >= max_bytes - eval_bytes:
-            out.append(p)
         if total >= max_bytes:
-            out.extend(files[i + 1:])
+            capped_at = i + 1
             break
+    # the eval tail is the final eval_bytes of the BUILT corpus (which is
+    # min(total, max_bytes) long)
+    boundary = min(total, max_bytes) - eval_bytes
+    out = [p for start, p in spans if start >= boundary]
+    out.extend(files[capped_at:])
     return out
 
 
@@ -118,11 +125,28 @@ def mine_docstring_pairs(
     return pairs[:n]
 
 
+def _module_name(path: pathlib.Path) -> str:
+    """Dotted module name relative to the stdlib root (so a package's
+    __init__.py names the PACKAGE, not the meaningless '__init__')."""
+    import sysconfig
+
+    stdlib = pathlib.Path(sysconfig.get_paths()["stdlib"])
+    try:
+        rel = path.relative_to(stdlib)
+    except ValueError:
+        rel = pathlib.Path(path.name)
+    parts = list(rel.with_suffix("").parts)
+    if parts and parts[-1] == "__init__":
+        parts = parts[:-1]
+    return ".".join(parts) or path.stem
+
+
 def mine_module_mc(
     n: int = 16, seed: int = 0
 ) -> List[Tuple[str, List[str], int]]:
     """(question, choices, answer) — which module defines function X?"""
     per_file: List[Tuple[str, List[str]]] = []
+    seen_mods = set()
     for path in heldout_files():
         try:
             src = path.read_text(encoding="utf-8", errors="ignore")
@@ -135,8 +159,10 @@ def mine_module_mc(
             if isinstance(node, (ast.FunctionDef, ast.ClassDef))
             and not node.name.startswith("_")
         ]
-        if names:
-            per_file.append((path.stem, names))
+        mod = _module_name(path)
+        if names and mod not in seen_mods:
+            seen_mods.add(mod)
+            per_file.append((mod, names))
     rng = np.random.default_rng(seed)
     records = []
     if len(per_file) < 4:
@@ -147,6 +173,7 @@ def mine_module_mc(
         mod, names = per_file[int(idxs[ans])]
         fn = names[int(rng.integers(len(names)))]
         choices = [per_file[int(j)][0] for j in idxs]
+        assert len(set(choices)) == 4  # modules deduped above
         records.append(
             (f"Which Python module defines '{fn}'?", choices, ans)
         )
@@ -157,8 +184,11 @@ def docstring_dataset(
     n: int = 16, max_samples: Optional[int] = None, **kw
 ) -> SummarizationDataset:
     """Held-out docstring-summarization set as a SummarizationDataset."""
+    records = mine_docstring_pairs(n=n, **kw)
+    if max_samples is not None:
+        records = records[:max_samples]
     return SummarizationDataset.from_records(
-        mine_docstring_pairs(n=n, **kw), name="stdlib_docstrings"
+        records, name="stdlib_docstrings"
     )
 
 

@@ -642,6 +642,14 @@ class InferenceEngine:
         kv_mode = (
             None if method == "full_cache" else method.replace("quant_", "")
         )
+        blocks = self.params.get("blocks", {})
+        if any(isinstance(w, dict) for w in blocks.values()):
+            raise ValueError(
+                "Config.tp does not support weight-quantized params yet "
+                "(quantized KV panes ARE supported via the quant_* "
+                "methods); serve full-precision weights with tp, or drop "
+                "weight_quant"
+            )
         if getattr(self, "_tp_params_cache", None) is None:
             shard = shard_gpt2_tp if self.model.name == "gpt2" else \
                 shard_llama_tp
@@ -787,15 +795,17 @@ class InferenceEngine:
                 "draft_id": id(draft[1]) if draft is not None else None,
             }
 
+        def _width(cfg):
+            return getattr(cfg, "hidden_size", None) or getattr(
+                cfg, "n_embd", 1
+            )
+
         def cost(mode, k, d):
             if mode == "ngram":
                 return 1.0
             dspec = d[0]
-            rel = (dspec.n_layer * dspec.config.hidden_size ** 2) / max(
-                self.model.n_layer
-                * getattr(self.model.config, "hidden_size",
-                          getattr(self.model.config, "n_embd", 1)) ** 2,
-                1,
+            rel = (dspec.n_layer * _width(dspec.config) ** 2) / max(
+                self.model.n_layer * _width(self.model.config) ** 2, 1
             )
             return 1.0 + k * max(rel, 0.02)
 

@@ -338,10 +338,12 @@ class MegaBatchServer:
             """Pool-format [L, P, Wp] + [L, P] scales -> dense [L, P, KW]."""
             if kind == "int8":
                 vals = store.astype(jnp.float32)
-            else:  # kernel half-split packing: byte = 16*q_hi + (q_lo + 8)
-                lo_b = jnp.bitwise_and(store, 0xF).astype(jnp.float32)
-                hi = (store.astype(jnp.float32) - lo_b) * 0.0625
-                vals = jnp.concatenate([hi, lo_b - 8.0], axis=-1)
+            else:  # kernel half-split packing — THE decode lives in
+                # ops/pallas/megakernel_quant.unpack_halves
+                from ..ops.pallas.megakernel_quant import unpack_halves
+
+                hi, lo = unpack_halves(store, jnp.float32)
+                vals = jnp.concatenate([hi, lo], axis=-1)
             return (vals * scales[..., None]).astype(dtype)
 
         def prefill(params, suffix, slens, slots, pk, pv, pks, pvs,
@@ -441,11 +443,10 @@ class MegaBatchServer:
             donate = (8, 9)
         return jax.jit(prefill, donate_argnums=donate)
 
-    def _dispatch_suffix_group(self, wave, P: int, pkey) -> int:
+    def _dispatch_suffix_group(self, wave, P: int, entry) -> int:
         """Admit a prefix-HIT group: one suffix-only prefill dispatch."""
         C = self.pool_cfg.capacity
         margin = 16 if self.spec else 8
-        entry = self._prefix_reg[pkey]
         sufs = [(slot, req, ids, ids[P:]) for slot, req, ids in wave]
         Smax = max(len(s) for *_, s in sufs)
         Spad = min(bucket_for(Smax), C - P - margin)
@@ -747,20 +748,26 @@ class MegaBatchServer:
             groups: Dict = {}
             for slot, req, ids in wave:
                 P, pkey = self._match_prefix(ids)
-                groups.setdefault((P, pkey), []).append((slot, req, ids))
+                # capture the registry ENTRY now: an earlier group's
+                # registrations in this same admission may LRU-evict the
+                # key before this group dispatches
+                entry = self._prefix_reg[pkey] if pkey is not None else None
+                groups.setdefault((P, pkey), (entry, []))[1].append(
+                    (slot, req, ids)
+                )
             n = 0
-            for (P, pkey), members in groups.items():
-                n += self._dispatch_group(members, P, pkey)
+            for (P, pkey), (entry, members) in groups.items():
+                n += self._dispatch_group(members, P, entry)
             return n
         return self._dispatch_group(wave, 0, None)
 
-    def _dispatch_group(self, wave, P: int, pkey) -> int:
+    def _dispatch_group(self, wave, P: int, entry) -> int:
         """Prefill one admission group (shared prefix length P) in one
         dispatch; P == 0 is the plain full-prompt path."""
         C = self.pool_cfg.capacity
         margin = 16 if self.spec else 8
         if P > 0:
-            return self._dispatch_suffix_group(wave, P, pkey)
+            return self._dispatch_suffix_group(wave, P, entry)
         Tmax = max(len(ids) for _, _, ids in wave)
         Tpad = min(bucket_for(Tmax), self.pool_cfg.prompt_bucket)
         Tpad = min(Tpad, C - margin)

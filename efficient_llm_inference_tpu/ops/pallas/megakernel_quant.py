@@ -95,6 +95,20 @@ def _pane_dtype(kind: str):
     return jnp.int8  # int4 panes pack as int8 = 16*q_hi + q_lo + 8
 
 
+def unpack_halves(pk, dtype):
+    """Half-split pane byte = 16*q_hi + (q_lo + 8) -> (q_hi, q_lo) values.
+
+    The float identity (byte_f - lo_biased) carries 16 * signed hi value
+    — the byte's own sign extends the nibble — so no int8 vector shifts
+    (Mosaic cannot legalize them). THE decode for this packing: used by
+    both quant megakernel attention loops and the prefix-cache dequant
+    (engine/megaserver.py); change the packing only here + the packers.
+    """
+    lo_b = jnp.bitwise_and(pk, 0xF).astype(dtype)  # q_lo + 8, exact
+    hi = (pk.astype(dtype) - lo_b) * 0.0625  # q_hi, exact
+    return hi, lo_b - 8.0
+
+
 def to_mega_quant_layout(buf: jax.Array, kind: str) -> jax.Array:
     """QuantizedKV buffer [L, 1, H, C, D(/2)] -> kernel pane (one-time).
 
@@ -424,9 +438,7 @@ def gpt2_megastep_quant(
             return dot_nn(p32.astype(dtype), b16)
 
         def unpack4(pk):  # [cw, E2] int8 -> (hi_vals, lo_vals) in dtype
-            lo_b = jnp.bitwise_and(pk, 0xF).astype(dtype)  # q_lo + 8, exact
-            hi = (pk.astype(dtype) - lo_b) * 0.0625  # q_hi, exact
-            return hi, lo_b - 8.0
+            return unpack_halves(pk, dtype)
 
         def quant_row(x16, kind):
             """[1, E] dtype -> (q fp32 rounded/clipped, scale fp32 [1,1]).
@@ -913,9 +925,7 @@ def llama_megastep_quant(
             return dot_nn(p32.astype(dtype), b16)
 
         def unpack4(pk):  # [cw, W/2] int8 -> (hi_vals, lo_vals) in dtype
-            lo_b = jnp.bitwise_and(pk, 0xF).astype(dtype)  # q_lo + 8, exact
-            hi = (pk.astype(dtype) - lo_b) * 0.0625  # q_hi, exact
-            return hi, lo_b - 8.0
+            return unpack_halves(pk, dtype)
 
         def quant_row(x16, kind):
             """[1, KW] dtype -> (q fp32 rounded/clipped, scale fp32 [1,1]).

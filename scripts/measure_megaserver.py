@@ -98,7 +98,6 @@ def main() -> None:
             enable_prefix_cache=prefix_cache,
         )
 
-    srv = make_srv(args.spec)
     rng = np.random.default_rng(0)
     words = ["weather", "mountain", "river", "engine", "tensor", "kernel",
              "stream", "window", "matrix", "garden"]
@@ -171,7 +170,8 @@ def main() -> None:
         print(f"BEST: plain {best_plain:.0f} | spec {best_spec:.0f} tok/s "
               f"aggregate ({best_spec/best_plain - 1:+.1%} within-run)")
     else:
-        print(f"BEST: {bench(srv, 'rep'):.0f} tok/s aggregate")
+        print(f"BEST: {bench(make_srv(args.spec), 'rep'):.0f} tok/s "
+              "aggregate")
 
 
 if __name__ == "__main__":

@@ -128,3 +128,28 @@ def test_prefix_lru_eviction(params, eng):
         srv.run([Request(rid=0, prompt_ids=tok.encode(p),
                          max_new_tokens=3)])
     assert len(srv._prefix_reg) <= 2
+
+
+def test_prefix_hit_survives_lru_eviction_within_admission(params, eng):
+    """A hit group's registry entry may be LRU-evicted by an earlier miss
+    group's registrations in the SAME admission wave — the captured entry
+    must still serve the suffix prefill (round-5 review fix)."""
+    srv = _mk_srv(params)
+    srv.prefix_cache_max = 1
+    tok = eng.tokenizer
+    known = PREFIX + SUFFIXES[0]
+    # register PREFIX's aligned chunks
+    srv.run([Request(rid=0, prompt_ids=tok.encode(known), max_new_tokens=3)])
+    # one HIT request + one MISS request whose registration evicts the
+    # hit's key (cache_max=1), admitted in the same wave
+    reqs = [
+        Request(rid=0, prompt_ids=tok.encode(PREFIX + SUFFIXES[1]),
+                max_new_tokens=4),
+        Request(rid=1, prompt_ids=tok.encode(
+            "completely different prompt with words"), max_new_tokens=4),
+    ]
+    srv.run(reqs)  # must not KeyError
+    for req, p in zip(reqs, [PREFIX + SUFFIXES[1],
+                             "completely different prompt with words"]):
+        want = eng.generate_ids(p, "full_cache", max_new_tokens=4)
+        assert req.prompt_ids + req.out_ids == want

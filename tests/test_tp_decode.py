@@ -372,3 +372,20 @@ def test_engine_tp_routing(setup, lsetup):
     )
     with pytest.raises(ValueError):
         eng3.generate_ids("hello world", "full_cache", max_new_tokens=4)
+
+
+def test_tp_rejects_weight_quantized_params(setup):
+    """Config.tp with weight-quantized params fails loudly (weight-quant
+    TP sharding is not implemented; quant KV panes ARE)."""
+    from efficient_llm_inference_tpu.core.config import Config
+    from efficient_llm_inference_tpu.engine.engine import InferenceEngine
+
+    spec, params = setup
+    qparams = gpt2_mod.quantize_gpt2_weights(params)
+    eng = InferenceEngine(
+        spec, qparams,
+        config=Config(dtype=jnp.float32, megakernel=False, device="cpu",
+                      tp=4),
+    )
+    with pytest.raises(ValueError, match="weight-quantized"):
+        eng.generate_ids("hello world", "full_cache", max_new_tokens=4)
