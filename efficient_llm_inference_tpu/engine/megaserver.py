@@ -88,8 +88,11 @@ class MegaBatchServer:
         verify megakernel (ops/pallas/megakernel_batch_verify.py), so a
         round advances each slot 1..spec_k tokens for ~one batched weight
         pass. Greedy acceptance keeps per-request outputs IDENTICAL to the
-        plain server for any proposal source. Currently gpt2-family, bf16
-        panes (kv_mode=None) only; `spec_k <= 8` (one RMW window)."""
+        plain server (same kv_mode) for any proposal source. Quant pools
+        compose (round 5): with kv_mode set, rounds ride the quant-pane
+        verify kernel (gpt2_megabatch_verify_quant) whose numerics equal
+        the sequential quant stepper's exactly. Currently gpt2-family;
+        `spec_k <= 8` (one RMW window)."""
         from ..ops.pallas.megakernel_batch import (
             llama_mega_batch_supported,
             mega_batch_supported,
@@ -121,14 +124,24 @@ class MegaBatchServer:
 
             if spec != "ngram":
                 raise ValueError(f"unknown spec mode: {spec!r}")
-            if model.name != "gpt2" or kv_mode:
+            if model.name != "gpt2":
                 raise ValueError(
-                    "spec serving currently needs a gpt2-family model "
-                    "with bf16 panes (kv_mode=None)"
+                    "spec serving currently needs a gpt2-family model"
                 )
-            if not mega_batch_verify_supported(
-                model.config, pool.capacity, params, pool.n_slots, spec_k
-            ):
+            if kv_mode:  # spec x compressed pools (round 5)
+                from ..ops.pallas.megakernel_batch_verify import (
+                    mega_batch_verify_quant_supported,
+                )
+
+                ok_spec = mega_batch_verify_quant_supported(
+                    model.config, pool.capacity, params, pool.n_slots,
+                    spec_k, kv_mode,
+                )
+            else:
+                ok_spec = mega_batch_verify_supported(
+                    model.config, pool.capacity, params, pool.n_slots, spec_k
+                )
+            if not ok_spec:
                 raise ValueError(
                     "batched verify megakernel unsupported at this "
                     "(model, n_slots, capacity, spec_k)"
@@ -287,12 +300,16 @@ class MegaBatchServer:
                         seq, tok0[w][None, None], (slots[w], true_lens[w])
                     )
                     slen = slen.at[slots[w]].set(true_lens[w] + 1)
+                if kv_mode:
+                    return k_pool, v_pool, ks_pool, vs_pool, seq, slen
                 return k_pool, v_pool, seq, slen
             if kv_mode:
                 return k_pool, v_pool, ks_pool, vs_pool, tok0
             return k_pool, v_pool, tok0
 
-        if spec_stream:
+        if spec_stream and kv_mode:
+            donate = (4, 5, 6, 7, 8, 9)
+        elif spec_stream:
             donate = (4, 5, 8, 9)
         elif kv_mode:
             donate = (4, 5, 6, 7)
@@ -430,12 +447,16 @@ class MegaBatchServer:
                         seq, tok0[w][None, None], (slots[w], flens[w])
                     )
                     slen = slen.at[slots[w]].set(flens[w] + 1)
+                if kv_mode:
+                    return k_pool, v_pool, ks_pool, vs_pool, seq, slen
                 return k_pool, v_pool, seq, slen
             if kv_mode:
                 return k_pool, v_pool, ks_pool, vs_pool, tok0
             return k_pool, v_pool, tok0
 
-        if spec_stream:
+        if spec_stream and kv_mode:
+            donate = (8, 9, 10, 11, 12, 13)
+        elif spec_stream:
             donate = (8, 9, 12, 13)
         elif kv_mode:
             donate = (8, 9, 10, 11)
@@ -479,11 +500,19 @@ class MegaBatchServer:
             self.k_pool, self.v_pool,
         )
         if self.spec:
-            (self.k_pool, self.v_pool, self.seq_dev,
-             self.slen_dev) = self._prefills[key](
-                *args, None, None, self.seq_dev, self.slen_dev,
-                jnp.asarray(pbuf), jnp.asarray(flens),
-            )
+            if self.kv_mode:
+                (self.k_pool, self.v_pool, self.ks_pool, self.vs_pool,
+                 self.seq_dev, self.slen_dev) = self._prefills[key](
+                    *args, self.ks_pool, self.vs_pool,
+                    self.seq_dev, self.slen_dev,
+                    jnp.asarray(pbuf), jnp.asarray(flens),
+                )
+            else:
+                (self.k_pool, self.v_pool, self.seq_dev,
+                 self.slen_dev) = self._prefills[key](
+                    *args, None, None, self.seq_dev, self.slen_dev,
+                    jnp.asarray(pbuf), jnp.asarray(flens),
+                )
             for slot, req, ids, _ in sufs[: len(wave)]:
                 self.slot_req[slot] = req
                 self.active[slot] = True
@@ -598,9 +627,14 @@ class MegaBatchServer:
         own token at the first mismatch), rollback as a pure per-slot
         length update. Inactive slots verify junk into their own pane
         (cursor clamped in-pane) and emit nothing — the zombie contract
-        of the plain chunk path.
+        of the plain chunk path. With a quant pool (kv_mode) the round
+        rides the quant-pane verify kernel and the scale tables thread
+        through the scan alongside the panes.
         """
-        from ..ops.pallas.megakernel_batch_verify import gpt2_megabatch_verify
+        from ..ops.pallas.megakernel_batch_verify import (
+            gpt2_megabatch_verify,
+            gpt2_megabatch_verify_quant,
+        )
 
         model = self.model
         cfg = model.config
@@ -608,6 +642,7 @@ class MegaBatchServer:
         Bn = self.pool_cfg.n_slots
         R = self.spec_k
         ngram = self.ngram_n
+        kv_mode = self.kv_mode
         interpret = self.interpret
         S = C  # stream buffer: prompt + emitted fits the pane by admission
 
@@ -644,7 +679,7 @@ class MegaBatchServer:
             wte, wpe = params["wte"], params["wpe"]
 
             def round_(carry, _):
-                k_pool, v_pool, seq, slen = carry
+                pools, seq, slen = carry
                 props = propose(seq, slen)  # [B, R]
                 cur = jnp.take_along_axis(seq, (slen - 1)[:, None], axis=1)
                 vin = jnp.concatenate([cur, props[:, :-1]], axis=1)  # [B, R]
@@ -655,11 +690,24 @@ class MegaBatchServer:
                     model.n_positions - 1,
                 )
                 x = (wte[vin] + wpe[pos]).astype(wte.dtype)
-                greedy, k_pool, v_pool = gpt2_megabatch_verify(
-                    packed, k_pool, v_pool, slen - 1,
-                    x.reshape(Bn * R, cfg.n_embd),
-                    cfg=cfg, capacity=C, rows=R, interpret=interpret,
-                )  # greedy: [B, R]
+                if kv_mode:
+                    k_pool, v_pool, ks_pool, vs_pool = pools
+                    (greedy, k_pool, v_pool, ks_pool,
+                     vs_pool) = gpt2_megabatch_verify_quant(
+                        packed, k_pool, v_pool, ks_pool, vs_pool, slen - 1,
+                        x.reshape(Bn * R, cfg.n_embd),
+                        cfg=cfg, capacity=C, rows=R, kv_mode=kv_mode,
+                        interpret=interpret,
+                    )
+                    pools = (k_pool, v_pool, ks_pool, vs_pool)
+                else:
+                    k_pool, v_pool = pools
+                    greedy, k_pool, v_pool = gpt2_megabatch_verify(
+                        packed, k_pool, v_pool, slen - 1,
+                        x.reshape(Bn * R, cfg.n_embd),
+                        cfg=cfg, capacity=C, rows=R, interpret=interpret,
+                    )  # greedy: [B, R]
+                    pools = (k_pool, v_pool)
                 greedy = jnp.clip(greedy, 0, model.vocab_size - 1)
                 agree = props == greedy
                 n_acc = jnp.argmin(
@@ -687,13 +735,12 @@ class MegaBatchServer:
                 # window in-pane (slen <= C-8 makes gbase <= C-16; zombie
                 # past the clamp, as the plain path's C-1 cursor clamp)
                 slen = jnp.minimum(slen + n_new, C - 8)
-                return (k_pool, v_pool, seq, slen), (emitted[:, :R], n_new)
+                return (pools, seq, slen), (emitted[:, :R], n_new)
 
-            k_pool, v_pool = pools
-            (k_pool, v_pool, seq, slen), (em, nn) = jax.lax.scan(
-                round_, (k_pool, v_pool, seq, slen), None, length=n_rounds
+            (pools, seq, slen), (em, nn) = jax.lax.scan(
+                round_, (pools, seq, slen), None, length=n_rounds
             )
-            return (k_pool, v_pool), seq, slen, em, nn
+            return pools, seq, slen, em, nn
 
         return jax.jit(chunk, donate_argnums=(2,))
 
@@ -788,12 +835,21 @@ class MegaBatchServer:
             # fully device-side admission: prompt + prefill token land in
             # seq_dev; NO blocking fetch here (the first burst fetch books
             # tok0 for `pending` slots)
-            (self.k_pool, self.v_pool, self.seq_dev,
-             self.slen_dev) = self._prefills[key](
+            args = (
                 self.params, jnp.asarray(buf), jnp.asarray(lens),
                 jnp.asarray(slots), self.k_pool, self.v_pool,
-                None, None, self.seq_dev, self.slen_dev,
             )
+            if self.kv_mode:
+                (self.k_pool, self.v_pool, self.ks_pool, self.vs_pool,
+                 self.seq_dev, self.slen_dev) = self._prefills[key](
+                    *args, self.ks_pool, self.vs_pool,
+                    self.seq_dev, self.slen_dev,
+                )
+            else:
+                (self.k_pool, self.v_pool, self.seq_dev,
+                 self.slen_dev) = self._prefills[key](
+                    *args, None, None, self.seq_dev, self.slen_dev,
+                )
             for slot, req, ids in wave:
                 ids = ids[:Tpad]
                 self.slot_req[slot] = req
@@ -951,6 +1007,8 @@ class MegaBatchServer:
             n_burst = max(1, min(n_burst, self._SPEC_BURST_CAP))
             active_c = jnp.asarray(self.active.copy())
             pools = (self.k_pool, self.v_pool)
+            if self.kv_mode:
+                pools += (self.ks_pool, self.vs_pool)
             seq_c, slen_c = self.seq_dev, self.slen_dev
             blocks = []
             for _ in range(n_burst):
@@ -958,7 +1016,11 @@ class MegaBatchServer:
                     self.params, self.packed, pools, seq_c, slen_c, active_c
                 )
                 blocks.append((em, nn))
-            self.k_pool, self.v_pool = pools
+            if self.kv_mode:
+                (self.k_pool, self.v_pool,
+                 self.ks_pool, self.vs_pool) = pools
+            else:
+                self.k_pool, self.v_pool = pools
             self.seq_dev, self.slen_dev = seq_c, slen_c
             fetched, seq_np, slen_np = jax.device_get(
                 (blocks, seq_c, slen_c)

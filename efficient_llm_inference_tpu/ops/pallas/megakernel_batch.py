@@ -51,7 +51,7 @@ from .megakernel import (
     _tile_bytes,
     _gpt2_int4_group,
 )
-from .megakernel_llama import _int4_tile_dot
+from .megakernel_llama import _int4_tile_dot, _s4_geom
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
@@ -152,13 +152,14 @@ def gpt2_megabatch(
     dt_item = jnp.dtype(dtype).itemsize
     s4_vmem = False
     if int4_w:
-        G = E // packed["w4scale"].shape[1]
-        n_gh = (E // G) // 2
+        G, n_gh, s4p = _s4_geom(E, packed)
+        s4_rows = packed["w4scale"].shape[1]
         mode = "int4"
-        s4_bytes = n_tiles * (E // G) * E * dt_item
+        s4_bytes = n_tiles * s4_rows * E * dt_item
         s4_vmem = s4_bytes <= _S4_VMEM_MAX
     else:
-        G, n_gh = E, 0
+        G, n_gh, s4p = E, 0, 0
+        s4_rows = 0
         mode = "int8" if int8_w else "f"
     tile_b = (E // 2) * E if s4_vmem else _tile_bytes(mode, E, G, dt_item)
     tps = _pick_tps_batch(E, C, B, L, tile_b, dt_item)
@@ -268,7 +269,7 @@ def gpt2_megabatch(
                 st = s4_ref[t] if s4_vmem else sbuf[slab, off]
                 y = _int4_tile_dot(
                     x_.astype(dtype), wbuf[slab, off], st,
-                    gsel, E, G, n_gh, dtype,
+                    gsel, E, G, n_gh, dtype, s4p,
                 )
             else:
                 y = jax.lax.dot_general(
@@ -417,7 +418,7 @@ def gpt2_megabatch(
     wtile_shape = (2, tps, E // 2, E) if int4_w else (2, tps, E, E)
     scratch = [pltpu.VMEM(wtile_shape, wdtype)]
     if int4_w and not s4_vmem:
-        scratch.append(pltpu.VMEM((2, tps, E // G, E), dtype))
+        scratch.append(pltpu.VMEM((2, tps, s4_rows, E), dtype))
     scratch += [
         pltpu.VMEM((2, B, C, E), dtype),  # K ring (whole-batch panes)
         pltpu.VMEM((2, B, C, E), dtype),  # V ring
@@ -555,7 +556,11 @@ def llama_mega_batch_supported(
     n_tiles = cfg.n_layer * _tiles_per_layer(cfg, TR, TC, Ip) + (
         _llama_num_lm_tiles(cfg.vocab_size, TC) * (cfg.hidden_size // TR)
     )
-    slot_bytes = _w_slot_bytes(mode, TR, TC, G, dt_item)
+    from .megakernel_llama import _s4_half_rows
+    slot_bytes = _w_slot_bytes(
+        mode, TR, TC, G, dt_item,
+        2 * _s4_half_rows(TR, G) if mode == "int4" else None,
+    )
     if n_tiles > 2048 and slot_bytes < 256 * 1024:
         return False  # DMA-issue bound (same gate as the single-stream kernel)
     stream_cap = 5 * 1024**3 if mode == "int4" else 4 * 1024**3
@@ -624,22 +629,24 @@ def llama_megabatch(
     dt_item = jnp.dtype(dtype).itemsize
     s4_vmem = False
     if int4_w:
-        G = TR // packed["w4scale"].shape[1]
-        n_gh = (TR // G) // 2
+        G, n_gh, s4p = _s4_geom(TR, packed)
+        s4_rows = packed["w4scale"].shape[1]
         mode = "int4"
         gsel_bytes = (TR // 2) * n_gh * 4
-        s4_bytes = n_tiles * (TR // G) * TC * dt_item
+        s4_bytes = n_tiles * s4_rows * TC * dt_item
         s4_vmem = _llama_pick_tps_batch(
             C, B, L, KW, (TR // 2) * TC, gsel_bytes + s4_bytes, dt_item
         ) > 0
         ws_vmem = gsel_bytes + (s4_bytes if s4_vmem else 0)
     else:
-        G, n_gh = TR, 0
+        G, n_gh, s4p = TR, 0, 0
+        s4_rows = 0
         mode = "int8" if int8_w else "f"
         ws_vmem = 4 * n_tiles * TC if int8_w else 0
     tps = _llama_pick_tps_batch(
         C, B, L, KW,
-        (TR // 2) * TC if s4_vmem else _w_slot_bytes(mode, TR, TC, G, dt_item),
+        (TR // 2) * TC if s4_vmem
+        else _w_slot_bytes(mode, TR, TC, G, dt_item, s4_rows or None),
         ws_vmem, dt_item,
     )
     if tps == 0:
@@ -764,7 +771,7 @@ def llama_megabatch(
                 st = s4_ref[pl.ds(t, 1)][0]
             else:
                 st = sbuf[pl.ds(slot, 1)][0]
-            return _int4_tile_dot(xg, pk, st, gsel, TR, G, n_gh, dtype)
+            return _int4_tile_dot(xg, pk, st, gsel, TR, G, n_gh, dtype, s4p)
 
         def mm_chunks(x_, base, rg, cg):
             outs = []
@@ -981,7 +988,7 @@ def llama_megabatch(
     wtile_shape = (2, TR // 2, TC) if int4_w else (2, TR, TC)
     scratch = [pltpu.VMEM(wtile_shape, wdtype)]
     if int4_w and not s4_vmem:
-        scratch.append(pltpu.VMEM((2, TR // G, TC), dtype))
+        scratch.append(pltpu.VMEM((2, s4_rows, TC), dtype))
     scratch += [
         pltpu.VMEM((2, B, C, KW), dtype),  # K ring (whole-batch panes)
         pltpu.VMEM((2, B, C, KW), dtype),  # V ring

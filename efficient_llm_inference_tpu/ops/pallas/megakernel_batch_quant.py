@@ -58,7 +58,7 @@ from .megakernel import (
     _num_lm_tiles,
     _tile_bytes,
 )
-from .megakernel_llama import _int4_tile_dot
+from .megakernel_llama import _int4_tile_dot, _s4_geom
 from .megakernel_quant import _kv_kinds, _pane_width
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
@@ -184,7 +184,10 @@ def llama_mega_batch_quant_supported(
     TR, TC, Ip = _ml._tile_geometry(cfg)
     G = _ml._q4_group(b["wq"]) if mode == "int4" else 0
     dt_item = jnp.dtype(params["embed"].dtype).itemsize
-    slot = _ml._w_slot_bytes(mode, TR, TC, G, dt_item)
+    slot = _ml._w_slot_bytes(
+        mode, TR, TC, G, dt_item,
+        2 * _ml._s4_half_rows(TR, G) if mode == "int4" else None,
+    )
     n_tiles = cfg.n_layer * _ml._tiles_per_layer(cfg, TR, TC, Ip) + (
         _ml._num_lm_tiles(cfg.vocab_size, TC) * (cfg.hidden_size // TR)
     )
@@ -247,13 +250,14 @@ def gpt2_megabatch_quant(
     dt_item = jnp.dtype(dtype).itemsize
     s4_vmem = False
     if int4_w:
-        G = E // packed["w4scale"].shape[1]
-        n_gh = (E // G) // 2
+        G, n_gh, s4p = _s4_geom(E, packed)
+        s4_rows = packed["w4scale"].shape[1]
         mode = "int4"
-        s4_bytes = n_tiles * (E // G) * E * dt_item
+        s4_bytes = n_tiles * s4_rows * E * dt_item
         s4_vmem = s4_bytes <= _S4_VMEM_MAX
     else:
-        G, n_gh = E, 0
+        G, n_gh, s4p = E, 0, 0
+        s4_rows = 0
         mode = "int8" if int8_w else "f"
     tile_b = (E // 2) * E if s4_vmem else _tile_bytes(mode, E, G, dt_item)
     tps = _pick_tps_batch_quant(E, EK, EV, C, B, L, tile_b)
@@ -365,7 +369,7 @@ def gpt2_megabatch_quant(
                 st = s4_ref[t] if s4_vmem else sbuf[slab, off]
                 y = _int4_tile_dot(
                     x_.astype(dtype), wbuf[slab, off], st,
-                    gsel, E, G, n_gh, dtype,
+                    gsel, E, G, n_gh, dtype, s4p,
                 )
             else:
                 y = jax.lax.dot_general(
@@ -586,7 +590,7 @@ def gpt2_megabatch_quant(
     wtile_shape = (2, tps, E // 2, E) if int4_w else (2, tps, E, E)
     scratch = [pltpu.VMEM(wtile_shape, wdtype)]
     if int4_w and not s4_vmem:
-        scratch.append(pltpu.VMEM((2, tps, E // G, E), dtype))
+        scratch.append(pltpu.VMEM((2, tps, s4_rows, E), dtype))
     scratch += [
         pltpu.VMEM((2, B, C, EK), jnp.int8),  # K ring (quantized panes)
         pltpu.VMEM((2, B, C, EV), jnp.int8),  # V ring
@@ -728,10 +732,10 @@ def llama_megabatch_quant(
     s4_vmem = False
     stacked = 6 * Hq * C * 4
     if int4_w:
-        G = TR // packed["w4scale"].shape[1]
-        n_gh = (TR // G) // 2
+        G, n_gh, s4p = _s4_geom(TR, packed)
+        s4_rows = packed["w4scale"].shape[1]
         gsel_bytes = (TR // 2) * n_gh * 4
-        s4_bytes = n_tiles * (TR // G) * TC * dt_item
+        s4_bytes = n_tiles * s4_rows * TC * dt_item
         s4_vmem = _pick_tps_batch_quant(
             KW, EK, EV, C, B, L, (TR // 2) * TC,
             gsel_bytes + s4_bytes + stacked,
@@ -739,11 +743,12 @@ def llama_megabatch_quant(
         ws_vmem = gsel_bytes + (s4_bytes if s4_vmem else 0)
         mode = "int4"
     else:
-        G, n_gh = TR, 0
+        G, n_gh, s4p = TR, 0, 0
+        s4_rows = 0
         mode = "int8" if int8_w else "f"
         ws_vmem = 4 * n_tiles * TC if int8_w else 0
     slot = (TR // 2) * TC if s4_vmem else _w_slot_bytes(
-        mode, TR, TC, G, dt_item
+        mode, TR, TC, G, dt_item, s4_rows or None
     )
     tps = _pick_tps_batch_quant(
         KW, EK, EV, C, B, L, slot, ws_vmem + stacked
@@ -868,7 +873,7 @@ def llama_megabatch_quant(
                 st = s4_ref[pl.ds(t, 1)][0]
             else:
                 st = sbuf[pl.ds(slot_, 1)][0]
-            return _int4_tile_dot(xg, pk, st, gsel, TR, G, n_gh, dtype)
+            return _int4_tile_dot(xg, pk, st, gsel, TR, G, n_gh, dtype, s4p)
 
         ones_b = jnp.ones((B, 1), jnp.float32)
 
@@ -1151,7 +1156,7 @@ def llama_megabatch_quant(
     wtile_shape = (2, TR // 2, TC) if int4_w else (2, TR, TC)
     scratch = [pltpu.VMEM(wtile_shape, wdtype)]
     if int4_w and not s4_vmem:
-        scratch.append(pltpu.VMEM((2, TR // G, TC), dtype))
+        scratch.append(pltpu.VMEM((2, s4_rows, TC), dtype))
     scratch += [
         pltpu.VMEM((2, B, C, EK), jnp.int8),  # K ring (quantized panes)
         pltpu.VMEM((2, B, C, EV), jnp.int8),  # V ring

@@ -53,7 +53,8 @@ from .megakernel import (
     _num_lm_tiles,
     _tile_bytes,
 )
-from .megakernel_llama import _int4_tile_dot
+from .megakernel_llama import _int4_tile_dot, _s4_geom
+from .megakernel_quant import _kv_kinds, _pane_width
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
@@ -150,13 +151,14 @@ def gpt2_megabatch_verify(
     dt_item = jnp.dtype(dtype).itemsize
     s4_vmem = False
     if int4_w:
-        G = E // packed["w4scale"].shape[1]
-        n_gh = (E // G) // 2
+        G, n_gh, s4p = _s4_geom(E, packed)
+        s4_rows = packed["w4scale"].shape[1]
         mode = "int4"
-        s4_bytes = n_tiles * (E // G) * E * dt_item
+        s4_bytes = n_tiles * s4_rows * E * dt_item
         s4_vmem = s4_bytes <= _S4_VMEM_MAX
     else:
-        G, n_gh = E, 0
+        G, n_gh, s4p = E, 0, 0
+        s4_rows = 0
         mode = "int8" if int8_w else "f"
     tile_b = (E // 2) * E if s4_vmem else _tile_bytes(mode, E, G, dt_item)
     tps = _pick_tps_batch_verify(E, C, B, R, L, tile_b, dt_item)
@@ -283,7 +285,7 @@ def gpt2_megabatch_verify(
                 st = s4_ref[t] if s4_vmem else sbuf[slab, off]
                 y = _int4_tile_dot(
                     x_.astype(dtype), wbuf[slab, off], st,
-                    gsel, E, G, n_gh, dtype,
+                    gsel, E, G, n_gh, dtype, s4p,
                 )
             else:
                 y = jax.lax.dot_general(
@@ -459,7 +461,7 @@ def gpt2_megabatch_verify(
     wtile_shape = (2, tps, E // 2, E) if int4_w else (2, tps, E, E)
     scratch = [pltpu.VMEM(wtile_shape, wdtype)]
     if int4_w and not s4_vmem:
-        scratch.append(pltpu.VMEM((2, tps, E // G, E), dtype))
+        scratch.append(pltpu.VMEM((2, tps, s4_rows, E), dtype))
     scratch += [
         pltpu.VMEM((2, B, C, E), dtype),  # K ring (whole-batch panes)
         pltpu.VMEM((2, B, C, E), dtype),  # V ring
@@ -526,3 +528,584 @@ def gpt2_megabatch_verify(
         w4scale,
     )
     return toks[:, 0].reshape(B, R), k2, v2
+
+
+# ---------------------------------------------------------------------------
+# Verify over QUANTIZED panes: spec serving x compressed pools (round 5)
+# ---------------------------------------------------------------------------
+
+def _pick_tps_verify_quant(
+    E: int, EK: int, EV: int, C: int, B: int, R: int, L: int,
+    tile_bytes: int,
+) -> int:
+    """Largest slab (1..3 tiles) whose quant rings + verify scratch fit."""
+    kv_ring = 2 * B * C * (EK + EV)  # 2-deep int8 rings for K and V
+    rows = L * B * R * (EK + EV)  # knew/vnew, R quantized rows per slot
+    stash = 2 * L * B * R * 128 * 4  # new-scale stashes
+    rmw = B * L * 16 * (EK + EV)  # per-slot 16-row int8 RMW windows
+    scales = 4 * L * B * C * 4  # ks/vs in + out tables
+    attn = 4 * min(C, _ATTN_CHUNK) * E * 4  # fp32 margin (rest is scoped)
+    for tps in (3, 2, 1):
+        if (2 * tps * tile_bytes + kv_ring + rows + stash + rmw + scales
+                + attn <= _VMEM_BUDGET):
+            return tps
+    return 0
+
+
+def mega_batch_verify_quant_supported(
+    cfg, capacity: int, params: dict, batch: int, rows: int, kv_mode: str
+) -> bool:
+    """Engine-side eligibility for the quant-pane batched verify kernel."""
+    b = params.get("blocks", {})
+    mode = _gpt2_weight_mode(b)
+    if mode is None:
+        return False
+    if mode == "int8" and "lm_q" not in params:
+        return False
+    if mode == "int4" and "lm_q4" not in params:
+        return False
+    E = cfg.n_embd
+    if E % 128 != 0 or capacity % 8 != 0 or batch < 1:
+        return False
+    if rows < 1 or rows > 8 or capacity < 16:
+        return False  # verify block must fit one 16-row RMW window
+    k_kind, v_kind = _kv_kinds(kv_mode)
+    if "int4" in (k_kind, v_kind) and (E // 2) % 128 != 0:
+        return False
+    G = 0
+    if mode == "int4":
+        G = _gpt2_int4_group(params)
+        if G == 0 or E % G or (E // 2) % G or E % 16:
+            return False
+    dt_item = jnp.dtype(params["wte"].dtype).itemsize
+    return _pick_tps_verify_quant(
+        E, _pane_width(k_kind, E), _pane_width(v_kind, E), capacity, batch,
+        rows, cfg.n_layer, _tile_bytes(mode, E, G, dt_item),
+    ) > 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "capacity", "rows", "kv_mode", "eps", "interpret"),
+)
+def gpt2_megabatch_verify_quant(
+    packed: dict,
+    k: jax.Array,  # [L, B, C, EK] quantized pane (aliased output)
+    v: jax.Array,  # [L, B, C, EV]
+    ks: jax.Array,  # [L, B, C] fp32 per-(slot, token) K scales (aliased)
+    vs: jax.Array,  # [L, B, C]
+    lengths: jax.Array,  # int32 [B] — per-slot tokens already cached
+    x_emb: jax.Array,  # [B*R, E] verify-row embeddings, slot-major
+    *,
+    cfg: Any,
+    capacity: int,
+    rows: int,
+    kv_mode: str,
+    eps: float = 1e-8,
+    interpret: bool = False,
+):
+    """Verify R rows per slot over QUANTIZED panes, one weight pass.
+
+    The round-5 composition the round-4 roadmap names: speculative batched
+    serving (`gpt2_megabatch_verify`) x compressed pools
+    (`gpt2_megabatch_quant`). Returns (tokens int32 [B, R], new k, new v,
+    new ks, new vs); slot b's R QUANTIZED rows land at columns
+    lengths[b]..lengths[b]+R-1 of its pane, their fp32 scales at the same
+    lanes of its scale rows.
+
+    Numerics are exactly the SEQUENTIAL quant stepper's
+    (gpt2_megabatch_quant fed the same tokens row by row): verify row r
+    attends the cache codes with post-dot [1, C] scale folds, the
+    in-block rows j < r through their QUANTIZED codes (what the pane
+    would hold by the time a sequential step read them — scale folded
+    into probs exactly like pane columns), and its OWN row j == r in full
+    precision (the sequential step's "current token, full-precision"
+    term). Acceptance therefore keeps per-request outputs identical to
+    the plain quant server for any proposal source — the invariant the
+    bf16 spec server establishes (tests/test_megakernel_batch_verify.py).
+    """
+    E, H, D, L = cfg.n_embd, cfg.n_head, cfg.head_dim, cfg.n_layer
+    C = capacity
+    R = rows
+    B = x_emb.shape[0] // R
+    V = cfg.vocab_size
+    ln_eps = cfg.layer_norm_epsilon
+    assert R <= 8 and x_emb.shape[0] == B * R
+    n_lm = _num_lm_tiles(V, E)
+    n_tiles = L * 12 + n_lm
+    wdtype = packed["wstack"].dtype
+    int8_w = "wscale" in packed
+    int4_w = "w4scale" in packed
+    k_kind, v_kind = _kv_kinds(kv_mode)
+    EK = _pane_width(k_kind, E)
+    EV = _pane_width(v_kind, E)
+    dtype = x_emb.dtype  # compute/residual dtype (the model dtype)
+    dt_item = jnp.dtype(dtype).itemsize
+    s4_vmem = False
+    if int4_w:
+        G, n_gh, s4p = _s4_geom(E, packed)
+        s4_rows = packed["w4scale"].shape[1]
+        mode = "int4"
+        s4_bytes = n_tiles * s4_rows * E * dt_item
+        s4_vmem = s4_bytes <= _S4_VMEM_MAX
+    else:
+        G, n_gh, s4p = E, 0, 0
+        s4_rows = 0
+        mode = "int8" if int8_w else "f"
+    tile_b = (E // 2) * E if s4_vmem else _tile_bytes(mode, E, G, dt_item)
+    tps = _pick_tps_verify_quant(E, EK, EV, C, B, R, L, tile_b)
+    if tps == 0:
+        raise ValueError(
+            "quant-pane batched verify megakernel does not fit VMEM at "
+            "this (batch, rows, capacity)"
+        )
+    n_slabs = -(-n_tiles // tps)
+    scale = 1.0 / (float(D) ** 0.5)
+    E2 = E // 2
+
+    def ln(x32, g, b_):  # row-wise LN, [B*R, E] fp32
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        return (x32 - mean) * jax.lax.rsqrt(var + ln_eps) * g + b_
+
+    def kernel(len_ref, x_ref, w_ref, k_ref, v_ref, ks_ref, vs_ref,
+               sm_ref, lnf_ref, ws_ref, s4_ref,
+               tok_ref, ko_ref, vo_ref, kso_ref, vso_ref, *scr):
+        if int4_w and not s4_vmem:
+            (wbuf, sbuf, kbuf, vbuf, knew, vnew, ksn, vsn, gk, gv,
+             wsem, ssem, ksem, vsem, gsem, osem) = scr
+        else:
+            (wbuf, kbuf, vbuf, knew, vnew, ksn, vsn, gk, gv,
+             wsem, ksem, vsem, gsem, osem) = scr
+            sbuf = ssem = None
+
+        if int4_w:
+            r_ids = jax.lax.broadcasted_iota(jnp.int32, (E2, n_gh), 0) // G
+            g_ids = jax.lax.broadcasted_iota(jnp.int32, (E2, n_gh), 1)
+            gsel = (r_ids == g_ids).astype(dtype)
+
+        # fused R-row transposed-attention constants (gpt2_megabatch_verify)
+        RH = R * H
+        i_head = jax.lax.broadcasted_iota(jnp.int32, (RH, E), 0) % H
+        e_seg = jax.lax.broadcasted_iota(jnp.int32, (RH, E), 1) // D
+        selT_t = (e_seg == i_head).astype(jnp.float32)  # [RH, E]
+        rep = (
+            jax.lax.broadcasted_iota(jnp.int32, (RH, R), 0) // H
+            == jax.lax.broadcasted_iota(jnp.int32, (RH, R), 1)
+        ).astype(jnp.float32)  # [RH, R]
+        fold = rep.T  # [R, RH]
+        # STRICT in-block causality (j < r): rows j < r are read through
+        # their quantized codes; the diagonal j == r is the row's own
+        # full-precision K/V (the sequential stepper's current-token term)
+        blk_lt = (
+            jax.lax.broadcasted_iota(jnp.int32, (RH, R), 1)
+            < jax.lax.broadcasted_iota(jnp.int32, (RH, R), 0) // H
+        )
+        col_rc = jax.lax.broadcasted_iota(jnp.int32, (RH, C), 1)
+
+        def wdma(slot, s):
+            lo = s * tps
+            sz = min(tps, n_tiles - lo)
+            return pltpu.make_async_copy(
+                w_ref.at[pl.ds(lo, sz)], wbuf.at[slot, pl.ds(0, sz)],
+                wsem.at[slot],
+            )
+
+        def sdma(slot, s):
+            lo = s * tps
+            sz = min(tps, n_tiles - lo)
+            return pltpu.make_async_copy(
+                s4_ref.at[pl.ds(lo, sz)], sbuf.at[slot, pl.ds(0, sz)],
+                ssem.at[slot],
+            )
+
+        def kdma(slot, l):  # whole-batch quantized pane: one DMA per layer
+            return pltpu.make_async_copy(
+                k_ref.at[l], kbuf.at[slot], ksem.at[slot]
+            )
+
+        def vdma(slot, l):
+            return pltpu.make_async_copy(
+                v_ref.at[l], vbuf.at[slot], vsem.at[slot]
+            )
+
+        def gbase_of(b):
+            cur_b = len_ref[b, 0]
+            return pl.multiple_of((cur_b // 8) * 8, 8)
+
+        def group_in(ref, buf, b, sem):
+            return pltpu.make_async_copy(
+                ref.at[:, b, pl.ds(gbase_of(b), 16), :], buf.at[b], sem
+            )
+
+        def group_out(buf, ref, b, sem):
+            return pltpu.make_async_copy(
+                buf.at[b], ref.at[:, b, pl.ds(gbase_of(b), 16), :], sem
+            )
+
+        wdma(0, 0).start()
+        if int4_w and not s4_vmem:
+            sdma(0, 0).start()
+        kdma(0, 0).start()
+        vdma(0, 0).start()
+        gk_ins = [group_in(k_ref, gk, b, gsem.at[0, b]) for b in range(B)]
+        gv_ins = [group_in(v_ref, gv, b, gsem.at[1, b]) for b in range(B)]
+        for d in gk_ins:
+            d.start()
+        for d in gv_ins:
+            d.start()
+
+        waited = [False] * n_slabs
+
+        def tile_slab(t):
+            s = t // tps
+            if not waited[s]:
+                if s + 1 < n_slabs:
+                    wdma((s + 1) % 2, s + 1).start()
+                    if int4_w and not s4_vmem:
+                        sdma((s + 1) % 2, s + 1).start()
+                wdma(s % 2, s).wait()
+                if int4_w and not s4_vmem:
+                    sdma(s % 2, s).wait()
+                waited[s] = True
+            return s % 2, t % tps
+
+        def mm(x_, t, b32=None):  # [B*R, E] @ tile(t) -> [B*R, E] fp32
+            slab, off = tile_slab(t)
+            if int4_w:
+                st = s4_ref[t] if s4_vmem else sbuf[slab, off]
+                y = _int4_tile_dot(
+                    x_.astype(dtype), wbuf[slab, off], st,
+                    gsel, E, G, n_gh, dtype, s4p,
+                )
+            else:
+                y = jax.lax.dot_general(
+                    x_.astype(dtype), wbuf[slab, off].astype(dtype),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if int8_w:
+                    y = y * ws_ref[t:t + 1]
+            if b32 is not None:
+                y = y + b32
+            return y
+
+        def dot_nn(a, b):  # [M, K] @ [K, N] -> [M, N] fp32
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def dot_nt(a, b):  # [M, K] @ [N, K]^T -> [M, N] fp32
+            return jax.lax.dot_general(
+                a, b, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        # bf16 pane dots (megakernel_quant.py): identity when dtype == f32
+        def dot_nt16(a32, b16):
+            return dot_nt(a32.astype(dtype), b16)
+
+        def pv_dot(p32, b16):
+            return dot_nn(p32.astype(dtype), b16)
+
+        def unpack4(pk):  # [cw, E2] int8 -> (hi_vals, lo_vals) in dtype
+            lo_b = jnp.bitwise_and(pk, 0xF).astype(dtype)  # q_lo + 8, exact
+            hi = (pk.astype(dtype) - lo_b) * 0.0625  # q_hi, exact
+            return hi, lo_b - 8.0
+
+        def quant_rows(x16, kind):
+            """[N, E] dtype -> (q fp32 codes, scales fp32 [N, 1])."""
+            x32 = x16.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(x32), axis=1, keepdims=True)
+            if kind == "int8":
+                s = jnp.maximum(amax * (1.0 / 127.0), eps)
+                q = jnp.clip(jnp.round(x32 / s), -127.0, 127.0)
+            else:
+                s = jnp.maximum(amax * (1.0 / 7.0), eps)
+                q = jnp.clip(jnp.round(x32 / s), -8.0, 7.0)
+            return q, s
+
+        def pack_rows(q, kind):  # [N, E] fp32 codes -> [N, EK/EV] int8
+            if kind == "int8":
+                return q.astype(jnp.int8)
+            return (16.0 * q[:, :E2] + q[:, E2:] + 8.0).astype(jnp.int8)
+
+        x = x_ref[:].astype(dtype)  # [B*R, E] residual stream, slot-major
+
+        for l in range(L):
+            base = l * 12
+
+            def sm(r):
+                return sm_ref[l, r:r + 1]
+
+            h = ln(x.astype(jnp.float32), sm(0), sm(1)).astype(dtype)
+            q32 = mm(h, base + 0, sm(4))
+            k32 = mm(h, base + 1, sm(5))
+            v32 = mm(h, base + 2, sm(6))
+            kc16 = k32.astype(dtype)  # [B*R, E]
+            vc16 = v32.astype(dtype)
+
+            # quantize-on-write for ALL R rows; keep the fp32 codes for the
+            # in-block attention (exactly what a sequential step would read
+            # back from the pane — pack/unpack is a lossless roundtrip)
+            qk, sk = quant_rows(kc16, k_kind)  # [B*R, E], [B*R, 1]
+            qv, sv = quant_rows(vc16, v_kind)
+            knew[l] = pack_rows(qk, k_kind)
+            vnew[l] = pack_rows(qv, v_kind)
+            ksn[l] = jnp.broadcast_to(sk, (B * R, 128))
+            vsn[l] = jnp.broadcast_to(sv, (B * R, 128))
+            qk16 = qk.astype(dtype)  # integer codes: dtype-exact
+            qv16 = qv.astype(dtype)
+
+            if l + 1 < L:
+                kdma((l + 1) % 2, l + 1).start()
+                vdma((l + 1) % 2, l + 1).start()
+            kdma(l % 2, l).wait()
+            vdma(l % 2, l).wait()
+
+            qf = q32.astype(dtype).astype(jnp.float32)  # [B*R, E]
+            a_rows = []
+            for b in range(B):
+                cur_b = len_ref[b, 0]
+                qf_b = qf[b * R:(b + 1) * R]  # [R, E] f32
+                qrep = dot_nn(rep, qf_b)  # [RH, E]
+                U = (selT_t * qrep).astype(dtype)
+                kf_b = kc16[b * R:(b + 1) * R]  # [R, E] dtype (full prec)
+                vf_b = vc16[b * R:(b + 1) * R]
+                qk_b = qk16[b * R:(b + 1) * R]  # [R, E] codes
+                qv_b = qv16[b * R:(b + 1) * R]
+                sk_b = sk[b * R:(b + 1) * R]  # [R, 1] fp32
+                sv_b = sv[b * R:(b + 1) * R]
+                # cache scores: raw code dots, post-dot [1, C] scale fold
+                raw_chunks = []
+                for c0 in range(0, C, _ATTN_CHUNK):
+                    cw = min(_ATTN_CHUNK, C - c0)
+                    if k_kind == "int8":
+                        kc = kbuf[l % 2, b, c0:c0 + cw, :].astype(dtype)
+                        raw_chunks.append(dot_nt(U, kc))  # [RH, cw]
+                    else:
+                        khi, klo = unpack4(kbuf[l % 2, b, c0:c0 + cw, :])
+                        raw_chunks.append(
+                            dot_nt(U[:, :E2], khi) + dot_nt(U[:, E2:], klo)
+                        )
+                scores = jnp.concatenate(raw_chunks, axis=1)  # [RH, C]
+                scores = scores * ks_ref[pl.ds(l, 1), b, :] * scale
+                scores = jnp.where(col_rc < cur_b, scores, NEG_INF)
+                # in-block keys j < r through their quantized codes
+                s_blk = dot_nt(U, qk_b) * sk_b.reshape(1, R) * scale
+                s_blk = jnp.where(blk_lt, s_blk, NEG_INF)
+                # diagonal j == r: own K in full precision
+                krep = dot_nn(rep, kf_b.astype(jnp.float32))  # [RH, E]
+                s_self = jnp.sum(
+                    U.astype(jnp.float32) * krep, axis=1, keepdims=True
+                ) * scale  # [RH, 1]
+                mx = jnp.maximum(
+                    jnp.maximum(
+                        jnp.max(scores, axis=1, keepdims=True),
+                        jnp.max(s_blk, axis=1, keepdims=True),
+                    ),
+                    s_self,
+                )
+                p = jnp.exp(scores - mx)  # [RH, C]
+                p_blk = jnp.exp(s_blk - mx)  # 0 where masked
+                p_self = jnp.exp(s_self - mx)  # [RH, 1]
+                denom = (
+                    jnp.sum(p, axis=1, keepdims=True)
+                    + jnp.sum(p_blk, axis=1, keepdims=True)
+                    + p_self
+                )
+                ps = p * vs_ref[pl.ds(l, 1), b, :]  # fold per-token V scales
+                M = jnp.zeros((RH, E), jnp.float32)
+                for c0 in range(0, C, _ATTN_CHUNK):
+                    cw = min(_ATTN_CHUNK, C - c0)
+                    psc = ps[:, c0:c0 + cw]
+                    if v_kind == "int8":
+                        vc = vbuf[l % 2, b, c0:c0 + cw, :].astype(dtype)
+                        M = M + pv_dot(psc, vc)
+                    else:
+                        vhi, vlo = unpack4(vbuf[l % 2, b, c0:c0 + cw, :])
+                        M = M + jnp.concatenate(
+                            [pv_dot(psc, vhi), pv_dot(psc, vlo)], axis=1
+                        )
+                # in-block V: codes with scales folded into probs; own row
+                # full-precision
+                ps_blk = p_blk * sv_b.reshape(1, R)
+                M = M + pv_dot(ps_blk, qv_b)
+                vrep = dot_nn(rep, vf_b.astype(jnp.float32))  # [RH, E]
+                M = M + p_self * vrep
+                num = dot_nn(fold, M * selT_t)  # [R, E]
+                den = dot_nn(fold, denom * selT_t)
+                a_rows.append(num / den)
+            a = jnp.concatenate(a_rows, axis=0).astype(dtype)  # [B*R, E]
+
+            x = x + mm(a, base + 3, sm(7)).astype(dtype)
+
+            h2 = ln(x.astype(jnp.float32), sm(2), sm(3)).astype(dtype)
+            m32 = jnp.concatenate(
+                [mm(h2, base + 4 + i, sm(8 + i)) for i in range(4)], axis=-1
+            )  # [B*R, 4E] fp32
+            g32 = 0.5 * m32 * (
+                1.0
+                + jnp.tanh(0.7978845608028654 * (m32 + 0.044715 * m32 ** 3))
+            )
+            gh = g32.astype(dtype)
+            y32 = sm(12)
+            for i in range(4):
+                y32 = y32 + mm(gh[:, i * E:(i + 1) * E], base + 8 + i)
+            x = x + y32.astype(dtype)
+
+        # per-slot quantized writeback: R rows at each slot's cursor
+        ridx_k = jax.lax.broadcasted_iota(jnp.int32, (L, 16, EK), 1)
+        ridx_v = jax.lax.broadcasted_iota(jnp.int32, (L, 16, EV), 1)
+        for b in range(B):
+            gk_ins[b].wait()
+            gv_ins[b].wait()
+            off_b = len_ref[b, 0] - gbase_of(b)  # 0..7, off_b + R <= 16
+            gkv = gk[b]
+            gvv = gv[b]
+            for r in range(R):
+                src = b * R + r
+                gkv = jnp.where(
+                    ridx_k == off_b + r,
+                    jnp.broadcast_to(knew[:, src:src + 1, :], (L, 16, EK)),
+                    gkv,
+                )
+                gvv = jnp.where(
+                    ridx_v == off_b + r,
+                    jnp.broadcast_to(vnew[:, src:src + 1, :], (L, 16, EV)),
+                    gvv,
+                )
+            gk[b] = gkv
+            gv[b] = gvv
+        gk_outs = [group_out(gk, ko_ref, b, osem.at[0, b]) for b in range(B)]
+        gv_outs = [group_out(gv, vo_ref, b, osem.at[1, b]) for b in range(B)]
+        for d in gk_outs:
+            d.start()
+        for d in gv_outs:
+            d.start()
+
+        # scale writeback: R vectorized selects over the [L, B, C] tables
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, B, 1), 1)
+        curv = jnp.zeros((1, B, 1), jnp.int32)
+        for b in range(B):
+            curv = jnp.where(slot_ids == b, len_ref[b, 0], curv)
+        col_lbc = jax.lax.broadcasted_iota(jnp.int32, (L, B, C), 2)
+        ksel = ks_ref[:]
+        vsel = vs_ref[:]
+        for r in range(R):
+            ins_r = col_lbc == curv + r
+            # ksn is [L, B*R, 128] slot-major: row r of slot b at b*R + r
+            kr = ksn[:, :, 0:1].reshape(L, B, R)[:, :, r:r + 1]  # [L, B, 1]
+            vr = vsn[:, :, 0:1].reshape(L, B, R)[:, :, r:r + 1]
+            ksel = jnp.where(ins_r, jnp.broadcast_to(kr, (L, B, C)), ksel)
+            vsel = jnp.where(ins_r, jnp.broadcast_to(vr, (L, B, C)), vsel)
+        kso_ref[:] = ksel
+        vso_ref[:] = vsel
+
+        xf = ln(
+            x.astype(jnp.float32), lnf_ref[0:1], lnf_ref[1:2]
+        ).astype(dtype)  # [B*R, E]
+        big = jnp.int32(2 ** 30)
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (B * R, E), 1)
+        best = jnp.full((B * R, 1), NEG_INF, jnp.float32)
+        best_idx = jnp.zeros((B * R, 1), jnp.int32)
+        lm_base = L * 12
+        for t in range(n_lm):
+            y = mm(xf, lm_base + t)  # [B*R, E] fp32 logits chunk
+            if (t + 1) * E > V:
+                y = jnp.where(cidx < V - t * E, y, NEG_INF)
+            ymax = jnp.max(y, axis=1, keepdims=True)
+            cand = jnp.min(
+                jnp.where(y == ymax, cidx, big), axis=1, keepdims=True
+            ) + t * E
+            take = ymax > best  # strict: earlier tiles win ties, as argmax
+            best_idx = jnp.where(take, cand, best_idx)
+            best = jnp.maximum(best, ymax)
+        tok_ref[:] = jnp.broadcast_to(best_idx, (B * R, 128))
+
+        for d in gk_outs:
+            d.wait()
+        for d in gv_outs:
+            d.wait()
+
+    wtile_shape = (2, tps, E // 2, E) if int4_w else (2, tps, E, E)
+    scratch = [pltpu.VMEM(wtile_shape, wdtype)]
+    if int4_w and not s4_vmem:
+        scratch.append(pltpu.VMEM((2, tps, s4_rows, E), dtype))
+    scratch += [
+        pltpu.VMEM((2, B, C, EK), jnp.int8),  # K ring (quantized panes)
+        pltpu.VMEM((2, B, C, EV), jnp.int8),  # V ring
+        pltpu.VMEM((L, B * R, EK), jnp.int8),  # quantized new K rows
+        pltpu.VMEM((L, B * R, EV), jnp.int8),  # quantized new V rows
+        pltpu.VMEM((L, B * R, 128), jnp.float32),  # new K scales
+        pltpu.VMEM((L, B * R, 128), jnp.float32),  # new V scales
+        pltpu.VMEM((B, L, 16, EK), jnp.int8),  # per-slot RMW windows (K)
+        pltpu.VMEM((B, L, 16, EV), jnp.int8),  # per-slot RMW windows (V)
+        pltpu.SemaphoreType.DMA((2,)),  # wsem
+    ]
+    if int4_w and not s4_vmem:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))  # ssem
+    scratch += [
+        pltpu.SemaphoreType.DMA((2,)),  # ksem
+        pltpu.SemaphoreType.DMA((2,)),  # vsem
+        pltpu.SemaphoreType.DMA((2, B)),  # gsem
+        pltpu.SemaphoreType.DMA((2, B)),  # osem
+    ]
+    f = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lengths (B, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x_emb [B*R, E]
+            pl.BlockSpec(memory_space=pltpu.HBM),  # wstack
+            pl.BlockSpec(memory_space=pltpu.HBM),  # k  [L, B, C, EK]
+            pl.BlockSpec(memory_space=pltpu.HBM),  # v  [L, B, C, EV]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ks [L, B, C] fp32
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # vs
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # smalls
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lnf
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wscale
+            pl.BlockSpec(  # w4scale: VMEM-resident unless ring mode
+                memory_space=pltpu.HBM
+                if (int4_w and not s4_vmem) else pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tokens [B*R, 128]
+            pl.BlockSpec(memory_space=pltpu.HBM),  # k out (aliased)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # v out (aliased)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ks out (aliased)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # vs out (aliased)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((L, B, C, EK), jnp.int8),
+            jax.ShapeDtypeStruct((L, B, C, EV), jnp.int8),
+            jax.ShapeDtypeStruct((L, B, C), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, C), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        input_output_aliases={3: 1, 4: 2, 5: 3, 6: 4},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_SCOPED_VMEM),
+        interpret=interpret,
+    )
+    wscale = packed.get("wscale")
+    if wscale is None:
+        wscale = jnp.ones((n_tiles, E), jnp.float32)
+    w4scale = packed.get("w4scale")
+    if w4scale is None:
+        w4scale = jnp.zeros((1, 1, 128), dtype)
+    toks, k2, v2, ks2, vs2 = f(
+        jnp.reshape(lengths.astype(jnp.int32), (B, 1)),
+        x_emb,
+        packed["wstack"],
+        k,
+        v,
+        ks,
+        vs,
+        packed["smalls"],
+        packed["lnf"],
+        wscale,
+        w4scale,
+    )
+    return toks[:, 0].reshape(B, R), k2, v2, ks2, vs2

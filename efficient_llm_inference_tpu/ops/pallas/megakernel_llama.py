@@ -79,6 +79,40 @@ def _q4_group(d: dict) -> int:
     return 2 * d["q4"].shape[-2]
 
 
+def _s4_half_rows(TR: int, G: int) -> int:
+    """Scale-stack rows per packed half-plane, 8-aligned when grouped.
+
+    Mosaic DMAs slice the per-tile scale pane out of HBM on its own ring;
+    a sublane count that is not a multiple of 8 is unsliceable
+    (`tpu.memref_slice` rejects it — Qwen2.5-7B's 1792-row tiles give 7
+    groups per half at G=128). Halves with 2..7 (mod 8) groups are padded
+    with zero rows up to the next multiple of 8; zero scales contribute
+    nothing through the group-selector correction, so the pad is exact.
+    n_gh == 1 (the int4w8 regime) keeps its 2-row pane: it is only ever
+    read VMEM-resident.
+    """
+    n_gh = (TR // G) // 2
+    if n_gh <= 1:
+        return n_gh
+    return -(-n_gh // 8) * 8
+
+
+def _s4_geom(TR: int, packed: dict) -> tuple[int, int, int]:
+    """(G, n_gh, p) of a packed int4 scale stack; p = rows per half-plane.
+
+    Unpadded stacks ([n_tiles, TR/G, TC]) encode G in their row count.
+    Padded stacks carry the real per-half group count in the SHAPE of the
+    `s4g` marker (static under jit): low-half scales live at rows
+    [0, n_gh), high-half at [p, p + n_gh), zeros elsewhere.
+    """
+    rows = packed["w4scale"].shape[1]
+    if "s4g" in packed:
+        n_gh = packed["s4g"].shape[0]
+        return (TR // 2) // n_gh, n_gh, rows // 2
+    G = TR // rows
+    return G, rows // 2, rows // 2
+
+
 def _q4_to_int8(d: dict) -> jax.Array:
     """{"q4": [.., Kg, g/2, F] packed, ...} -> signed int8 [.., K, F].
 
@@ -111,12 +145,15 @@ def _pack_halves(t8: jax.Array, TR: int) -> jax.Array:
     return jax.lax.bitcast_convert_type(lo_u | (hi_tc << 4), jnp.int8)
 
 
-def _int4_tile_dot(xg, pk, st, gsel, TR, G, n_gh, dtype):
+def _int4_tile_dot(xg, pk, st, gsel, TR, G, n_gh, dtype, p=None):
     """[1, TR] x one packed int4 tile -> [1, TC] f32 (in-kernel dequant).
 
     pk [TR/2, TC] packed int8: tile row r (low nibble, BIASED +8) pairs
-    with row r + TR/2 (high nibble, two's complement). st [TR/G, TC] scale
-    pane (high rows pre-divided by 16 at pack time). Low plane:
+    with row r + TR/2 (high nibble, two's complement). st [2p, TC] scale
+    pane (high rows pre-divided by 16 at pack time): low-half group scales
+    at rows [0, n_gh), high-half at [p, p + n_gh) — p > n_gh on padded
+    stacks (_s4_half_rows), where the extra rows are zeros and unread.
+    Low plane:
     x @ (u * s) - 8 * (per-group x sums) @ s. High plane: the float
     identity (byte_f - lo_f) carries 16 * signed value — the byte's own
     sign extends the nibble — so (byte_f - lo_f) * (s/16) dequantizes with
@@ -134,6 +171,8 @@ def _int4_tile_dot(xg, pk, st, gsel, TR, G, n_gh, dtype):
     granularity — measured on scale_llama in docs/QUALITY.md.
     """
     TC = pk.shape[-1]
+    if p is None:
+        p = n_gh
     if n_gh == 1:  # G == TR/2: per-(half-tile, column) scales
         lo_f = jnp.bitwise_and(pk, 0xF).astype(dtype)  # u = v + 8
         hi_f = pk.astype(dtype) - lo_f  # 16 * signed high value, exactly
@@ -146,7 +185,7 @@ def _int4_tile_dot(xg, pk, st, gsel, TR, G, n_gh, dtype):
             preferred_element_type=jnp.float32,
         )
         s_lo = st[0:1].astype(jnp.float32)  # [1, TC]
-        s_hi = st[1:2].astype(jnp.float32)  # [1, TC], pre-divided by 16
+        s_hi = st[p:p + 1].astype(jnp.float32)  # [1, TC], pre-divided by 16
         xsum = jnp.sum(
             xg[:, : TR // 2].astype(jnp.float32), axis=1, keepdims=True
         )  # [1, 1] — the biased-nibble correction collapses to a scalar
@@ -155,7 +194,7 @@ def _int4_tile_dot(xg, pk, st, gsel, TR, G, n_gh, dtype):
         st[:n_gh][:, None, :], (n_gh, G, TC)
     ).reshape(TR // 2, TC)
     s_hi16 = jnp.broadcast_to(
-        st[n_gh:][:, None, :], (n_gh, G, TC)
+        st[p:p + n_gh][:, None, :], (n_gh, G, TC)
     ).reshape(TR // 2, TC)
     lo_f = jnp.bitwise_and(pk, 0xF).astype(dtype)  # u = v + 8
     lo_w = lo_f * s_lo
@@ -452,6 +491,14 @@ def _pack_llama_mega_int4(
     # high-half groups carry the /16 of the nibble-recovery identity
     n_gh = (TR // G) // 2
     w4scale = w4scale.at[:, n_gh:, :].multiply(1.0 / 16.0).astype(dtype)
+    p = _s4_half_rows(TR, G)
+    s4g = None
+    if p != n_gh:  # 8-align each half-plane for the scale-pane DMA ring
+        zpad = jnp.zeros((w4scale.shape[0], p - n_gh, TC), w4scale.dtype)
+        w4scale = jnp.concatenate(
+            [w4scale[:, :n_gh], zpad, w4scale[:, n_gh:], zpad], axis=1
+        )
+        s4g = jnp.zeros((n_gh,), jnp.int8)  # shape encodes the real count
 
     out = {
         "wstack": wstack,
@@ -461,6 +508,8 @@ def _pack_llama_mega_int4(
         ),
         "lnf": params["ln_f"].astype(jnp.float32)[None],
     }
+    if s4g is not None:
+        out["s4g"] = s4g
     if "bq" in b:
         out["qkvb"] = jnp.concatenate(
             [b["bq"], b["bk"], b["bv"]], axis=-1
@@ -483,6 +532,7 @@ def _pack_llama_mega_int4_host(
     b = params["blocks"]
     dtype = params["embed"].dtype
     n_gh = (TR // G) // 2
+    p = _s4_half_rows(TR, G)  # rows per half-plane after 8-alignment
 
     def np_grid(w, tr):
         Rin, Rout = w.shape
@@ -509,7 +559,11 @@ def _pack_llama_mega_int4_host(
     n_lm = _num_lm_tiles(V, TC)
     n_tiles = L * per_layer + n_lm * (E // TR)
     wstack = np.empty((n_tiles, TR // 2, TC), np.int8)
-    w4scale = np.empty((n_tiles, TR // G, TC), np.float32)
+    w4scale = np.zeros((n_tiles, 2 * p, TC), np.float32)
+
+    def put_scales(off, nt, pane):  # pane [nt, TR/G, TC]: split the halves
+        w4scale[off:off + nt, :n_gh] = pane[:, :n_gh]
+        w4scale[off:off + nt, p:p + n_gh] = pane[:, n_gh:]
 
     I = cfg.intermediate_size
 
@@ -536,8 +590,8 @@ def _pack_llama_mega_int4_host(
             t8 = np_grid(pad_w(name, np_unpack(host_q[name][l])), TR)
             nt = t8.shape[0]
             wstack[off:off + nt] = np_pack_halves(t8)
-            w4scale[off:off + nt] = np_grid(pad_s(name, host_s[name][l]),
-                                            TR // G)
+            put_scales(off, nt, np_grid(pad_s(name, host_s[name][l]),
+                                        TR // G))
             off += nt
 
     head8 = np.pad(np_unpack(np.asarray(params["lm_q4"])),
@@ -546,10 +600,10 @@ def _pack_llama_mega_int4_host(
                     ((0, 0), (0, n_lm * TC - V)), constant_values=1.0)
     t8 = np_grid(head8, TR)
     wstack[off:off + t8.shape[0]] = np_pack_halves(t8)
-    w4scale[off:off + t8.shape[0]] = np_grid(head_s, TR // G)
+    put_scales(off, t8.shape[0], np_grid(head_s, TR // G))
     assert off + t8.shape[0] == n_tiles
 
-    w4scale[:, n_gh:, :] *= 1.0 / 16.0  # nibble-recovery /16, high half
+    w4scale[:, p:, :] *= 1.0 / 16.0  # nibble-recovery /16, high half
 
     out = {
         "wstack": jnp.asarray(wstack),
@@ -560,6 +614,8 @@ def _pack_llama_mega_int4_host(
         ),
         "lnf": params["ln_f"].astype(jnp.float32)[None],
     }
+    if p != n_gh:
+        out["s4g"] = jnp.zeros((n_gh,), jnp.int8)
     if "bq" in b:
         out["qkvb"] = jnp.concatenate(
             [b["bq"], b["bk"], b["bv"]], axis=-1
@@ -582,10 +638,18 @@ def _pick_tiles_per_slab(
     return 0
 
 
-def _w_slot_bytes(mode: str, TR: int, TC: int, G: int, dt_item: int) -> int:
-    """Per-ring-slot bytes for one weight tile (+ its scale pane for int4)."""
+def _w_slot_bytes(
+    mode: str, TR: int, TC: int, G: int, dt_item: int, s_rows: int | None = None
+) -> int:
+    """Per-ring-slot bytes for one weight tile (+ its scale pane for int4).
+
+    s_rows overrides the scale-pane row count for padded stacks
+    (_s4_half_rows); None keeps the unpadded TR/G rows (gpt2 packers).
+    """
     if mode == "int4":
-        return (TR // 2) * TC + (TR // G) * TC * dt_item
+        if s_rows is None:
+            s_rows = TR // G
+        return (TR // 2) * TC + s_rows * TC * dt_item
     if mode == "int8":
         return TR * TC
     return TR * TC * dt_item
@@ -629,7 +693,10 @@ def mega_supported(cfg, capacity: int, params: dict) -> bool:
     n_tiles = cfg.n_layer * _tiles_per_layer(cfg, TR, TC, Ip) + _num_lm_tiles(
         cfg.vocab_size, TC
     ) * (cfg.hidden_size // TR)
-    slot_bytes = _w_slot_bytes(mode, TR, TC, G, dt_item)
+    slot_bytes = _w_slot_bytes(
+        mode, TR, TC, G, dt_item,
+        2 * _s4_half_rows(TR, G) if mode == "int4" else None,
+    )
     # per-tile DMA issue cost (~1 us) must stay small vs the stream time:
     # thousands of sub-256KB tiles (e.g. Qwen2.5-1.5B's gcd-forced 256x256
     # grid = 23k tiles) would be DMA-overhead-bound — keep those on XLA
@@ -703,27 +770,29 @@ def _llama_megapass(
     W_RMW = 8 if R == 1 else 16
     s4_vmem = False
     if int4_w:
-        G = TR // packed["w4scale"].shape[1]  # uniform scale group size
-        n_gh = (TR // G) // 2  # groups per packed half-plane
+        G, n_gh, s4p = _s4_geom(TR, packed)  # group size / groups per half
+        s4_rows = packed["w4scale"].shape[1]  # pane rows (2*s4p, maybe padded)
         mode = "int4"
         gsel_bytes = (TR // 2) * n_gh * 4  # group-selector constant
         # Prefer the WHOLE scale stream resident in VMEM: per-tile scale
         # panes are tiny (tens of KB) and their DMAs double the per-step
-        # issue count; when the full [n_tiles, TR/G, TC] table fits the
+        # issue count; when the full [n_tiles, 2*s4p, TC] table fits the
         # budget next to everything else, index it directly instead.
-        s4_bytes = n_tiles * (TR // G) * TC * dt_item
+        s4_bytes = n_tiles * s4_rows * TC * dt_item
         s4_vmem = not _S4_RING_ONLY and _pick_tiles_per_slab(
             (TR // 2) * TC, C, KW, dt_item, gsel_bytes + s4_bytes
         ) > 0
         ws_vmem = gsel_bytes + (s4_bytes if s4_vmem else 0)
     else:
-        G, n_gh = TR, 0
+        G, n_gh, s4p = TR, 0, 0
+        s4_rows = 0
         mode = "int8" if int8_w else "f"
         ws_vmem = 4 * n_tiles * TC if int8_w else 0
     # R-row verify extras beyond the step kernel's envelope
     ws_vmem += 2 * L * (R + W_RMW) * KW * dt_item if R > 1 else 0
     tps = _pick_tiles_per_slab(
-        (TR // 2) * TC if s4_vmem else _w_slot_bytes(mode, TR, TC, G, dt_item),
+        (TR // 2) * TC if s4_vmem
+        else _w_slot_bytes(mode, TR, TC, G, dt_item, s4_rows or None),
         C, KW, dt_item, ws_vmem,
     )
     if tps == 0:
@@ -856,7 +925,7 @@ def _llama_megapass(
                 st = s4_ref[pl.ds(t, 1)][0]  # [TR/G, TC] dtype
             else:
                 st = sbuf[pl.ds(slot, 1)][0]
-            return _int4_tile_dot(xg, pk, st, gsel, TR, G, n_gh, dtype)
+            return _int4_tile_dot(xg, pk, st, gsel, TR, G, n_gh, dtype, s4p)
 
         def mm_chunks(x_, base, rg, cg):
             """[R, rg*TR] @ tiles -> list of cg [R, TC] f32 output chunks.
@@ -1088,7 +1157,7 @@ def _llama_megapass(
     wtile_shape = (2, TR // 2, TC) if int4_w else (2, TR, TC)
     scratch = [pltpu.VMEM(wtile_shape, wdtype)]  # weight ring (2-deep)
     if int4_w and not s4_vmem:
-        scratch.append(pltpu.VMEM((2, TR // G, TC), dtype))  # scale ring
+        scratch.append(pltpu.VMEM((2, s4_rows, TC), dtype))  # scale ring
     scratch += [
         pltpu.VMEM((2, C, KW), dtype),  # K ring
         pltpu.VMEM((2, C, KW), dtype),  # V ring

@@ -70,7 +70,7 @@ from .megakernel import (
     _tile_bytes,
     _S4_VMEM_MAX,
 )
-from .megakernel_llama import _int4_tile_dot
+from .megakernel_llama import _int4_tile_dot, _s4_geom
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
@@ -158,7 +158,10 @@ def llama_mega_quant_supported(
     TR, TC, Ip = _ml._tile_geometry(cfg)
     G = _ml._q4_group(b["wq"]) if mode == "int4" else 0
     dt_item = jnp.dtype(params["embed"].dtype).itemsize
-    slot = _ml._w_slot_bytes(mode, TR, TC, G, dt_item)
+    slot = _ml._w_slot_bytes(
+        mode, TR, TC, G, dt_item,
+        2 * _ml._s4_half_rows(TR, G) if mode == "int4" else None,
+    )
     return _llama_quant_fits(
         cfg, capacity, slot, EK, EV, KW, mode == "int8", TC,
         _llama_n_tiles(cfg, TR, TC, Ip),
@@ -275,13 +278,14 @@ def gpt2_megastep_quant(
     dt_item = jnp.dtype(dtype).itemsize
     s4_vmem = False
     if int4_w:
-        G = E // packed["w4scale"].shape[1]
-        n_gh = (E // G) // 2
+        G, n_gh, s4p = _s4_geom(E, packed)
+        s4_rows = packed["w4scale"].shape[1]
         mode = "int4"
-        s4_bytes = n_tiles * (E // G) * E * dt_item
+        s4_bytes = n_tiles * s4_rows * E * dt_item
         s4_vmem = s4_bytes <= _S4_VMEM_MAX
     else:
-        G, n_gh = E, 0
+        G, n_gh, s4p = E, 0, 0
+        s4_rows = 0
         mode = "int8" if int8_w else "f"
     tile_b = (E // 2) * E if s4_vmem else _tile_bytes(mode, E, G, dt_item)
     tps = 0
@@ -394,7 +398,7 @@ def gpt2_megastep_quant(
                 st = s4_ref[t] if s4_vmem else sbuf[slab, off]
                 y = _int4_tile_dot(
                     x_.astype(dtype), wbuf[slab, off], st,
-                    gsel, E, G, n_gh, dtype,
+                    gsel, E, G, n_gh, dtype, s4p,
                 )
             else:
                 y = jax.lax.dot_general(
@@ -605,7 +609,7 @@ def gpt2_megastep_quant(
     wtile_shape = (2, tps, E // 2, E) if int4_w else (2, tps, E, E)
     scratch = [pltpu.VMEM(wtile_shape, wdtype)]  # weight ring
     if int4_w and not s4_vmem:
-        scratch.append(pltpu.VMEM((2, tps, E // G, E), dtype))  # scale ring
+        scratch.append(pltpu.VMEM((2, tps, s4_rows, E), dtype))  # scale ring
     scratch += [
         pltpu.VMEM((2, C, EK), kdt),  # K ring (quantized)
         pltpu.VMEM((2, C, EV), vdt),  # V ring
@@ -747,10 +751,10 @@ def llama_megastep_quant(
     dt_item = jnp.dtype(dtype).itemsize
     s4_vmem = False
     if int4_w:
-        G = TR // packed["w4scale"].shape[1]
-        n_gh = (TR // G) // 2
+        G, n_gh, s4p = _s4_geom(TR, packed)
+        s4_rows = packed["w4scale"].shape[1]
         gsel_bytes = (TR // 2) * n_gh * 4
-        s4_bytes = n_tiles * (TR // G) * TC * dt_item
+        s4_bytes = n_tiles * s4_rows * TC * dt_item
         s4_vmem = not _ml._S4_RING_ONLY and _llama_quant_fits(
             cfg, C, (TR // 2) * TC, EK, EV, KW, False, TC, n_tiles
         ) and (
@@ -758,10 +762,11 @@ def llama_megastep_quant(
         )
         mode = "int4"
     else:
-        G, n_gh = TR, 0
+        G, n_gh, s4p = TR, 0, 0
+        s4_rows = 0
         mode = "int8" if int8_w else "f"
     slot = (TR // 2) * TC if s4_vmem else _ml._w_slot_bytes(
-        mode, TR, TC, G, dt_item
+        mode, TR, TC, G, dt_item, s4_rows or None
     )
     if not _llama_quant_fits(cfg, C, slot, EK, EV, KW, int8_w, TC, n_tiles):
         raise ValueError(
@@ -884,7 +889,7 @@ def llama_megastep_quant(
                 st = s4_ref[pl.ds(t, 1)][0]
             else:
                 st = sbuf[pl.ds(slot_, 1)][0]
-            return _int4_tile_dot(xg, pk, st, gsel, TR, G, n_gh, dtype)
+            return _int4_tile_dot(xg, pk, st, gsel, TR, G, n_gh, dtype, s4p)
 
         def mm_chunks(x_, base, rg, cg):
             outs = []
@@ -1154,7 +1159,7 @@ def llama_megastep_quant(
     wtile_shape = (2, TR // 2, TC) if int4_w else (2, TR, TC)
     scratch = [pltpu.VMEM(wtile_shape, wdtype)]  # weight ring (2-deep)
     if int4_w and not s4_vmem:
-        scratch.append(pltpu.VMEM((2, TR // G, TC), dtype))  # scale ring
+        scratch.append(pltpu.VMEM((2, s4_rows, TC), dtype))  # scale ring
     scratch += [
         pltpu.VMEM((2, C, EK), jnp.int8),  # K ring (quantized)
         pltpu.VMEM((2, C, EV), jnp.int8),  # V ring

@@ -238,3 +238,159 @@ def test_spec_server_eos_truncation(params):
     for req, want in zip(reqs, wants):
         assert req.done
         assert req.out_ids == truncate(want), f"request {req.rid}"
+
+
+# ---------------------------------------------------------------------------
+# Verify over QUANTIZED panes (round 5): spec serving x compressed pools
+# ---------------------------------------------------------------------------
+
+# int4 panes need (E/2) % 128 == 0: use the batch-quant tests' wider config
+QCFG = gpt2_mod.GPT2Config(
+    vocab_size=300, n_positions=256, n_embd=256, n_layer=2, n_head=2
+)
+
+
+@pytest.fixture(scope="module")
+def qparams():
+    return gpt2_mod.init_gpt2_params(jax.random.PRNGKey(0), QCFG, jnp.float32)
+
+
+@pytest.mark.parametrize("kv_mode", ["int8", "int4", "mixed"])
+def test_batch_verify_quant_matches_sequential_quant_steps(qparams, kv_mode):
+    """One quant-pane verify pass == R sequential gpt2_megabatch_quant
+    steps fed the same row tokens: per-row greedy tokens AND the final
+    quantized panes + scale tables must agree exactly (fp32 interpret).
+    This is the invariant that makes spec acceptance output-identical to
+    the plain quant server for any proposal source."""
+    from efficient_llm_inference_tpu.ops.pallas.megakernel_batch_quant import (
+        gpt2_megabatch_quant,
+        quantize_panes_batch,
+    )
+    from efficient_llm_inference_tpu.ops.pallas.megakernel_batch_verify import (
+        gpt2_megabatch_verify_quant,
+        mega_batch_verify_quant_supported,
+    )
+
+    p = gpt2_mod.quantize_gpt2_weights(qparams)
+    packed = pack_gpt2_mega(p, QCFG)
+    assert packed is not None
+    assert mega_batch_verify_quant_supported(QCFG, C, p, B, R, kv_mode)
+
+    rng = np.random.RandomState(7)
+    lens = [6, 13, 10]
+    prompts = [
+        jnp.asarray(rng.randint(0, QCFG.vocab_size, size=(1, t)), jnp.int32)
+        for t in lens
+    ]
+    streams = [_prefill_one(p, tk, cfg=QCFG) for tk in prompts]
+    kb = to_mega_layout_batch(
+        jnp.concatenate([c["k"] for _, c, _ in streams], axis=1)
+    )
+    vb = to_mega_layout_batch(
+        jnp.concatenate([c["v"] for _, c, _ in streams], axis=1)
+    )
+    k8, v8, ks, vs = quantize_panes_batch(kb, vb, kv_mode)
+    len0 = jnp.asarray(lens, jnp.int32)
+    toks0 = jnp.stack([tok for _, _, tok in streams])
+    props = jnp.asarray(
+        rng.randint(0, QCFG.vocab_size, size=(B, R - 1)), jnp.int32
+    )
+    vin = jnp.concatenate([toks0[:, None], props], axis=1)  # [B, R]
+    wte, wpe = p["wte"], p["wpe"]
+
+    # oracle: R sequential batched quant steps with forced inputs
+    k8s, v8s, kss, vss = k8, v8, ks, vs
+    seq_toks = []
+    for r in range(R):
+        x = (wte[vin[:, r]] + wpe[len0 + r]).astype(wte.dtype)
+        tok, k8s, v8s, kss, vss = gpt2_megabatch_quant(
+            packed, k8s, v8s, kss, vss, len0 + r, x,
+            cfg=QCFG, capacity=C, kv_mode=kv_mode, interpret=True,
+        )
+        seq_toks.append(tok)
+    seq_toks = jnp.stack(seq_toks, axis=1)  # [B, R]
+
+    # one fused quant-pane verify pass
+    pos = len0[:, None] + jnp.arange(R, dtype=jnp.int32)[None]
+    x_blk = (wte[vin] + wpe[pos]).astype(wte.dtype)  # [B, R, E]
+    toks, k2, v2, ks2, vs2 = gpt2_megabatch_verify_quant(
+        packed, k8, v8, ks, vs, len0,
+        x_blk.reshape(B * R, QCFG.n_embd),
+        cfg=QCFG, capacity=C, rows=R, kv_mode=kv_mode, interpret=True,
+    )
+
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(seq_toks))
+    np.testing.assert_array_equal(np.asarray(k2), np.asarray(k8s))
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(v8s))
+    # scales carry the raw [B*R, E]-vs-[B, E] fp32 dot reassociation
+    # (~1e-7 rel, the documented class of the bf16 verify kernel); the
+    # integer codes above absorb it through rounding and stay EXACT
+    np.testing.assert_allclose(
+        np.asarray(ks2), np.asarray(kss), rtol=3e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(vs2), np.asarray(vss), rtol=3e-6
+    )
+
+
+def test_batch_verify_quant_gating(params):
+    from efficient_llm_inference_tpu.ops.pallas.megakernel_batch_verify import (
+        mega_batch_verify_quant_supported,
+    )
+
+    p = gpt2_mod.quantize_gpt2_weights(params)
+    assert not mega_batch_verify_quant_supported(CFG, 47, p, B, R, "int8")
+    assert not mega_batch_verify_quant_supported(CFG, C, p, B, 9, "int8")
+    assert mega_batch_verify_quant_supported(CFG, C, p, 8, 8, "int8")
+
+
+def test_spec_server_quant_pool_matches_plain_quant_server(params):
+    """spec="ngram" x kv_mode="int8": per-request outputs must be
+    IDENTICAL to the plain quant-pool server (same pool precision), for
+    both n-gram-hit and fallback prompts — the round-5 composition of the
+    two largest serving wins."""
+    from efficient_llm_inference_tpu.engine.batching import Request
+    from efficient_llm_inference_tpu.engine.megaserver import (
+        MegaBatchServer,
+        MegaPoolConfig,
+    )
+    from efficient_llm_inference_tpu.models.registry import gpt2_spec
+
+    eng = _mk_engine(params)
+    tok = eng.tokenizer
+    prompts = [
+        "the cat sat on the cat sat",
+        "a b a b a b a b",
+        "pack my box with five",
+        "x",
+        "to be or not to be or not",
+    ]
+    budgets = [9, 12, 6, 8, 10]
+
+    def mk(spec):
+        return MegaBatchServer(
+            gpt2_spec(CFG), params,
+            pool=MegaPoolConfig(n_slots=2, capacity=C, max_chunk=3,
+                                prompt_bucket=32),
+            dtype=jnp.float32,
+            kv_mode="int8",
+            interpret=True,
+            spec=spec,
+            spec_k=4,
+        )
+
+    def serve(srv):
+        reqs = [
+            Request(rid=i, prompt_ids=tok.encode(p), max_new_tokens=n)
+            for i, (p, n) in enumerate(zip(prompts, budgets))
+        ]
+        srv.run(reqs)
+        return reqs
+
+    plain = serve(mk(None))
+    spec = serve(mk("ngram"))
+    for a, b in zip(plain, spec):
+        assert a.done and b.done and len(b.out_ids) == a.max_new_tokens
+        assert a.out_ids == b.out_ids, f"request {a.rid}"
+    # speculation actually advanced multiple tokens per round somewhere
+    # (repetitive prompts guarantee n-gram hits)

@@ -385,6 +385,120 @@ def test_engine_padded_ffn_megakernel_token_exact(wq):
     assert outs[True] == outs[False]
 
 
+# TR = 768, G = 128 -> 6 scale groups per tile (3 per half-plane): the
+# half-planes are NOT 8-aligned, so the packers must produce the padded
+# 16-row scale stack + `s4g` marker. This is the small-scale mirror of
+# Qwen2.5-7B's 1792-row tiles (14 groups at G=128), whose unpadded pane
+# Mosaic cannot DMA-slice (docs/BENCHMARKS.md "Qwen2.5-7B").
+SCFG = LlamaConfig(
+    vocab_size=300, hidden_size=768, intermediate_size=1536, n_layer=2,
+    n_head=6, n_kv_head=1, n_positions=512, rope_theta=10000.0,
+    tie_embeddings=True,
+)
+
+
+@pytest.fixture(scope="module")
+def sparams():
+    p = llama_mod.init_llama_params(jax.random.PRNGKey(2), SCFG, jnp.float32)
+    return llama_mod.quantize_llama_weights(p, "int4")  # G=128, n_gh=3
+
+
+def test_padded_scale_stack_pack(sparams):
+    """Unaligned half-planes pack to 8-aligned rows with the s4g marker,
+    identically on the device and host packers."""
+    from efficient_llm_inference_tpu.ops.pallas.megakernel_llama import (
+        _layer_tile_plan,
+        _pack_llama_mega_int4_host,
+        _q4_group,
+        _s4_geom,
+        _tile_geometry,
+    )
+
+    TR, TC, Ip = _tile_geometry(SCFG)
+    assert (TR, TC) == (768, 128)
+    dev = pack_llama_mega(sparams, SCFG)
+    assert dev is not None
+    assert dev["w4scale"].shape[1] == 16  # 2 halves x 8-aligned rows
+    assert dev["s4g"].shape == (3,)
+    assert _s4_geom(TR, dev) == (128, 3, 8)
+    # padded rows are zero (they contribute nothing through gsel)
+    w4 = np.asarray(dev["w4scale"])
+    assert (w4[:, 3:8] == 0).all() and (w4[:, 11:16] == 0).all()
+    assert (w4[:, :3] != 0).any() and (w4[:, 8:11] != 0).any()
+    host = _pack_llama_mega_int4_host(
+        sparams, SCFG, TR, TC, Ip, _layer_tile_plan(SCFG, TR, TC, Ip),
+        _q4_group(sparams["blocks"]["wq"]),
+    )
+    assert set(dev) == set(host)
+    for key in dev:
+        np.testing.assert_array_equal(
+            np.asarray(dev[key]), np.asarray(host[key]), err_msg=key
+        )
+
+
+def test_llama_megastep_padded_scales_matches_xla(sparams):
+    packed = pack_llama_mega(sparams, SCFG)
+    assert mega_supported(SCFG, 48, sparams)
+    C = 48
+    strat = DenseKV(
+        n_layer=SCFG.n_layer, n_head=SCFG.n_kv_head, head_dim=SCFG.head_dim,
+        capacity=C, batch=1, dtype=jnp.float32,
+    )
+    T0 = 7
+    toks = jnp.array([[3, 5, 250, 9, 1, 42, 7]], jnp.int32)
+    pos = jnp.arange(T0, dtype=jnp.int32)[None]
+    cache = strat.init()
+    logits, cache = llama_mod.llama_forward(
+        sparams, SCFG, toks, pos, cache, strat
+    )
+    cache = strat.set_length(cache, T0)
+    tok0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    pos1 = jnp.full((1, 1), T0, jnp.int32)
+    logits1, cache1 = llama_mod.llama_forward(
+        sparams, SCFG, tok0[:, None], pos1, cache, strat
+    )
+    tok_xla = int(jnp.argmax(logits1[0, 0]))
+    x_emb = sparams["embed"][tok0]
+    cos, sin = rope_cos_sin(pos1, SCFG.head_dim, SCFG.rope_theta)
+    cos_q = jnp.tile(cos[0], (1, SCFG.n_head))
+    sin_q = jnp.tile(sin[0], (1, SCFG.n_head))
+    tok_mega, k2, v2 = llama_megastep(
+        packed, to_mega_layout(cache["k"]), to_mega_layout(cache["v"]),
+        jnp.int32(T0), x_emb, cos_q, sin_q, cfg=SCFG, capacity=C,
+        interpret=True,
+    )
+    assert int(tok_mega) == tok_xla
+    k_ref = to_mega_layout(cache1["k"])
+    np.testing.assert_allclose(
+        np.asarray(k2[:, T0]), np.asarray(k_ref[:, T0]), atol=1e-5
+    )
+
+
+def test_engine_padded_scales_token_exact(sparams, monkeypatch):
+    """Padded-stack engine == XLA int4 path end to end, in both the
+    VMEM-resident-table and the forced scale-pane-ring modes, plus the
+    quant-KV composition (llama_megastep_quant shares _s4_geom)."""
+    import efficient_llm_inference_tpu.ops.pallas.megakernel_llama as mk
+
+    spec = llama_spec(SCFG)
+    prompt = "the quick brown fox jumps over the lazy dog"
+
+    def run(mega, method="full_cache"):
+        eng = InferenceEngine(
+            spec, sparams,
+            config=Config(dtype=jnp.float32, megakernel=mega, device="cpu",
+                          weight_quant="int4"),
+        )
+        return eng.generate_ids(prompt, method, max_new_tokens=9)
+
+    want = run(False)
+    assert run(True) == want
+    monkeypatch.setattr(mk, "_S4_RING_ONLY", True)
+    assert run(True) == want
+    monkeypatch.setattr(mk, "_S4_RING_ONLY", False)
+    assert run(True, "quant_int8") == run(False, "quant_int8")
+
+
 def test_llama_megastep_multi_chunk_attention(params):
     """capacity > _ATTN_CHUNK (512): the chunked cache walk must agree with
     the XLA step (scores/softmax merge across chunk boundaries)."""
