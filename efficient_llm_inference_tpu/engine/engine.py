@@ -54,6 +54,59 @@ VALID_METHODS = [
     "budget_cache",
 ]
 
+def _int4w8_llama_spec(spec: ModelSpec, allow_pad: bool):
+    """(spec', group) for weight_quant="int4w8" on a Llama-family spec.
+
+    group = TR/2 of the megakernel tile geometry: the half-tile scale
+    group that collapses the in-kernel dequant to column scaling
+    (_int4_tile_dot n_gh==1 fast path). The group must divide EVERY
+    matmul contraction dim, or quantize_int4_weights silently widens
+    that weight's scale group to the whole column (quality cliff) and
+    pack_llama_mega drops the megakernel on the non-uniform groups.
+
+    Geometries whose true FFN width the half-tile group does not divide
+    (Qwen2.5-7B: 896 vs 18944) are SERVED AT THE STREAM GEOMETRY'S
+    PADDED WIDTH instead: intermediate_size pads up to Ip in the serving
+    config, exact through SwiGLU for zero-padded weights (silu(0)*0 = 0
+    and zero down-rows add nothing; checkpoint conversion zero-pads,
+    random init simply serves the padded variant). Ip is a multiple of
+    TR and hence of TR/2, so the quantized groups come out uniform and
+    the fast path stays eligible — the cure docs/BENCHMARKS.md
+    "Qwen2.5-7B" names for the grouped-int4 VPU bound. Only taken when
+    the engine inits the params itself (allow_pad); caller-provided
+    params keep their width and degrade LOUDLY to plain grouped int4.
+    """
+    import dataclasses as _dc
+
+    from ..models.registry import spec_with_config
+    from ..ops.pallas.megakernel_llama import _tile_geometry
+
+    c = spec.config
+    TR, _, Ip = _tile_geometry(c)
+    g = TR // 2
+    fixed = (c.hidden_size, c.n_head * c.head_dim)
+    if all(d % g == 0 for d in fixed):
+        if c.intermediate_size % g == 0:
+            return spec, g
+        if allow_pad and Ip % g == 0 and Ip != c.intermediate_size:
+            return (
+                spec_with_config(
+                    spec, _dc.replace(c, intermediate_size=Ip)
+                ),
+                g,
+            )
+    import warnings
+
+    warnings.warn(
+        "weight_quant='int4w8': half-tile group "
+        f"{g} does not divide all contraction dims "
+        f"{fixed + (c.intermediate_size,)}; falling back to weight_quant="
+        "'int4' (group=128)",
+        stacklevel=2,
+    )
+    return spec, 128
+
+
 # Paths where the reference truncates prompts at 1024
 # (/root/reference/src/benchmarking/benchmarker.py:76-78 vs :172,438,510,592).
 _TRUNCATING_METHODS = {
@@ -111,31 +164,11 @@ class InferenceEngine:
             # dequant collapses to column scaling (_int4_tile_dot n_gh==1
             # fast path). Group = TR/2 of the model's tile geometry.
             if spec.name == "llama":
-                from ..ops.pallas.megakernel_llama import _tile_geometry
-
-                wq_group = _tile_geometry(spec.config)[0] // 2
-                # TR/2 must divide EVERY weight's contraction dim, or
-                # quantize_int4_weights silently widens that weight's scale
-                # group to the whole column (quality cliff) and
-                # pack_llama_mega drops the megakernel on the non-uniform
-                # groups. Degrade LOUDLY to plain grouped int4 instead.
-                c = spec.config
-                contractions = (
-                    c.hidden_size,
-                    c.n_head * c.head_dim,
-                    c.intermediate_size,
+                spec2, wq_group = _int4w8_llama_spec(
+                    spec, allow_pad=params is None
                 )
-                if any(d % wq_group for d in contractions):
-                    import warnings
-
-                    warnings.warn(
-                        "weight_quant='int4w8': half-tile group "
-                        f"{wq_group} does not divide all contraction dims "
-                        f"{contractions}; falling back to weight_quant="
-                        "'int4' (group=128)",
-                        stacklevel=2,
-                    )
-                    wq_group = 128
+                if spec2 is not spec:
+                    spec = spec2  # FFN width padded to the tile geometry
             elif spec.name == "gpt2":
                 wq_group = spec.config.n_embd // 2  # uniform [E, E] tiles
             else:

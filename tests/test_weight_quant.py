@@ -284,3 +284,52 @@ def test_engine_int4w8_from_model_name_routes_group():
     assert _q4_group(eng.params["blocks"]["fc_w"]) == E // 2
     text, n = eng.generate_with_cache("Hello world.", max_new_tokens=3)
     assert n == 3 and isinstance(text, str)
+
+
+def test_int4w8_padded_ffn_spec_routing_and_kernel():
+    """int4w8 on a geometry whose FFN width the half-tile group does not
+    divide: the serving spec pads intermediate_size to the tile
+    geometry's Ip (zeros exact through SwiGLU), groups come out uniform
+    at TR/2, the megakernel packs on the n_gh==1 fast path, and decode
+    is token-exact vs the XLA path on the padded model."""
+    from efficient_llm_inference_tpu.engine.engine import _int4w8_llama_spec
+    from efficient_llm_inference_tpu.ops.pallas.megakernel_llama import (
+        _q4_group,
+        _tile_geometry,
+        mega_supported,
+        pack_llama_mega,
+    )
+
+    cfg = llama_mod.LlamaConfig(
+        vocab_size=300, hidden_size=512, intermediate_size=1408, n_layer=2,
+        n_head=4, n_kv_head=1, tie_embeddings=True,
+    )
+    spec = llama_mod.llama_spec(cfg)
+    TR, TC, Ip = _tile_geometry(cfg)
+    assert (TR, Ip) == (512, 1536) and cfg.intermediate_size % (TR // 2)
+    spec2, g = _int4w8_llama_spec(spec, allow_pad=True)
+    assert g == TR // 2 and spec2.config.intermediate_size == Ip
+
+    params = llama_mod.init_llama_params(
+        jax.random.PRNGKey(4), spec2.config, jnp.float32
+    )
+    q = llama_mod.quantize_llama_weights(params, mode="int4", group=g)
+    assert _q4_group(q["blocks"]["w_gate"]) == g
+    packed = pack_llama_mega(q, spec2.config)
+    assert packed is not None
+    assert packed["w4scale"].shape[1] == 2  # n_gh == 1 fast path
+    assert "s4g" not in packed
+    assert mega_supported(spec2.config, 48, q)
+
+    prompt = "the tides turn at dawn"
+    outs = {}
+    for mega in (False, True):
+        eng = InferenceEngine(
+            spec2, q,
+            config=Config(model_name="t", device="cpu", dtype=jnp.float32,
+                          megakernel=mega, weight_quant="int4"),
+        )
+        outs[mega] = eng.generate_ids(prompt, "full_cache", max_new_tokens=8)
+        if mega:
+            assert eng._mega_packed is not None
+    assert outs[True] == outs[False]
