@@ -337,3 +337,40 @@ def test_engine_generate_batch_llama_quant_token_exact(lparams, kv_mode):
         for p in prompts
     ]
     assert got == want
+
+
+def test_engine_generate_batch_llama_quant_padded_scales(lparams):
+    """Padded int4 scale stack (n_gh=3 geometry, s4g marker) through the
+    BATCHED llama quant kernel: generate_batch(kv_mode) must stay
+    token-exact vs the single-stream quant method — covers the
+    megakernel_batch_quant llama section's _s4_geom decoding."""
+    SCFG = LlamaConfig(
+        vocab_size=300, hidden_size=768, intermediate_size=1536, n_layer=2,
+        n_head=6, n_kv_head=1, n_positions=512, rope_theta=10000.0,
+        tie_embeddings=True,
+    )
+    params = llama_mod.init_llama_params(
+        jax.random.PRNGKey(5), SCFG, jnp.float32
+    )
+    qp = llama_mod.quantize_llama_weights(params, "int4")  # G=128, n_gh=3
+    assert "s4g" in pack_llama_mega(qp, SCFG)
+    eng = InferenceEngine(
+        llama_spec(SCFG), qp,
+        config=Config(dtype=jnp.float32, megakernel=True, device="cpu",
+                      weight_quant="int4"),
+    )
+    prompts = ["the quick brown fox", "a"]
+    got = eng.generate_batch(prompts, max_new_tokens=5, kv_mode="int8")
+    assert any(
+        k[0] == "batch" and k[-1] == "int8" for k in eng._fns
+    ), "llama quant batch megakernel path was not selected"
+    want = [
+        eng.generate(p, "quant_int8", max_new_tokens=5) for p in prompts
+    ]
+    assert got == want
+    # and the PLAIN batched kernel (megakernel_batch llama section)
+    got_fp = eng.generate_batch(prompts, max_new_tokens=5)
+    want_fp = [
+        eng.generate(p, "full_cache", max_new_tokens=5) for p in prompts
+    ]
+    assert got_fp == want_fp
