@@ -164,10 +164,22 @@ class InferenceEngine:
             # dequant collapses to column scaling (_int4_tile_dot n_gh==1
             # fast path). Group = TR/2 of the model's tile geometry.
             if spec.name == "llama":
+                # provided FULL-PRECISION params (e.g. a converted
+                # checkpoint) can be zero-padded alongside the spec;
+                # pre-quantized params keep the loud grouped-int4 fallback
+                fp_params = params is None or not isinstance(
+                    params.get("blocks", {}).get("wq"), dict
+                )
                 spec2, wq_group = _int4w8_llama_spec(
-                    spec, allow_pad=params is None
+                    spec, allow_pad=fp_params
                 )
                 if spec2 is not spec:
+                    if params is not None:
+                        from ..models.llama import pad_llama_ffn
+
+                        params = pad_llama_ffn(
+                            params, spec2.config.intermediate_size
+                        )
                     spec = spec2  # FFN width padded to the tile geometry
             elif spec.name == "gpt2":
                 wq_group = spec.config.n_embd // 2  # uniform [E, E] tiles

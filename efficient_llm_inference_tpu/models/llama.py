@@ -367,6 +367,29 @@ def _fwd(cfg, params, tokens, positions, cache, strategy, seq_mask=None):
     return llama_forward(params, cfg, tokens, positions, cache, strategy, seq_mask)
 
 
+def pad_llama_ffn(params: dict, new_I: int) -> dict:
+    """Zero-pad the FFN width of full-precision Llama params to new_I.
+
+    gate/up gain zero output columns, down gains zero input rows —
+    exact through SwiGLU (silu(0)*0 contributes nothing and zero down
+    rows add nothing), prefill and decode alike. Serves checkpoints on
+    the int4w8 padded-FFN geometry (engine._int4w8_llama_spec): pad
+    BEFORE quantization so the half-tile scale groups come out uniform.
+    """
+    b = dict(params["blocks"])
+    old_I = b["w_gate"].shape[-1]
+    if new_I == old_I:
+        return params
+    assert new_I > old_I, (old_I, new_I)
+    pad = new_I - old_I
+    b["w_gate"] = jnp.pad(b["w_gate"], ((0, 0), (0, 0), (0, pad)))
+    b["w_up"] = jnp.pad(b["w_up"], ((0, 0), (0, 0), (0, pad)))
+    b["w_down"] = jnp.pad(b["w_down"], ((0, 0), (0, pad), (0, 0)))
+    out = dict(params)
+    out["blocks"] = b
+    return out
+
+
 def params_from_hf_state_dict(state_dict, cfg: LlamaConfig, dtype=jnp.float32) -> dict:
     """Convert HF LlamaForCausalLM weights (offline from-config works too).
 

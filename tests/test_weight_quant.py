@@ -333,3 +333,39 @@ def test_int4w8_padded_ffn_spec_routing_and_kernel():
         if mega:
             assert eng._mega_packed is not None
     assert outs[True] == outs[False]
+
+
+def test_pad_llama_ffn_exact_and_engine_pads_provided_params():
+    """pad_llama_ffn is logit-exact (zeros through SwiGLU), and
+    from_model_name(..., params=fp_checkpoint) pads provided
+    full-precision params alongside the int4w8 spec."""
+    from efficient_llm_inference_tpu.engine.engine import _int4w8_llama_spec
+
+    cfg = llama_mod.LlamaConfig(
+        vocab_size=300, hidden_size=512, intermediate_size=1408, n_layer=2,
+        n_head=4, n_kv_head=1, tie_embeddings=True,
+    )
+    params = llama_mod.init_llama_params(jax.random.PRNGKey(6), cfg,
+                                         jnp.float32)
+    spec = llama_mod.llama_spec(cfg)
+    spec2, g = _int4w8_llama_spec(spec, allow_pad=True)
+    cfg2 = spec2.config
+    assert cfg2.intermediate_size == 1536
+    padded = llama_mod.pad_llama_ffn(params, 1536)
+    assert padded["blocks"]["w_gate"].shape[-1] == 1536
+
+    from efficient_llm_inference_tpu.cache.kvcache import DenseKV
+
+    toks = jnp.asarray(
+        np.random.default_rng(1).integers(0, 300, (1, 12)), jnp.int32
+    )
+    pos = jnp.arange(12, dtype=jnp.int32)[None]
+
+    def logits(c, p):
+        strat = DenseKV(n_layer=c.n_layer, n_head=c.n_kv_head,
+                        head_dim=c.head_dim, capacity=16, batch=1,
+                        dtype=jnp.float32)
+        lg, _ = llama_mod.llama_forward(p, c, toks, pos, strat.init(), strat)
+        return np.asarray(lg)
+
+    np.testing.assert_array_equal(logits(cfg, params), logits(cfg2, padded))
