@@ -124,22 +124,38 @@ class MegaBatchServer:
 
             if spec != "ngram":
                 raise ValueError(f"unknown spec mode: {spec!r}")
-            if model.name != "gpt2":
-                raise ValueError(
-                    "spec serving currently needs a gpt2-family model"
-                )
-            if kv_mode:  # spec x compressed pools (round 5)
+            if model.name == "gpt2":
+                if kv_mode:  # spec x compressed pools (round 5)
+                    from ..ops.pallas.megakernel_batch_verify import (
+                        mega_batch_verify_quant_supported,
+                    )
+
+                    ok_spec = mega_batch_verify_quant_supported(
+                        model.config, pool.capacity, params, pool.n_slots,
+                        spec_k, kv_mode,
+                    )
+                else:
+                    ok_spec = mega_batch_verify_supported(
+                        model.config, pool.capacity, params, pool.n_slots,
+                        spec_k,
+                    )
+            elif model.name == "llama":
+                if kv_mode:
+                    raise ValueError(
+                        "spec serving over quant pools is gpt2-family "
+                        "only so far (llama spec needs kv_mode=None)"
+                    )
                 from ..ops.pallas.megakernel_batch_verify import (
-                    mega_batch_verify_quant_supported,
+                    llama_mega_batch_verify_supported,
                 )
 
-                ok_spec = mega_batch_verify_quant_supported(
+                ok_spec = llama_mega_batch_verify_supported(
                     model.config, pool.capacity, params, pool.n_slots,
-                    spec_k, kv_mode,
+                    spec_k,
                 )
             else:
-                ok_spec = mega_batch_verify_supported(
-                    model.config, pool.capacity, params, pool.n_slots, spec_k
+                raise ValueError(
+                    "spec serving needs a gpt2- or llama-family model"
                 )
             if not ok_spec:
                 raise ValueError(
@@ -634,6 +650,7 @@ class MegaBatchServer:
         from ..ops.pallas.megakernel_batch_verify import (
             gpt2_megabatch_verify,
             gpt2_megabatch_verify_quant,
+            llama_megabatch_verify,
         )
 
         model = self.model
@@ -643,7 +660,10 @@ class MegaBatchServer:
         R = self.spec_k
         ngram = self.ngram_n
         kv_mode = self.kv_mode
+        llama = model.name == "llama"
         interpret = self.interpret
+        if llama:
+            from ..models.llama import rope_cos_sin
         S = C  # stream buffer: prompt + emitted fits the pane by admission
 
         def propose(seq, slen):
@@ -676,8 +696,6 @@ class MegaBatchServer:
             )
 
         def chunk(params, packed, pools, seq, slen, active):
-            wte, wpe = params["wte"], params["wpe"]
-
             def round_(carry, _):
                 pools, seq, slen = carry
                 props = propose(seq, slen)  # [B, R]
@@ -689,8 +707,28 @@ class MegaBatchServer:
                     + jnp.arange(R, dtype=jnp.int32)[None],
                     model.n_positions - 1,
                 )
-                x = (wte[vin] + wpe[pos]).astype(wte.dtype)
-                if kv_mode:
+                if llama:
+                    embed = params["embed"]
+                    x = embed[vin].astype(embed.dtype)  # [B, R, E]
+                    cosb, sinb = rope_cos_sin(
+                        pos, cfg.head_dim, cfg.rope_theta
+                    )  # [B, R, D]
+                    cos_q = jnp.tile(cosb, (1, 1, cfg.n_head)).reshape(
+                        Bn * R, cfg.n_head * cfg.head_dim
+                    )
+                    sin_q = jnp.tile(sinb, (1, 1, cfg.n_head)).reshape(
+                        Bn * R, cfg.n_head * cfg.head_dim
+                    )
+                    k_pool, v_pool = pools
+                    greedy, k_pool, v_pool = llama_megabatch_verify(
+                        packed, k_pool, v_pool, slen - 1,
+                        x.reshape(Bn * R, cfg.hidden_size), cos_q, sin_q,
+                        cfg=cfg, capacity=C, rows=R, interpret=interpret,
+                    )
+                    pools = (k_pool, v_pool)
+                elif kv_mode:
+                    wte, wpe = params["wte"], params["wpe"]
+                    x = (wte[vin] + wpe[pos]).astype(wte.dtype)
                     k_pool, v_pool, ks_pool, vs_pool = pools
                     (greedy, k_pool, v_pool, ks_pool,
                      vs_pool) = gpt2_megabatch_verify_quant(
@@ -701,6 +739,8 @@ class MegaBatchServer:
                     )
                     pools = (k_pool, v_pool, ks_pool, vs_pool)
                 else:
+                    wte, wpe = params["wte"], params["wpe"]
+                    x = (wte[vin] + wpe[pos]).astype(wte.dtype)
                     k_pool, v_pool = pools
                     greedy, k_pool, v_pool = gpt2_megabatch_verify(
                         packed, k_pool, v_pool, slen - 1,

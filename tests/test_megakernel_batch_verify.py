@@ -394,3 +394,166 @@ def test_spec_server_quant_pool_matches_plain_quant_server(params):
         assert a.out_ids == b.out_ids, f"request {a.rid}"
     # speculation actually advanced multiple tokens per round somewhere
     # (repetitive prompts guarantee n-gram hits)
+
+
+# ---------------------------------------------------------------------------
+# Llama/GQA batched verify (round 5): spec serving for the llama family
+# ---------------------------------------------------------------------------
+
+LLCFG = None  # built lazily (module import order)
+
+
+def _llcfg():
+    from efficient_llm_inference_tpu.models.llama import LlamaConfig
+
+    return LlamaConfig(
+        vocab_size=300, hidden_size=256, intermediate_size=512, n_layer=2,
+        n_head=4, n_kv_head=2, n_positions=512, rope_theta=10000.0,
+        tie_embeddings=True,
+    )
+
+
+@pytest.mark.parametrize("quant", ["f", "int8"])
+def test_llama_batch_verify_matches_sequential_steps(quant):
+    """One GQA verify pass == R sequential llama_megabatch steps fed the
+    same row tokens: per-row greedy tokens exact, cache rows to fp32
+    reassociation tolerance, prior rows untouched."""
+    from efficient_llm_inference_tpu.models import llama as llama_mod
+    from efficient_llm_inference_tpu.models.llama import rope_cos_sin
+    from efficient_llm_inference_tpu.ops.pallas.megakernel_batch import (
+        llama_megabatch,
+    )
+    from efficient_llm_inference_tpu.ops.pallas.megakernel_batch_verify import (
+        llama_megabatch_verify,
+        llama_mega_batch_verify_supported,
+    )
+    from efficient_llm_inference_tpu.ops.pallas.megakernel_llama import (
+        pack_llama_mega,
+    )
+
+    cfg = _llcfg()
+    p = llama_mod.init_llama_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    if quant == "int8":
+        p = llama_mod.quantize_llama_weights(p, mode="int8")
+    packed = pack_llama_mega(p, cfg)
+    assert packed is not None
+    assert llama_mega_batch_verify_supported(cfg, C, p, B, R)
+
+    rng = np.random.RandomState(9)
+    lens = [6, 13, 10]
+    streams = []
+    for T0 in lens:
+        strat = DenseKV(
+            n_layer=cfg.n_layer, n_head=cfg.n_kv_head, head_dim=cfg.head_dim,
+            capacity=C, batch=1, dtype=jnp.float32,
+        )
+        toks = jnp.asarray(rng.randint(0, cfg.vocab_size, (1, T0)), jnp.int32)
+        pos = jnp.arange(T0, dtype=jnp.int32)[None]
+        cache = strat.init()
+        logits, cache = llama_mod.llama_forward(p, cfg, toks, pos, cache,
+                                                strat)
+        cache = strat.set_length(cache, T0)
+        tok0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[0]
+        streams.append((cache, tok0))
+
+    kb = to_mega_layout_batch(
+        jnp.concatenate([c["k"] for c, _ in streams], axis=1)
+    )  # [L, B, C, KW]
+    vb = to_mega_layout_batch(
+        jnp.concatenate([c["v"] for c, _ in streams], axis=1)
+    )
+    len0 = jnp.asarray(lens, jnp.int32)
+    toks0 = jnp.stack([t for _, t in streams])
+    props = jnp.asarray(
+        rng.randint(0, cfg.vocab_size, size=(B, R - 1)), jnp.int32
+    )
+    vin = jnp.concatenate([toks0[:, None], props], axis=1)  # [B, R]
+    Hq, D = cfg.n_head, cfg.head_dim
+
+    # oracle: R sequential batched steps with forced inputs
+    kbs, vbs = kb, vb
+    seq_toks = []
+    for r in range(R):
+        x = p["embed"][vin[:, r]]
+        cos, sin = rope_cos_sin((len0 + r)[:, None], D, cfg.rope_theta)
+        cos_q = jnp.tile(cos[:, 0], (1, Hq))
+        sin_q = jnp.tile(sin[:, 0], (1, Hq))
+        tok, kbs, vbs = llama_megabatch(
+            packed, kbs, vbs, len0 + r, x, cos_q, sin_q,
+            cfg=cfg, capacity=C, interpret=True,
+        )
+        seq_toks.append(tok)
+    seq_toks = jnp.stack(seq_toks, axis=1)  # [B, R]
+
+    # one fused verify pass
+    pos_blk = len0[:, None] + jnp.arange(R, dtype=jnp.int32)[None]  # [B, R]
+    cosb, sinb = rope_cos_sin(pos_blk, D, cfg.rope_theta)  # [B, R, D]
+    cos_q = jnp.tile(cosb, (1, 1, Hq)).reshape(B * R, Hq * D)
+    sin_q = jnp.tile(sinb, (1, 1, Hq)).reshape(B * R, Hq * D)
+    x_blk = p["embed"][vin].reshape(B * R, cfg.hidden_size)
+    toks, k2, v2 = llama_megabatch_verify(
+        packed, kb, vb, len0, x_blk, cos_q, sin_q,
+        cfg=cfg, capacity=C, rows=R, interpret=True,
+    )
+
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(seq_toks))
+    for b, t0 in enumerate(lens):
+        np.testing.assert_allclose(
+            np.asarray(k2[:, b, t0:t0 + R]),
+            np.asarray(kbs[:, b, t0:t0 + R]), atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(v2[:, b, t0:t0 + R]),
+            np.asarray(vbs[:, b, t0:t0 + R]), atol=2e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(k2[:, b, :t0]), np.asarray(kb[:, b, :t0])
+        )
+
+
+def test_llama_spec_server_matches_per_prompt():
+    """Llama-family spec="ngram" server == per-prompt greedy, incl. the
+    no-match fallback prompt — the round-5 extension of spec serving to
+    the GQA family."""
+    from efficient_llm_inference_tpu.core.config import Config
+    from efficient_llm_inference_tpu.engine.batching import Request
+    from efficient_llm_inference_tpu.engine.engine import InferenceEngine
+    from efficient_llm_inference_tpu.engine.megaserver import (
+        MegaBatchServer,
+        MegaPoolConfig,
+    )
+    from efficient_llm_inference_tpu.models import llama as llama_mod
+    from efficient_llm_inference_tpu.models.llama import llama_spec
+
+    cfg = _llcfg()
+    p = llama_mod.init_llama_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+    eng = InferenceEngine(
+        llama_spec(cfg), p,
+        config=Config(dtype=jnp.float32, megakernel=False, device="cpu"),
+    )
+    tok = eng.tokenizer
+    prompts = [
+        "the cat sat on the cat sat",
+        "a b a b a b a b",
+        "x",
+    ]
+    budgets = [9, 12, 7]
+    srv = MegaBatchServer(
+        llama_spec(cfg), p,
+        pool=MegaPoolConfig(n_slots=2, capacity=C, max_chunk=3,
+                            prompt_bucket=32),
+        dtype=jnp.float32,
+        interpret=True,
+        spec="ngram",
+        spec_k=4,
+    )
+    reqs = [
+        Request(rid=i, prompt_ids=tok.encode(pr), max_new_tokens=n)
+        for i, (pr, n) in enumerate(zip(prompts, budgets))
+    ]
+    srv.run(reqs)
+    for req, pr, n in zip(reqs, prompts, budgets):
+        assert req.done and len(req.out_ids) == n
+        want = eng.generate_ids(pr, "full_cache", max_new_tokens=n)
+        assert req.prompt_ids + req.out_ids == want, f"request {req.rid}"
+    assert srv.spec_stats["tokens"] >= srv.spec_stats["rounds"]
