@@ -91,8 +91,14 @@ class MegaBatchServer:
         plain server (same kv_mode) for any proposal source. Quant pools
         compose (round 5): with kv_mode set, rounds ride the quant-pane
         verify kernel (gpt2_megabatch_verify_quant) whose numerics equal
-        the sequential quant stepper's exactly. Currently gpt2-family;
-        `spec_k <= 8` (one RMW window)."""
+        the sequential quant stepper's exactly. gpt2- AND llama-family
+        (llama: bf16 pools); `spec_k <= 8` (one RMW window). The verify
+        width adapts per burst (`_ladder_next`): low acceptance shrinks R
+        toward the near-parity R=2 floor, saturation climbs it back.
+        Size panes so prompt + 1 + max_new <= capacity - 8: the spec
+        cursor clamps at C-8 (in-pane RMW window), so tokens scheduled
+        past that are computed against a frozen context — the spec
+        analogue of the plain path's C-1 cursor-clamp contract."""
         from ..ops.pallas.megakernel_batch import (
             llama_mega_batch_supported,
             mega_batch_supported,
@@ -116,6 +122,11 @@ class MegaBatchServer:
         # live acceptance estimate (booked tokens / productive round),
         # persists across run() calls so warmed servers schedule well
         self._acc_est = 2.0
+        # adaptive verify width: start optimistic at spec_k, shrink toward
+        # 2 on low-acceptance streams (R=2 rounds cost ~a plain step, so
+        # the worst case is near-parity instead of paying spec_k wasted
+        # rows/round), climb back when the current width saturates
+        self._spec_R = spec_k
         self.spec_stats = {"rounds": 0, "tokens": 0}
         if spec is not None:
             from ..ops.pallas.megakernel_batch_verify import (
@@ -634,7 +645,7 @@ class MegaBatchServer:
 
         return jax.jit(chunk, donate_argnums=(2,))
 
-    def _make_spec_chunk(self, n_rounds: int) -> Callable:
+    def _make_spec_chunk(self, n_rounds: int, R: int) -> Callable:
         """One dispatch = n_rounds speculative verify rounds (all slots).
 
         Each round: per-slot n-gram proposals mined from the slot's own
@@ -645,7 +656,8 @@ class MegaBatchServer:
         (cursor clamped in-pane) and emit nothing — the zombie contract
         of the plain chunk path. With a quant pool (kv_mode) the round
         rides the quant-pane verify kernel and the scale tables thread
-        through the scan alongside the panes.
+        through the scan alongside the panes. R is the verify width this
+        chunk compiles at (the adaptive ladder picks it per burst).
         """
         from ..ops.pallas.megakernel_batch_verify import (
             gpt2_megabatch_verify,
@@ -657,7 +669,6 @@ class MegaBatchServer:
         cfg = model.config
         C = self.pool_cfg.capacity
         Bn = self.pool_cfg.n_slots
-        R = self.spec_k
         ngram = self.ngram_n
         kv_mode = self.kv_mode
         llama = model.name == "llama"
@@ -1004,6 +1015,21 @@ class MegaBatchServer:
                 self.last_token[slot] = 0
         return rounds_used, tokens_booked
 
+    def _ladder_next(self, R_cur: int) -> int:
+        """Adaptive verify-width policy from the live acceptance EMA.
+
+        Widen when the current width saturates (acceptance near R_cur
+        caps the observable signal, so climbing needs no separate probe
+        burst); shrink toward the near-parity R=2 floor on non-echoing
+        streams, where wide rounds pay spec_k wasted verify rows each
+        (measured -19% at acc~1.2, R=8 on the Llama-1B random protocol —
+        docs/BENCHMARKS.md "Llama-family spec serving")."""
+        if self._acc_est >= 0.75 * R_cur and R_cur < self.spec_k:
+            return min(R_cur * 2, self.spec_k)
+        if self._acc_est < 1.3 and R_cur > 2:
+            return max(2, R_cur // 2)
+        return R_cur
+
     # every chunk advances each slot >= chunk rounds >= chunk tokens, but
     # actual progress (1..spec_k tok/round) is only known at the fetch:
     # cap spec bursts so zombie rounds and admission delay stay bounded.
@@ -1026,21 +1052,23 @@ class MegaBatchServer:
         server exactly either way."""
         queue = list(requests)
         chunk = min(self.pool_cfg.max_chunk, self._SPEC_CHUNK)
-        if ("spec", chunk) not in self._chunks:
-            self._chunks[("spec", chunk)] = self._make_spec_chunk(chunk)
-        step_fn = self._chunks[("spec", chunk)]
         total_steps = 0
         self.spec_stats = {"rounds": 0, "tokens": 0}
         while queue or self.active.any():
             self._admit(queue)
             if not self.active.any():
                 continue
+            R_cur = max(2, min(self._spec_R, self.spec_k))
+            key = ("spec", chunk, R_cur)
+            if key not in self._chunks:
+                self._chunks[key] = self._make_spec_chunk(chunk, R_cur)
+            step_fn = self._chunks[key]
             rem = {
                 s: self.slot_req[s].max_new_tokens
                 - len(self.slot_req[s].out_ids)
                 for s in range(self.pool_cfg.n_slots) if self.active[s]
             }
-            est = min(max(self._acc_est, 1.0), float(self.spec_k))
+            est = min(max(self._acc_est, 1.0), float(R_cur))
             rounds_needed = [-(-r // est) for r in rem.values()]
             need = min(rounds_needed) if queue else max(rounds_needed)
             n_burst = -(-int(need) // chunk)
@@ -1094,6 +1122,7 @@ class MegaBatchServer:
                 self._acc_est = 0.5 * self._acc_est + 0.5 * obs
                 self.spec_stats["rounds"] += b_rounds
                 self.spec_stats["tokens"] += b_tokens
+                self._spec_R = self._ladder_next(R_cur)
             # mirror device state for slots still running
             for s in range(self.pool_cfg.n_slots):
                 if was_active[s] and self.active[s]:

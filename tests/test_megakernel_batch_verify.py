@@ -557,3 +557,52 @@ def test_llama_spec_server_matches_per_prompt():
         want = eng.generate_ids(pr, "full_cache", max_new_tokens=n)
         assert req.prompt_ids + req.out_ids == want, f"request {req.rid}"
     assert srv.spec_stats["tokens"] >= srv.spec_stats["rounds"]
+
+
+def test_spec_verify_width_ladder(params):
+    """The adaptive verify width shrinks toward the R=2 floor on
+    non-echoing streams and stays at spec_k on echoing ones — outputs
+    exact either way (the ladder only changes ROUND shape, acceptance
+    semantics are width-independent)."""
+    from efficient_llm_inference_tpu.engine.batching import Request
+
+    eng = _mk_engine(params)
+    tok = eng.tokenizer
+
+    def run(prompts, budgets, srv):
+        reqs = [
+            Request(rid=i, prompt_ids=tok.encode(p), max_new_tokens=n)
+            for i, (p, n) in enumerate(zip(prompts, budgets))
+        ]
+        srv.run(reqs)
+        for req, p, n in zip(reqs, prompts, budgets):
+            want = eng.generate_ids(p, "full_cache", max_new_tokens=n)
+            assert req.prompt_ids + req.out_ids == want
+        return srv
+
+    # policy unit behavior: low acceptance walks 8 -> 4 -> 2 and floors;
+    # saturation climbs a rung at a time; mid-band holds
+    srv = _mk_spec_server(params, spec_k=8)
+    srv._acc_est = 1.0
+    assert srv._ladder_next(8) == 4
+    assert srv._ladder_next(4) == 2
+    assert srv._ladder_next(2) == 2  # near-parity floor
+    srv._acc_est = 1.9
+    assert srv._ladder_next(2) == 4  # saturated rung climbs
+    srv._acc_est = 3.2
+    assert srv._ladder_next(4) == 8
+    srv._acc_est = 2.0
+    assert srv._ladder_next(4) == 4  # mid-band holds
+    # integration: runs with narrowed widths stay output-exact (the
+    # ladder only changes round shape, not acceptance semantics)
+    srv._spec_R = 2
+    srv._acc_est = 1.0
+    run(["qz kw", "vb nm", "pl df"], [12, 9, 14], srv)
+    # and a run that starts narrow on an echoing stream climbs
+    # (prompt + 1 + budget must fit the spec pane budget C - 8)
+    srv2 = _mk_spec_server(params, spec_k=8)
+    srv2._spec_R = 2
+    srv2._acc_est = 2.0
+    run(["a b a b a b a b a b a b", "c d c d c d c d c d c d"],
+        [14, 14], srv2)
+    assert srv2._spec_R >= 4, srv2._spec_R
