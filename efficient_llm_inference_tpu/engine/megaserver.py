@@ -152,18 +152,23 @@ class MegaBatchServer:
                     )
             elif model.name == "llama":
                 if kv_mode:
-                    raise ValueError(
-                        "spec serving over quant pools is gpt2-family "
-                        "only so far (llama spec needs kv_mode=None)"
+                    from ..ops.pallas.megakernel_batch_verify import (
+                        llama_mega_batch_verify_quant_supported,
                     )
-                from ..ops.pallas.megakernel_batch_verify import (
-                    llama_mega_batch_verify_supported,
-                )
 
-                ok_spec = llama_mega_batch_verify_supported(
-                    model.config, pool.capacity, params, pool.n_slots,
-                    spec_k,
-                )
+                    ok_spec = llama_mega_batch_verify_quant_supported(
+                        model.config, pool.capacity, params, pool.n_slots,
+                        spec_k, kv_mode,
+                    )
+                else:
+                    from ..ops.pallas.megakernel_batch_verify import (
+                        llama_mega_batch_verify_supported,
+                    )
+
+                    ok_spec = llama_mega_batch_verify_supported(
+                        model.config, pool.capacity, params, pool.n_slots,
+                        spec_k,
+                    )
             else:
                 raise ValueError(
                     "spec serving needs a gpt2- or llama-family model"
@@ -663,6 +668,7 @@ class MegaBatchServer:
             gpt2_megabatch_verify,
             gpt2_megabatch_verify_quant,
             llama_megabatch_verify,
+            llama_megabatch_verify_quant,
         )
 
         model = self.model
@@ -730,13 +736,27 @@ class MegaBatchServer:
                     sin_q = jnp.tile(sinb, (1, 1, cfg.n_head)).reshape(
                         Bn * R, cfg.n_head * cfg.head_dim
                     )
-                    k_pool, v_pool = pools
-                    greedy, k_pool, v_pool = llama_megabatch_verify(
-                        packed, k_pool, v_pool, slen - 1,
-                        x.reshape(Bn * R, cfg.hidden_size), cos_q, sin_q,
-                        cfg=cfg, capacity=C, rows=R, interpret=interpret,
-                    )
-                    pools = (k_pool, v_pool)
+                    if kv_mode:
+                        k_pool, v_pool, ks_pool, vs_pool = pools
+                        (greedy, k_pool, v_pool, ks_pool,
+                         vs_pool) = llama_megabatch_verify_quant(
+                            packed, k_pool, v_pool, ks_pool, vs_pool,
+                            slen - 1, x.reshape(Bn * R, cfg.hidden_size),
+                            cos_q, sin_q,
+                            cfg=cfg, capacity=C, rows=R, kv_mode=kv_mode,
+                            interpret=interpret,
+                        )
+                        pools = (k_pool, v_pool, ks_pool, vs_pool)
+                    else:
+                        k_pool, v_pool = pools
+                        greedy, k_pool, v_pool = llama_megabatch_verify(
+                            packed, k_pool, v_pool, slen - 1,
+                            x.reshape(Bn * R, cfg.hidden_size), cos_q,
+                            sin_q,
+                            cfg=cfg, capacity=C, rows=R,
+                            interpret=interpret,
+                        )
+                        pools = (k_pool, v_pool)
                 elif kv_mode:
                     wte, wpe = params["wte"], params["wpe"]
                     x = (wte[vin] + wpe[pos]).astype(wte.dtype)

@@ -606,3 +606,147 @@ def test_spec_verify_width_ladder(params):
     run(["a b a b a b a b a b a b", "c d c d c d c d c d c d"],
         [14, 14], srv2)
     assert srv2._spec_R >= 4, srv2._spec_R
+
+
+@pytest.mark.parametrize("kv_mode", ["int8", "int4", "mixed"])
+def test_llama_batch_verify_quant_matches_sequential(kv_mode):
+    """One quant-pane GQA verify pass == R sequential llama_megabatch_quant
+    steps fed the same row tokens: tokens and quantized panes exact,
+    scale tables to fp32 reassociation tolerance."""
+    from efficient_llm_inference_tpu.cache.kvcache import QuantizedKV
+    from efficient_llm_inference_tpu.models import llama as llama_mod
+    from efficient_llm_inference_tpu.models.llama import rope_cos_sin
+    from efficient_llm_inference_tpu.ops.pallas.megakernel_batch_quant import (
+        llama_megabatch_quant,
+        quantize_panes_batch,
+    )
+    from efficient_llm_inference_tpu.ops.pallas.megakernel_batch_verify import (
+        llama_megabatch_verify_quant,
+        llama_mega_batch_verify_quant_supported,
+    )
+    from efficient_llm_inference_tpu.ops.pallas.megakernel_llama import (
+        pack_llama_mega,
+    )
+
+    # int4 panes need KW/2 % 128 == 0 -> KW=256 geometry for int4/mixed
+    from efficient_llm_inference_tpu.models.llama import LlamaConfig
+
+    if kv_mode == "int8":
+        cfg = _llcfg()
+    else:
+        cfg = LlamaConfig(
+            vocab_size=300, hidden_size=512, intermediate_size=1024,
+            n_layer=2, n_head=8, n_kv_head=4, n_positions=512,
+            rope_theta=10000.0, tie_embeddings=True,
+        )
+    p = llama_mod.init_llama_params(jax.random.PRNGKey(3), cfg, jnp.float32)
+    p = llama_mod.quantize_llama_weights(p, mode="int8")
+    packed = pack_llama_mega(p, cfg)
+    assert packed is not None
+    assert llama_mega_batch_verify_quant_supported(cfg, C, p, B, R, kv_mode)
+
+    rng = np.random.RandomState(11)
+    lens = [6, 13, 10]
+    streams = []
+    for T0 in lens:
+        strat = DenseKV(
+            n_layer=cfg.n_layer, n_head=cfg.n_kv_head, head_dim=cfg.head_dim,
+            capacity=C, batch=1, dtype=jnp.float32,
+        )
+        toks = jnp.asarray(rng.randint(0, cfg.vocab_size, (1, T0)), jnp.int32)
+        pos = jnp.arange(T0, dtype=jnp.int32)[None]
+        cache = strat.init()
+        logits, cache = llama_mod.llama_forward(p, cfg, toks, pos, cache,
+                                                strat)
+        cache = strat.set_length(cache, T0)
+        tok0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[0]
+        streams.append((cache, tok0))
+
+    kb = to_mega_layout_batch(
+        jnp.concatenate([c["k"] for c, _ in streams], axis=1)
+    )
+    vb = to_mega_layout_batch(
+        jnp.concatenate([c["v"] for c, _ in streams], axis=1)
+    )
+    k8, v8, kss, vss = quantize_panes_batch(kb, vb, kv_mode)
+    len0 = jnp.asarray(lens, jnp.int32)
+    toks0 = jnp.stack([t for _, t in streams])
+    props = jnp.asarray(
+        rng.randint(0, cfg.vocab_size, size=(B, R - 1)), jnp.int32
+    )
+    vin = jnp.concatenate([toks0[:, None], props], axis=1)
+    Hq, D = cfg.n_head, cfg.head_dim
+
+    k8s, v8s, ks_s, vs_s = k8, v8, kss, vss
+    seq_toks = []
+    for r in range(R):
+        x = p["embed"][vin[:, r]]
+        cos, sin = rope_cos_sin((len0 + r)[:, None], D, cfg.rope_theta)
+        cos_q = jnp.tile(cos[:, 0], (1, Hq))
+        sin_q = jnp.tile(sin[:, 0], (1, Hq))
+        tok, k8s, v8s, ks_s, vs_s = llama_megabatch_quant(
+            packed, k8s, v8s, ks_s, vs_s, len0 + r, x, cos_q, sin_q,
+            cfg=cfg, capacity=C, kv_mode=kv_mode, interpret=True,
+        )
+        seq_toks.append(tok)
+    seq_toks = jnp.stack(seq_toks, axis=1)
+
+    pos_blk = len0[:, None] + jnp.arange(R, dtype=jnp.int32)[None]
+    cosb, sinb = rope_cos_sin(pos_blk, D, cfg.rope_theta)
+    cos_q = jnp.tile(cosb, (1, 1, Hq)).reshape(B * R, Hq * D)
+    sin_q = jnp.tile(sinb, (1, 1, Hq)).reshape(B * R, Hq * D)
+    x_blk = p["embed"][vin].reshape(B * R, cfg.hidden_size)
+    toks, k2, v2, ks2, vs2 = llama_megabatch_verify_quant(
+        packed, k8, v8, kss, vss, len0, x_blk, cos_q, sin_q,
+        cfg=cfg, capacity=C, rows=R, kv_mode=kv_mode, interpret=True,
+    )
+
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(seq_toks))
+    np.testing.assert_array_equal(np.asarray(k2), np.asarray(k8s))
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(v8s))
+    np.testing.assert_allclose(np.asarray(ks2), np.asarray(ks_s), rtol=3e-6)
+    np.testing.assert_allclose(np.asarray(vs2), np.asarray(vs_s), rtol=3e-6)
+
+
+def test_llama_spec_server_quant_pool_matches_plain():
+    """Llama spec="ngram" x kv_mode="int8": outputs identical to the
+    plain llama quant-pool server — the full GQA composition."""
+    from efficient_llm_inference_tpu.engine.batching import Request
+    from efficient_llm_inference_tpu.engine.megaserver import (
+        MegaBatchServer,
+        MegaPoolConfig,
+    )
+    from efficient_llm_inference_tpu.core.config import Config
+    from efficient_llm_inference_tpu.engine.engine import InferenceEngine
+    from efficient_llm_inference_tpu.models import llama as llama_mod
+    from efficient_llm_inference_tpu.models.llama import llama_spec
+
+    cfg = _llcfg()
+    p = llama_mod.init_llama_params(jax.random.PRNGKey(7), cfg, jnp.float32)
+    tok = InferenceEngine(
+        llama_spec(cfg), p,
+        config=Config(dtype=jnp.float32, device="cpu"),
+    ).tokenizer
+    prompts = ["the cat sat on the cat sat", "a b a b a b", "x"]
+    budgets = [9, 11, 7]
+
+    def serve(spec):
+        srv = MegaBatchServer(
+            llama_spec(cfg), p,
+            pool=MegaPoolConfig(n_slots=2, capacity=C, max_chunk=3,
+                                prompt_bucket=32),
+            dtype=jnp.float32, kv_mode="int8", interpret=True,
+            spec=spec, spec_k=4,
+        )
+        reqs = [
+            Request(rid=i, prompt_ids=tok.encode(pr), max_new_tokens=n)
+            for i, (pr, n) in enumerate(zip(prompts, budgets))
+        ]
+        srv.run(reqs)
+        return reqs
+
+    plain = serve(None)
+    spec = serve("ngram")
+    for a, b in zip(plain, spec):
+        assert a.done and b.done and len(b.out_ids) == a.max_new_tokens
+        assert a.out_ids == b.out_ids, f"request {a.rid}"
